@@ -1,0 +1,265 @@
+"""CdcEngine — the epoch-driven replay loop (the MessageProcessor analog).
+
+Reference control flow (messaging/.../processing/MessageProcessor.java:144-193):
+acquire lock → load ProcessingState → compare stored vs live offset → seek →
+``nextBatch`` → handle (ack / DLQ) → commit offset. Our Spark-first
+equivalent is a driver epoch loop:
+
+    for epoch not yet committed (manifest check = the offset seek):
+        read event-log partition `checkpoint_epoch=e`   (partition-pruned scan)
+        split schema ops (op 0/1/2) → registry → metadata-only evolution
+        split malformed → quarantine table              (DLQ, MessageProcessor.sendError)
+        LWW-reduce valid events to per-key winners      (sharded-executor analog)
+        bucket-pruned copy-on-write MERGE into target   (keyed upsert/delete)
+        atomically commit snapshot + per-partition manifests  (exactly-once)
+
+Idempotence: re-running an epoch is a no-op — winners carry the same version
+tuple as the target rows they produced, and LWW max_by of identical rows is
+identity; the committed-epoch check skips it entirely on resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_core_spark.lake import SnapshotTable, bucket_expr, sql_type
+from cdc_core_spark.lww import lww_reduce
+from cdc_core_spark.registry import SchemaDef, SchemaRegistry, validate_evolution
+
+OP_INSERT, OP_UPDATE, OP_DELETE = 3, 4, 5
+SCHEMA_OPS = (0, 1, 2)
+DATA_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
+
+ENVELOPE_COLS = ("op", "op_ts", "event_seq", "txid", "schema_version")
+
+
+def valid_event_pred():
+    """Quarantine predicate (reference DLQ: MessageProcessor.java:216-225):
+    data op code, non-null key, DELETE must not carry content."""
+    return (
+        F.col("op").isin(*DATA_OPS)
+        & F.col("repo").isNotNull() & F.col("path").isNotNull()
+        & ~((F.col("op") == OP_DELETE) & F.col("content").isNotNull())
+    )
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, root: str, registry: SchemaRegistry,
+                 entity: str = "source_repos", n_buckets: int = 16,
+                 salt: int | None = None):
+        self.spark = spark
+        self.root = root
+        self.registry = registry
+        self.entity = entity
+        self.n_buckets = n_buckets
+        self.salt = salt
+        self.table = SnapshotTable(os.path.join(root, "target"))
+        self.errors_dir = os.path.join(root, "errors")
+
+    # ------------------------------------------------------------------ state
+    @property
+    def current_schema(self) -> SchemaDef:
+        ver = self.table.latest().props["schema_version"]
+        return self.registry.get(self.entity, ver)
+
+    def _key_cols(self) -> list[str]:
+        return self.table.latest().key_cols
+
+    # ----------------------------------------------------------- initial load
+    def initial_load(self, source_df: DataFrame, schema_version: str = "1.0") -> None:
+        """Snapshot/full-load path (reference: MessageMode.Snapshot,
+        EntityReadState SNAPSHOT gate, entity/.../model/EntityReadState.java:53-55).
+        Initial rows get version (-1, -1) so every real event out-versions them."""
+        sdef = self.registry.get(self.entity, schema_version)
+        fields = [dict(f) for f in sdef.fields]
+        self.table = SnapshotTable.create(
+            self.table.root, fields=fields, key_cols=sdef.key_cols(),
+            n_buckets=self.n_buckets, aliases=dict(sdef.aliases),
+            props={"schema_version": schema_version})
+        cols = []
+        present = set(source_df.columns)
+        for f in fields:
+            c = (F.col(f["name"]) if f["name"] in present else F.lit(None))
+            cols.append(c.cast(sql_type(f["type"])).alias(f["name"]))
+        df = (source_df.select(cols)
+              .withColumn("_op_ts", F.lit(-1).cast("bigint"))
+              .withColumn("_event_seq", F.lit(-1).cast("bigint"))
+              .withColumn("_deleted", F.lit(False))
+              .withColumn("_bucket", bucket_expr(sdef.key_cols(), self.n_buckets)))
+        n = df.count()
+        manifest = [{"checkpoint_epoch": -1, "partition_id": -1, "events_read": n,
+                     "events_applied": n, "events_error": 0, "max_op_ts": -1,
+                     "max_event_seq": -1, "wall_ms": 0}]
+        self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None,
+                                manifests=manifest)
+
+    # -------------------------------------------------------- schema evolution
+    def _apply_schema_ops(self, events: DataFrame, epoch: int) -> SchemaDef:
+        """In-band DDL path (op codes 0/1/2, AvroChangeType.isSchemaChange,
+        entity/.../model/AvroChangeType.java:40-49): route to the registry and
+        apply as a metadata-only evolution commit before the data MERGE."""
+        schema_evs = (events.filter(F.col("op").isin(*SCHEMA_OPS))
+                      .select("schema_version", "event_seq")
+                      .orderBy("event_seq").collect())
+        cur = self.current_schema
+        for row in schema_evs:
+            new = self.registry.get(self.entity, row["schema_version"])
+            if (new.major, new.minor) <= (cur.major, cur.minor):
+                continue  # replayed DDL — idempotent skip
+            validate_evolution(cur, new)
+            self.table.commit_metadata(
+                [dict(f) for f in new.fields], dict(new.aliases), epoch=None,
+                props={"schema_version": new.version})
+            cur = new
+        return cur
+
+    # ----------------------------------------------------------- event intake
+    def _normalize_events(self, events: DataFrame, sdef: SchemaDef) -> DataFrame:
+        """Project raw events onto the current schema: alias-map renamed
+        payload columns (old writers → new name), cast (covers widening),
+        null-fill added columns; attach version + storage-bucket columns."""
+        present = set(events.columns)
+        inv: dict[str, list[str]] = {}
+        for old, new in sdef.aliases.items():
+            inv.setdefault(new, []).append(old)
+        cols = []
+        for f in sdef.fields:
+            name = f["name"]
+            cands = ([name] if name in present else []) + [o for o in inv.get(name, []) if o in present]
+            c = (F.coalesce(*[F.col(x) for x in cands]) if len(cands) > 1
+                 else F.col(cands[0]) if cands else F.lit(None))
+            cols.append(c.cast(sql_type(f["type"])).alias(name))
+        cols.append(F.col("op").cast("int").alias("op"))
+        cols.append(F.col("op_ts").cast("bigint").alias("_op_ts"))
+        cols.append(F.col("event_seq").cast("bigint").alias("_event_seq"))
+        out = events.select(cols)
+        return out.withColumn("_bucket", bucket_expr(sdef.key_cols(), self.n_buckets))
+
+    # ------------------------------------------------------------- epoch apply
+    def apply_epoch(self, events: DataFrame, epoch: int) -> list[dict]:
+        """Process one epoch end-to-end and atomically commit. Returns the
+        manifest rows written (one per touched storage bucket = partition_id)."""
+        t0 = time.monotonic()
+        sdef = self._apply_schema_ops(events, epoch)
+        key_cols = sdef.key_cols()
+        payload_cols = [f["name"] for f in sdef.fields if f["name"] not in key_cols]
+
+        data = events.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
+        valid = data.filter(valid_event_pred())
+        bad = data.filter(~valid_event_pred())
+        self._quarantine(bad, epoch)
+
+        ev = self._normalize_events(valid, sdef)
+
+        # per-bucket intake stats (events_read / max version), one tiny agg job
+        read_stats = {
+            r["_bucket"]: r for r in
+            ev.groupBy("_bucket").agg(
+                F.count("*").alias("events_read"),
+                F.max("_op_ts").alias("max_op_ts"),
+                F.max("_event_seq").alias("max_event_seq"),
+            ).collect()
+        }
+        err_bucket = F.pmod(
+            F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
+            F.lit(self.n_buckets)).cast("int")
+        err_stats = {
+            r["_bucket"]: r["events_error"] for r in
+            bad.withColumn("_bucket", err_bucket)
+            .groupBy("_bucket").agg(F.count("*").alias("events_error")).collect()
+        }
+
+        winners = lww_reduce(ev, key_cols, payload_cols + ["op"], salt=self.salt)
+        winners = winners.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
+        applied_stats = {
+            r["_bucket"]: r["events_applied"] for r in
+            winners.groupBy("_bucket").agg(F.count("*").alias("events_applied")).collect()
+        }
+        touched = sorted(applied_stats)
+
+        # bucket-pruned copy-on-write merge: target rows (incl. delete
+        # tombstones) are just "events" carrying their stored version; the
+        # LWW union decides survivors. DELETE winners become tombstone rows —
+        # they must keep out-versioning late duplicate redeliveries of older
+        # events in future epochs (exactly-once under at-least-once delivery).
+        base = (self.table.read(self.spark, buckets=touched, with_internal_cols=True)
+                .withColumn("op", F.when(F.col("_deleted"), F.lit(OP_DELETE))
+                                   .otherwise(F.lit(OP_UPDATE)))
+                .drop("_deleted")
+                .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
+        merged = lww_reduce(base.unionByName(winners), key_cols, payload_cols + ["op"])
+        merged = (merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
+                  .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        manifests = []
+        for b in sorted(set(touched) | set(read_stats) | set(err_stats)):
+            rs = read_stats.get(b)
+            manifests.append({
+                "checkpoint_epoch": epoch, "partition_id": b,
+                "events_read": int(rs["events_read"]) if rs else 0,
+                "events_applied": int(applied_stats.get(b, 0)),
+                "events_error": int(err_stats.get(b, 0)),
+                "max_op_ts": int(rs["max_op_ts"]) if rs and rs["max_op_ts"] is not None else -1,
+                "max_event_seq": int(rs["max_event_seq"]) if rs and rs["max_event_seq"] is not None else -1,
+                "wall_ms": wall_ms,
+            })
+        self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests)
+        return manifests
+
+    def _quarantine(self, bad: DataFrame, epoch: int) -> None:
+        """DLQ: original event + reason, per-epoch overwrite (idempotent rerun).
+        Reference: error messages re-tagged mode=Error with correlation id
+        (MessageProcessor.sendError, BaseKafkaProducer keyed send)."""
+        reason = (
+            F.when(~F.col("op").isin(*DATA_OPS), F.lit("invalid_op"))
+            .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
+            .otherwise(F.lit("delete_with_content"))
+        )
+        out = bad.withColumn("error_reason", reason)
+        (out.write.mode("overwrite")
+            .parquet(os.path.join(self.errors_dir, f"checkpoint_epoch={epoch}")))
+
+    # ------------------------------------------------------------------ replay
+    def replay(self, events_path: str, source_df: DataFrame | None = None,
+               schema_version: str = "1.0", epochs: list[int] | None = None) -> None:
+        """Resume-from-checkpoint replay loop. Skips epochs whose manifests are
+        already committed (the ReceiverOffset committed-split analog)."""
+        if not self.table.exists():
+            if source_df is None:
+                raise ValueError("table missing and no initial source_df given")
+            self.initial_load(source_df, schema_version)
+        events = self.spark.read.parquet(events_path)
+        if epochs is None:
+            epochs = sorted(
+                r["checkpoint_epoch"] for r in
+                events.select("checkpoint_epoch").distinct().collect())
+        done = self.table.committed_epochs()
+        for e in epochs:
+            if e in done:
+                continue
+            batch = events.filter(F.col("checkpoint_epoch") == e)
+            self.apply_epoch(batch, e)
+
+    # ------------------------------------------------------------------- reads
+    def read_final(self) -> DataFrame:
+        return self.table.read(self.spark)
+
+    def read_final_with_sha(self) -> DataFrame:
+        """Final state + per-row content sha256 — the correctness invariant
+        (FIXTURES.md §4; F.sha2 = ChecksumUtils.computeSHA256 analog)."""
+        return self.read_final().withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+    def manifests_df(self) -> DataFrame:
+        rows = self.table.all_manifests()
+        ddl = ("checkpoint_epoch int, partition_id int, events_read bigint, "
+               "events_applied bigint, events_error bigint, max_op_ts bigint, "
+               "max_event_seq bigint, wall_ms bigint")
+        return self.spark.createDataFrame(rows, schema=ddl)
+
+    def errors_df(self) -> DataFrame:
+        return self.spark.read.parquet(self.errors_dir)

@@ -1,0 +1,271 @@
+"""SnapshotTable — a minimal atomic-snapshot parquet table format.
+
+The sandbox has no Iceberg/Delta jars, so the engine ships its own tiny
+lakehouse layer with the three properties the CDC sink needs (all of which
+the reference implements by hand):
+
+1. **Atomic commits** — data files are staged first, then a single JSON
+   snapshot file is published via write-temp + ``os.rename`` (atomic on
+   POSIX). Mirrors the reference's temp-file → ``commit()`` atomic writer
+   (filesystem/.../Writer.java:43-127, FileSystem.java:909-943). A crash
+   between staging and publish leaves unreferenced orphans; readers only ever
+   see the last published snapshot.
+2. **Bucketed layout + bucket-pruned copy-on-write** — rows are hash-bucketed
+   by key ``pmod(xxhash64(repo, path), n_buckets)``; a MERGE only rewrites
+   buckets that received changes and carries the rest forward by reference.
+   At 10^10-event scale this is what bounds merge I/O to the touched subset.
+3. **Metadata-only schema evolution** — each commit records the schema its
+   files were written under (``schema_id``); column add / rename / widen
+   changes only snapshot metadata, and reads normalize every file group to
+   the current schema (missing → null, renamed via the alias map, widened via
+   cast). Mirrors EntitySchema.apply semantics
+   (entity/.../schema/EntitySchema.java:327-453) without rewrites.
+
+Snapshots also embed the per-partition commit **manifests**
+``(checkpoint_epoch, partition_id, events_read, events_applied, events_error,
+max_op_ts, max_event_seq, wall_ms)`` — the exactly-once ledger (reference:
+read/committed offset split, messaging/.../ReceiverOffset.java:30-61).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# internal sink columns: row version tuple + delete tombstone flag.
+# Tombstones are how at-least-once redelivery across epochs stays
+# exactly-once: a late duplicate of an event older than a DELETE must lose
+# the LWW comparison against the remembered delete version instead of
+# resurrecting the row. (Reference analog: idempotent keyed replace +
+# stale-write rejection, MongoDbDataStore.java:240-243,
+# SchemaManager.java:382-387.)
+VERSION_COLS = ("_op_ts", "_event_seq")
+INTERNAL_COLS = {"_op_ts": "bigint", "_event_seq": "bigint", "_deleted": "boolean"}
+
+_TYPES = {
+    "boolean": "boolean", "short": "smallint", "int": "int", "integer": "int",
+    "long": "bigint", "float": "float", "double": "double", "string": "string",
+    "binary": "binary", "timestamp": "timestamp",
+}
+
+
+def sql_type(t: str) -> str:
+    return _TYPES[t.lower()]
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic storage bucket of a key — xxhash64 over the full key so
+    a hot repo spreads across buckets (unlike bucket(repo) alone)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    epoch: int | None
+    n_buckets: int
+    key_cols: list[str]
+    fields: list[dict]                 # current logical schema
+    aliases: dict                      # cumulative old_name -> new_name
+    schemas: dict                      # schema_id -> fields list (write-time schemas)
+    files: list[dict] = field(default_factory=list)   # {path, bucket, schema_id}
+    manifests: list[dict] = field(default_factory=list)  # this commit's manifests
+    parent: int | None = None
+    props: dict = field(default_factory=dict)         # e.g. current schema_version
+
+    def field_names(self) -> list[str]:
+        return [f["name"] for f in self.fields]
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---------------- snapshot log ----------------
+    @staticmethod
+    def create(root: str, fields: list[dict], key_cols: list[str],
+               n_buckets: int = 16, aliases: dict | None = None,
+               props: dict | None = None) -> "SnapshotTable":
+        t = SnapshotTable(root)
+        os.makedirs(t.log_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = Snapshot(version=0, epoch=None, n_buckets=n_buckets, key_cols=key_cols,
+                        fields=fields, aliases=aliases or {},
+                        schemas={"s0": fields}, files=[], manifests=[],
+                        props=props or {})
+        t._publish(snap)
+        return t
+
+    def exists(self) -> bool:
+        return bool(glob.glob(os.path.join(self.log_dir, "v*.json")))
+
+    def latest(self) -> Snapshot:
+        paths = sorted(glob.glob(os.path.join(self.log_dir, "v*.json")))
+        if not paths:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        with open(paths[-1]) as f:
+            d = json.load(f)
+        return Snapshot(**d)
+
+    def _publish(self, snap: Snapshot) -> None:
+        path = os.path.join(self.log_dir, f"v{snap.version:012d}.json")
+        if os.path.exists(path):
+            raise FileExistsError(f"snapshot {snap.version} already committed")
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap.__dict__, f)
+        os.rename(tmp, path)  # atomic publish
+
+    # ---------------- read ----------------
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             snap: Snapshot | None = None, with_internal_cols: bool = False) -> DataFrame:
+        """Read current state, normalized to the snapshot's logical schema.
+
+        Files are grouped by their write-time schema_id and each group is
+        normalized (alias/rename, missing → null, cast-widen) before a
+        unionByName — this is how rename + int→long widen stay metadata-only.
+        ``with_internal_cols`` additionally exposes the version tuple and the
+        tombstone flag; without it, tombstone rows are filtered out (the
+        user-visible table has no deleted keys).
+        """
+        snap = snap or self.latest()
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        out_cols = list(snap.field_names()) + (list(INTERNAL_COLS) if with_internal_cols else [])
+        if not files:
+            ddl = ", ".join(
+                [f'{f["name"]} {sql_type(f["type"])}' for f in snap.fields]
+                + ([f"{c} {t}" for c, t in INTERNAL_COLS.items()] if with_internal_cols else [])
+            )
+            return spark.createDataFrame([], schema=ddl)
+        parts = []
+        by_schema: dict[str, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
+        for sid, paths in by_schema.items():
+            df = spark.read.parquet(*paths)
+            parts.append(_normalize(df, snap.fields, snap.aliases))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if not with_internal_cols:
+            out = out.filter(~F.col("_deleted"))
+        return out.select(*out_cols)
+
+    # ---------------- write / commit ----------------
+    def commit_merge(self, df: DataFrame, touched_buckets: list[int],
+                     epoch: int | None, manifests: list[dict],
+                     new_fields: list[dict] | None = None,
+                     new_aliases: dict | None = None,
+                     props: dict | None = None) -> Snapshot:
+        """Copy-on-write commit: stage new files for ``touched_buckets`` from
+        ``df`` (must carry ``_bucket``), carry all other buckets forward by
+        reference, publish atomically."""
+        prev = self.latest()
+        fields = new_fields or prev.fields
+        aliases = new_aliases or prev.aliases
+        schemas = dict(prev.schemas)
+        sid = _sid_for(prev, fields)
+        if sid not in schemas:
+            schemas[sid] = fields
+
+        commit_id = uuid.uuid4().hex[:12]
+        stage_rel = os.path.join("data", f"commit-{commit_id}")
+        stage_abs = os.path.join(self.root, stage_rel)
+        new_files: list[dict] = []
+        if touched_buckets:
+            (df.repartition(max(len(touched_buckets), 1), "_bucket")
+               .write.partitionBy("_bucket").mode("overwrite").parquet(stage_abs))
+            for bdir in glob.glob(os.path.join(stage_abs, "_bucket=*")):
+                b = int(os.path.basename(bdir).split("=")[1])
+                for p in glob.glob(os.path.join(bdir, "*.parquet")):
+                    new_files.append({"path": os.path.relpath(p, self.root),
+                                      "bucket": b, "schema_id": sid})
+        touched = set(touched_buckets)
+        carried = [f for f in prev.files if f["bucket"] not in touched]
+        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
+                        key_cols=prev.key_cols, fields=fields, aliases=aliases,
+                        schemas=schemas, files=carried + new_files,
+                        manifests=manifests, parent=prev.version,
+                        props=props if props is not None else prev.props)
+        try:
+            self._publish(snap)
+        except FileExistsError:
+            shutil.rmtree(stage_abs, ignore_errors=True)
+            raise
+        return snap
+
+    def commit_metadata(self, new_fields: list[dict], new_aliases: dict,
+                        epoch: int | None = None,
+                        props: dict | None = None) -> Snapshot:
+        """Metadata-only evolution commit (add/rename/widen — no data rewrite),
+        the Iceberg-ALTER-TABLE analog of EntitySchema.apply."""
+        prev = self.latest()
+        schemas = dict(prev.schemas)
+        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
+                        key_cols=prev.key_cols, fields=new_fields, aliases=new_aliases,
+                        schemas=schemas, files=prev.files, manifests=[], parent=prev.version,
+                        props=props if props is not None else prev.props)
+        self._publish(snap)
+        return snap
+
+    # ---------------- lineage ----------------
+    def all_manifests(self) -> list[dict]:
+        rows = []
+        for p in sorted(glob.glob(os.path.join(self.log_dir, "v*.json"))):
+            with open(p) as f:
+                d = json.load(f)
+            rows.extend(d.get("manifests") or [])
+        return rows
+
+    def committed_epochs(self) -> set[int]:
+        eps = set()
+        for p in sorted(glob.glob(os.path.join(self.log_dir, "v*.json"))):
+            with open(p) as f:
+                d = json.load(f)
+            if d.get("epoch") is not None:
+                eps.add(d["epoch"])
+        return eps
+
+
+def _sid_for(prev: Snapshot, fields: list[dict]) -> str:
+    for sid, fl in prev.schemas.items():
+        if fl == fields:
+            return sid
+    return f"s{len(prev.schemas)}"
+
+
+def _normalize(df: DataFrame, fields: list[dict], aliases: dict) -> DataFrame:
+    """Project any historical file schema onto the current logical schema:
+    rename via alias map, null-fill missing columns, cast (covers widening)."""
+    present = set(df.columns)
+    inv = {}
+    for old, new in aliases.items():
+        inv.setdefault(new, []).append(old)
+    cols = []
+    for f in fields:
+        name, typ = f["name"], sql_type(f["type"])
+        candidates = ([name] if name in present else []) + [o for o in inv.get(name, []) if o in present]
+        if len(candidates) > 1:
+            c = F.coalesce(*[F.col(x) for x in candidates])
+        elif candidates:
+            c = F.col(candidates[0])
+        else:
+            c = F.lit(None)
+        cols.append(c.cast(typ).alias(name))
+    for vc, typ in INTERNAL_COLS.items():
+        default = F.lit(False) if typ == "boolean" else F.lit(None)
+        cols.append((F.col(vc) if vc in present else default).cast(typ).alias(vc))
+    return df.select(cols)

@@ -1,0 +1,157 @@
+"""Versioned schema registry + evolution validator.
+
+Re-expresses the reference's schema subsystem on StructType-like field lists:
+
+* versioned per-entity schemas ``(entity, major, minor)`` with a
+  domain→entity→version hierarchy and a driver-side cache, broadcast
+  per-microbatch (reference: entity/.../manager/SchemaManager.java:282-396,
+  SchemaVersion.java:26-72);
+* field-wise diff → ADD / DROP / MODIFY / RENAME ops (reference:
+  EntitySchema.diff, entity/.../schema/EntitySchema.java:305-325,
+  EntityDiff.java:32-172, ESchemaOp.java:19-21);
+* backward-compat validation: nullable ADD ok, required ADD without default
+  is an error, type MODIFY allowed only for numeric widening
+  int→long→float→double (reference:
+  SchemaEvolutionValidator.java:122-186,543-555), DROP is a soft-delete
+  (``ignoreDroppedColumn`` semantics, EntitySchema.java:419-431), RENAME must
+  be declared in the alias map.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+
+
+class SchemaEvolutionError(Exception):
+    pass
+
+
+# transitive widening closure per SchemaEvolutionValidator.java:543-555
+WIDENING: set[tuple[str, str]] = {
+    ("short", "int"), ("short", "long"), ("short", "float"), ("short", "double"),
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"),
+    ("float", "double"),
+}
+
+
+@dataclass(frozen=True)
+class SchemaDef:
+    entity: str
+    major: int
+    minor: int
+    fields: tuple          # tuple of dicts {name, type, nullable, key?}
+    aliases: dict          # old_name -> new_name (cumulative)
+
+    @property
+    def version(self) -> str:
+        return f"{self.major}.{self.minor}"
+
+    def field_map(self) -> dict[str, dict]:
+        return {f["name"]: f for f in self.fields}
+
+    def key_cols(self) -> list[str]:
+        return [f["name"] for f in self.fields if f.get("key")]
+
+
+@dataclass
+class SchemaOp:
+    op: str        # ADD | DROP | MODIFY | RENAME
+    name: str
+    detail: dict = field(default_factory=dict)
+
+
+def diff(old: SchemaDef, new: SchemaDef) -> list[SchemaOp]:
+    """Field-wise diff, rename-aware via the new version's alias map."""
+    ops: list[SchemaOp] = []
+    om, nm = old.field_map(), new.field_map()
+    renames = {o: n for o, n in new.aliases.items() if o in om and n in nm and o not in nm}
+    for old_name, new_name in renames.items():
+        ops.append(SchemaOp("RENAME", old_name, {"to": new_name}))
+    for name, f in nm.items():
+        src = om.get(name) or (om.get(_rename_src(renames, name)) if _rename_src(renames, name) else None)
+        if src is None:
+            ops.append(SchemaOp("ADD", name, {"type": f["type"], "nullable": f.get("nullable", True)}))
+        elif src["type"] != f["type"]:
+            ops.append(SchemaOp("MODIFY", name, {"from": src["type"], "to": f["type"]}))
+    for name in om:
+        if name not in nm and name not in renames:
+            ops.append(SchemaOp("DROP", name))
+    return ops
+
+
+def _rename_src(renames: dict, new_name: str) -> str | None:
+    for o, n in renames.items():
+        if n == new_name:
+            return o
+    return None
+
+
+def validate_evolution(old: SchemaDef, new: SchemaDef) -> list[SchemaOp]:
+    """Backward-compat check; raises SchemaEvolutionError on an illegal change.
+    Returns the validated op list."""
+    # key columns must never change — check first, it invalidates everything
+    if old.key_cols() != new.key_cols():
+        raise SchemaEvolutionError(f"key columns changed: {old.key_cols()} → {new.key_cols()}")
+    ops = diff(old, new)
+    for op in ops:
+        if op.op == "ADD":
+            f = new.field_map()[op.name]
+            if not f.get("nullable", True) and f.get("default") is None:
+                raise SchemaEvolutionError(
+                    f"ADD of required field '{op.name}' without default "
+                    "(SchemaEvolutionValidator: required-add w/o default = ERROR)")
+        elif op.op == "MODIFY":
+            pair = (op.detail["from"].lower(), op.detail["to"].lower())
+            if pair not in WIDENING:
+                raise SchemaEvolutionError(
+                    f"MODIFY {op.name}: {pair[0]} → {pair[1]} is not a legal widening")
+        elif op.op == "RENAME":
+            if op.detail["to"] not in new.field_map():
+                raise SchemaEvolutionError(f"RENAME target {op.detail['to']} missing")
+        # DROP = soft-delete, always allowed (ignoreDroppedColumn semantics)
+    return ops
+
+
+class SchemaRegistry:
+    """Driver-side registry cache; schemas are tiny and broadcast implicitly
+    via the generated per-epoch projection expressions."""
+
+    def __init__(self, defs: list[SchemaDef]):
+        self._by_ver: dict[tuple[str, str], SchemaDef] = {
+            (d.entity, d.version): d for d in defs
+        }
+
+    @staticmethod
+    def load(reg_dir: str) -> "SchemaRegistry":
+        defs = []
+        for p in sorted(glob.glob(os.path.join(reg_dir, "*", "*.json"))):
+            with open(p) as f:
+                doc = json.load(f)
+            defs.append(SchemaRegistry._def_from_doc(doc))
+        return SchemaRegistry(defs)
+
+    @staticmethod
+    def from_docs(docs: list[dict]) -> "SchemaRegistry":
+        return SchemaRegistry([SchemaRegistry._def_from_doc(d) for d in docs])
+
+    @staticmethod
+    def _def_from_doc(doc: dict) -> SchemaDef:
+        return SchemaDef(entity=doc["entity"], major=doc["major"], minor=doc["minor"],
+                         fields=tuple(doc["fields"]), aliases=doc.get("aliases", {}))
+
+    def get(self, entity: str, version: str) -> SchemaDef:
+        try:
+            return self._by_ver[(entity, version)]
+        except KeyError:
+            raise SchemaEvolutionError(f"unknown schema {entity}@{version}") from None
+
+    def versions(self, entity: str) -> list[SchemaDef]:
+        out = [d for (e, _), d in self._by_ver.items() if e == entity]
+        return sorted(out, key=lambda d: (d.major, d.minor))
+
+    def latest(self, entity: str) -> SchemaDef:
+        return self.versions(entity)[-1]

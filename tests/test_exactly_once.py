@@ -1,0 +1,103 @@
+"""Exactly-once / resume-from-checkpoint tests (SURVEY.md §5.3).
+
+Reference semantics being reproduced: the read/committed offset split of
+ReceiverOffset (messaging/.../ReceiverOffset.java:30-61) — at-least-once
+delivery upstream, idempotent keyed apply downstream, committed manifests as
+the resume point (MessageProcessor.doRun seek logic, :144-193).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_core_spark.engine import CdcEngine
+
+from tests.conftest import assert_final_equal
+
+
+def _replay_all(spark, t1, registry, root, **kw) -> CdcEngine:
+    eng = CdcEngine(spark, root, registry, n_buckets=8, **kw)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    return eng
+
+
+def test_rerun_epoch_is_noop(spark, t1, registry, tmp_path):
+    """Re-applying an already-committed epoch leaves state unchanged
+    (idempotent MERGE: winners carry the same version as target rows)."""
+    eng = _replay_all(spark, t1, registry, str(tmp_path / "e"))
+    before = eng.read_final_with_sha().toPandas()
+    events = spark.read.parquet(f'{t1["dir"]}/change_events')
+    eng.apply_epoch(events.filter(F.col("checkpoint_epoch") == 4), 4)  # force re-apply
+    after = eng.read_final_with_sha().toPandas()
+    assert_final_equal(after, before.rename(columns={}))
+
+
+def test_resume_mid_run(spark, t1, registry, tmp_path):
+    """Stop after 3 epochs ("kill"), resume with a fresh engine instance —
+    identical final state, each epoch applied exactly once."""
+    root = str(tmp_path / "e")
+    eng1 = CdcEngine(spark, root, registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng1.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1, 2])
+
+    eng2 = CdcEngine(spark, root, registry, n_buckets=8)  # fresh process analog
+    eng2.replay(f'{t1["dir"]}/change_events')  # no source_df: must resume
+    got = eng2.read_final_with_sha().toPandas()
+    assert_final_equal(got, t1["expected"])
+    # every data epoch committed exactly once
+    mf = eng2.manifests_df().toPandas()
+    per_epoch = mf[mf.checkpoint_epoch >= 0].groupby(
+        ["checkpoint_epoch", "partition_id"]).size()
+    assert (per_epoch == 1).all()
+
+
+def test_crash_before_commit_is_invisible(spark, t1, registry, tmp_path):
+    """Staged data files without a published snapshot (crash between write
+    and the atomic log rename) must be ignored; re-running the epoch
+    converges to the oracle state."""
+    root = str(tmp_path / "e")
+    eng = CdcEngine(spark, root, registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1])
+
+    # simulate a crash: delete the last snapshot log entry but keep its files
+    logs = sorted(glob.glob(os.path.join(root, "target", "_log", "v*.json")))
+    os.remove(logs[-1])
+
+    eng2 = CdcEngine(spark, root, registry, n_buckets=8)
+    eng2.replay(f'{t1["dir"]}/change_events')  # re-applies epoch 1 + rest
+    got = eng2.read_final_with_sha().toPandas()
+    assert_final_equal(got, t1["expected"])
+
+
+def test_delete_tombstone_blocks_late_duplicate(spark, registry, tmp_path):
+    """A duplicate redelivery (next epoch) of an event older than a DELETE
+    must NOT resurrect the row — the tombstone keeps the delete's version."""
+    import pandas as pd
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=4)
+    src = spark.createDataFrame(
+        [("r1", "a.py", "c0", "python", "body0")],
+        "repo string, path string, commit string, lang string, content string")
+    eng.initial_load(src, "1.0")
+    ddl = ("op int, repo string, path string, commit string, lang string, "
+           "language string, content string, size_bytes long, rev long, "
+           "op_ts long, event_seq long, txid long, schema_version string, "
+           "checkpoint_epoch int")
+    upd = (4, "r1", "a.py", "c1", "python", None, "body1", None, 2, 100, 1, 1, "1.0", 0)
+    dele = (5, "r1", "a.py", "c1", None, None, None, None, 3, 200, 2, 1, "1.0", 0)
+    e0 = spark.createDataFrame([upd, dele], ddl)
+    eng.apply_epoch(e0, 0)
+    assert eng.read_final().count() == 0
+    # epoch 1 redelivers the old UPDATE (same dedup key) — must stay deleted
+    e1 = spark.createDataFrame([upd], ddl).withColumn("checkpoint_epoch", F.lit(1))
+    eng.apply_epoch(e1, 1)
+    assert eng.read_final().count() == 0
+    # and a genuinely newer re-insert does resurrect it
+    ins = (3, "r1", "a.py", "c2", "python", None, "body2", None, 4, 300, 3, 2, "1.0", 2)
+    eng.apply_epoch(spark.createDataFrame([ins], ddl), 2)
+    rows = eng.read_final().collect()
+    assert len(rows) == 1 and rows[0]["content"] == "body2"
