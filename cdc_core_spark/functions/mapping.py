@@ -1,0 +1,109 @@
+"""Declarative record mapping + rules — the Mapping/MapTransformer/RulesExecutor
+analogs compiled to a single DataFrame pass.
+
+Reference pipeline (mapping/.../mapper/Mapping.java:225-269): per record —
+FilterChain.evaluate (ignore?) → MapTransformer.transform (source path →
+target path, consts, nesting) → typed bind → rules (validate / transform).
+Our engine compiles the whole config into ONE ``select`` + ``filter`` +
+``withColumns`` chain so Catalyst sees a static plan (column pruning +
+predicate pushdown reach the scan; nothing interprets per row).
+
+Mapping spec entries (MappingType.java:19-21 kinds Field/ConstField/Custom):
+    {"target": "out_col",        "source": "in_col"}          # rename/project
+    {"target": "nested.leaf",    "source": "in_col"}          # nesting via struct
+    {"target": "out_col",        "const":  42}                # ConstField
+    {"target": "out_col",        "expr":   "a + b"}           # computed (SpEL analog)
+
+Rules (mapping/.../rules/: RuleType Filter/Validation/Transformation):
+    Rule("filter",         predicate_sql)                     # drop row silently
+    Rule("validation",     predicate_sql, error="msg")        # fail row → quarantine
+    Rule("transformation", target=col, expr=sql)              # write a field
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def compile_mapping(df: DataFrame, spec: list[dict],
+                    keep_unmapped_as: str | None = None) -> DataFrame:
+    """MapTransformer.transform (MapTransformer.java:67-141) as one select.
+
+    Dot-separated targets build nested structs (the nested-map walk at
+    MapTransformer.java:143-207). ``keep_unmapped_as`` captures unmapped
+    source columns into a map column (PropertyBag wildcard capture,
+    Mapping.java:274-280).
+    """
+    tree: dict = {}
+    used_sources: set[str] = set()
+    for ent in spec:
+        parts = ent["target"].split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if "source" in ent:
+            node[parts[-1]] = F.col(ent["source"])
+            used_sources.add(ent["source"])
+        elif "const" in ent:
+            node[parts[-1]] = F.lit(ent["const"])
+        else:
+            node[parts[-1]] = F.expr(ent["expr"])
+
+    def build(node) -> Column:
+        if isinstance(node, Column):
+            return node
+        return F.struct(*[build(v).alias(k) for k, v in node.items()])
+
+    cols = [build(v).alias(k) for k, v in tree.items()]
+    if keep_unmapped_as:
+        extras = [c for c in df.columns if c not in used_sources]
+        kv = []
+        for c in extras:
+            kv += [F.lit(c), F.col(c).cast("string")]
+        cols.append(F.create_map(*kv).alias(keep_unmapped_as) if kv
+                    else F.create_map().cast("map<string,string>").alias(keep_unmapped_as))
+    return df.select(*cols)
+
+
+@dataclass
+class Rule:
+    """One rule of the chain (BaseRule.java:102-170 / SpELRule.java:37-63);
+    predicates/expressions are SQL strings = the SpEL-expression analog."""
+    kind: str                      # filter | validation | transformation
+    predicate: str | None = None   # for filter (ignore when true) / validation (fail when FALSE)
+    error: str | None = None       # validation error tag
+    target: str | None = None      # transformation target column
+    expr: str | None = None        # transformation expression
+
+
+def apply_rules(df: DataFrame, rules: list[Rule],
+                errors_col: str = "_errors") -> tuple[DataFrame, DataFrame]:
+    """Compile the rule chain into one pass; returns (good, quarantined).
+
+    * filter rules short-circuit rows out silently (FilterChain.java:82-99
+      IgnoreRecord status);
+    * validation failures accumulate into an error array — the row routes to
+      the quarantine frame (EntityValidationError upsert semantics,
+      PersistencePipeline.java:80-93);
+    * transformation rules write their target field (RuleType.Transformation).
+    """
+    for r in rules:
+        if r.kind == "filter":
+            df = df.filter(~F.coalesce(F.expr(r.predicate), F.lit(False)))
+    errs = F.array(*[
+        F.when(~F.coalesce(F.expr(r.predicate), F.lit(False)),
+               F.lit(r.error or r.predicate))
+        for r in rules if r.kind == "validation"
+    ])
+    df = df.withColumn(errors_col, F.filter(errs, lambda x: x.isNotNull())
+                       if [r for r in rules if r.kind == "validation"]
+                       else F.array().cast("array<string>"))
+    for r in rules:
+        if r.kind == "transformation":
+            df = df.withColumn(r.target, F.expr(r.expr))
+    good = df.filter(F.size(errors_col) == 0).drop(errors_col)
+    bad = df.filter(F.size(errors_col) > 0)
+    return good, bad

@@ -1,0 +1,103 @@
+"""Scalar transformer library — Column-expression ports of the reference's
+per-row transformer classes (mapping/src/main/java/io/zyient/core/mapping/
+transformers/: IntegerTransformer, LongTransformer, DoubleTransformer,
+DateTransformer, DateIntegerTransformer, RegexTransformer, EnumTransformer,
+CurrencyValueTransformer, StringTransformer).
+
+Every transformer compiles to a Catalyst expression (JVM-side, codegen'd,
+vectorized) instead of interpreting per row — the reference's row-at-a-time
+SpEL/Java path collapses into the plan. No Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# characters stripped by the locale-aware numeric parsers
+# (reference NumericTransformer uses java.text.NumberFormat with locale)
+_NUM_JUNK = r"[^0-9.\-+eE]"
+
+
+def to_int(col) -> Column:
+    """IntegerTransformer: locale-tolerant parse — strips grouping separators
+    and currency symbols, then casts. 'try' semantics: unparseable → null."""
+    return F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                            _NUM_JUNK, "").try_cast("int")
+
+
+def to_long(col) -> Column:
+    return F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                            _NUM_JUNK, "").try_cast("bigint")
+
+
+def to_double(col) -> Column:
+    return F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                            _NUM_JUNK, "").try_cast("double")
+
+
+def currency_value(col) -> Column:
+    """CurrencyValueTransformer: '$1,234.56' → 1234.56 (symbol/grouping strip)."""
+    return to_double(col)
+
+
+def parse_date(col, fmt: str = "yyyy-MM-dd") -> Column:
+    """DateTransformer: format-driven parse; bad input → null (try semantics)."""
+    return F.to_date(F.col(col) if isinstance(col, str) else col, fmt)
+
+
+def parse_timestamp(col, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    return F.to_timestamp(F.col(col) if isinstance(col, str) else col, fmt)
+
+
+def date_to_epoch_days(col) -> Column:
+    """DateIntegerTransformer: date ↔ integer epoch-days."""
+    return F.datediff(F.col(col) if isinstance(col, str) else col, F.lit("1970-01-01"))
+
+
+def epoch_days_to_date(col) -> Column:
+    return F.date_add(F.lit("1970-01-01").cast("date"),
+                      (F.col(col) if isinstance(col, str) else col).cast("int"))
+
+
+def regex_extract(col, pattern: str, group: int = 1) -> Column:
+    """RegexTransformer (extract mode)."""
+    return F.regexp_extract(F.col(col) if isinstance(col, str) else col, pattern, group)
+
+
+def regex_replace(col, pattern: str, replacement: str) -> Column:
+    """RegexTransformer (replace mode)."""
+    return F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                            pattern, replacement)
+
+
+def enum_map(col, mapping: dict, default=None) -> Column:
+    """EnumTransformer: value→value mapping with optional default, compiled
+    to a chained CASE WHEN (constant-folded by Catalyst)."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for k, v in mapping.items():
+        cond = c == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    return expr.otherwise(F.lit(default)) if expr is not None else F.lit(default)
+
+
+def stringify(col) -> Column:
+    """StringTransformer: any value → string (structs via to_json)."""
+    return (F.col(col) if isinstance(col, str) else col).cast("string")
+
+
+def sha256_checksum(col) -> Column:
+    """ChecksumUtils.computeSHA256 analog (common/.../utils/ChecksumUtils.java:34)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def decision_tree(branches: list[tuple[str, object]], default=None) -> Column:
+    """Conditional mapping tree (core/.../decisions/EvaluationTree.java):
+    ordered (sql_predicate, value_or_Column) branches → chained when()."""
+    expr = None
+    for pred, val in branches:
+        v = val if isinstance(val, Column) else F.lit(val)
+        expr = F.when(F.expr(pred), v) if expr is None else expr.when(F.expr(pred), v)
+    d = default if isinstance(default, Column) else F.lit(default)
+    return expr.otherwise(d) if expr is not None else d

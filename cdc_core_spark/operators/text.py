@@ -1,0 +1,138 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), document fingerprinting (min-hash of word
+shingles — a winnowing-style rolling fingerprint).
+
+Everything is built-in pyspark.sql.functions (JVM, whole-stage codegen);
+each operator has an exactly-equivalent ANSI-SQL form used as the DuckDB
+oracle, so Spark and oracle compute the same deterministic result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword marker sets for the n-gram heuristic
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " que ", " los "],
+}
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(_c(col)), r"\s+"))
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + individual symbols."""
+    return F.regexp_count(_c(col), F.lit(BPE_TOKEN_RE))
+
+
+def occurrences(col, needle: str) -> Column:
+    """Count of a literal substring — (len(s) - len(replace(s, n, ''))) / len(n),
+    chosen because it is expressible identically in Spark and DuckDB SQL."""
+    c = F.lower(_c(col))
+    return ((F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("long")
+
+
+def lang_id(col) -> Column:
+    """Marker-stopword language heuristic with deterministic tiebreak
+    (alphabetical language order; 'und' = undetermined when no marker hits)."""
+    scores = {lang: sum_cols([occurrences(col, m) for m in ms])
+              for lang, ms in LANG_MARKERS.items()}
+    best = None
+    expr = F.lit("und")
+    # evaluate in reverse-alphabetical so earlier langs win ties via >=
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = scores[lang]
+        cond = s > F.lit(0)
+        for other in sorted(LANG_MARKERS):
+            if other == lang:
+                break
+            cond = cond & (s > scores[other])  # strictly beat alphabetically-earlier
+        for other in sorted(LANG_MARKERS):
+            if other > lang:
+                cond = cond & (s >= scores[other])  # ties go to earlier
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        best = s if best is None else best
+    return expr
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length, word
+    diversity proxy (mean word length band), penalizes symbol density."""
+    c = _c(col)
+    n_chars = F.length(c).cast("double")
+    n_tok = token_count_ws(col).cast("double")
+    mean_wl = n_chars / F.greatest(n_tok, F.lit(1.0))
+    sym = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    len_score = F.least(n_chars / F.lit(2000.0), F.lit(1.0))
+    wl_score = F.lit(1.0) - F.least(F.abs(mean_wl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    sym_score = F.lit(1.0) - F.least(sym * F.lit(4.0), F.lit(1.0))
+    return F.round(F.lit(0.4) * len_score + F.lit(0.3) * wl_score + F.lit(0.3) * sym_score, 6)
+
+
+def quality_score_sql(col: str) -> str:
+    """The exact same formula as ANSI SQL (DuckDB oracle form)."""
+    n_chars = f"cast(length({col}) as double)"
+    n_tok = f"cast(len(regexp_extract_all(trim({col}), '\\S+')) as double)"
+    mean_wl = f"({n_chars} / greatest({n_tok}, 1.0))"
+    sym = f"(cast(len(regexp_extract_all({col}, '[^A-Za-z0-9\\s]')) as double) / greatest({n_chars}, 1.0))"
+    len_score = f"least({n_chars} / 2000.0, 1.0)"
+    wl_score = f"(1.0 - least(abs({mean_wl} - 5.0) / 5.0, 1.0))"
+    sym_score = f"(1.0 - least({sym} * 4.0, 1.0))"
+    return f"round(0.4 * {len_score} + 0.3 * {wl_score} + 0.3 * {sym_score}, 6)"
+
+
+def lang_id_sql(col: str) -> str:
+    """lang_id as ANSI SQL (same semantics, for the DuckDB oracle)."""
+    def occ(needle: str) -> str:
+        n = needle.replace("'", "''")
+        return (f"((length(lower({col})) - length(replace(lower({col}), '{n}', '')))"
+                f" / {len(needle)})")
+    score = {lang: "(" + " + ".join(occ(m) for m in ms) + ")"
+             for lang, ms in LANG_MARKERS.items()}
+    expr = "'und'"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        conds = [f"{score[lang]} > 0"]
+        for other in sorted(LANG_MARKERS):
+            if other == lang:
+                break
+            conds.append(f"{score[lang]} > {score[other]}")
+        for other in sorted(LANG_MARKERS):
+            if other > lang:
+                conds.append(f"{score[lang]} >= {score[other]}")
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def word_shingles(col, k: int = 5) -> Column:
+    """Array of k-word shingles (space-joined)."""
+    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def fingerprint(col, k: int = 5) -> Column:
+    """Winnowing-style document fingerprint: lexicographic min of
+    sha256(shingle) over all k-word shingles — stable under content moves,
+    identical in Spark and DuckDB (both expose sha256 hex)."""
+    return F.array_min(F.transform(word_shingles(col, k), lambda s: F.sha2(s, 256)))

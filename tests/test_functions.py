@@ -1,0 +1,87 @@
+"""Scalar transformer + mapping engine tests (SURVEY §2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_core_spark.functions import transforms as T
+from cdc_core_spark.functions.mapping import Rule, apply_rules, compile_mapping
+
+
+def test_numeric_transformers(spark):
+    df = spark.createDataFrame(
+        [("1,234", "$1,234.56", "9,999,999,999", "garbage")],
+        "i string, cur string, l string, bad string")
+    r = df.select(T.to_int("i").alias("i"), T.currency_value("cur").alias("c"),
+                  T.to_long("l").alias("l"), T.to_int("bad").alias("b")).collect()[0]
+    assert r["i"] == 1234 and r["c"] == 1234.56
+    assert r["l"] == 9_999_999_999 and r["b"] is None
+
+
+def test_date_transformers(spark):
+    df = spark.createDataFrame([("23/11/2023", "2023-11-23 14:39:00")], "d string, ts string")
+    r = df.select(
+        T.parse_date("d", "dd/MM/yyyy").alias("d"),
+        T.parse_timestamp("ts").alias("ts"),
+        T.date_to_epoch_days(T.parse_date("d", "dd/MM/yyyy")).alias("days"),
+    ).collect()[0]
+    assert str(r["d"]) == "2023-11-23"
+    assert r["days"] == 19684
+    back = spark.range(1).select(T.epoch_days_to_date(F.lit(19684)).alias("d")).collect()[0]
+    assert str(back["d"]) == "2023-11-23"
+
+
+def test_regex_enum_transformers(spark):
+    df = spark.createDataFrame([("order-0042-x", "GOLD")], "s string, tier string")
+    r = df.select(
+        T.regex_extract("s", r"order-(\d+)", 1).alias("num"),
+        T.regex_replace("s", r"\d", "#").alias("masked"),
+        T.enum_map("tier", {"GOLD": 1, "SILVER": 2}, default=0).alias("tier_id"),
+    ).collect()[0]
+    assert r["num"] == "0042" and r["masked"] == "order-####-x" and r["tier_id"] == 1
+
+
+def test_decision_tree(spark):
+    df = spark.createDataFrame([(5,), (50,), (500,)], "v int")
+    out = df.select("v", T.decision_tree(
+        [("v < 10", "small"), ("v < 100", "medium")], default="large").alias("b")).collect()
+    assert [r["b"] for r in out] == ["small", "medium", "large"]
+
+
+def test_compile_mapping_nested_and_wildcard(spark):
+    df = spark.createDataFrame([(1, "Ada", "L", "x")], "id int, first string, last string, extra string")
+    out = compile_mapping(df, [
+        {"target": "customer_id", "source": "id"},
+        {"target": "name.first", "source": "first"},
+        {"target": "name.last", "source": "last"},
+        {"target": "source_system", "const": "crm"},
+        {"target": "full", "expr": "concat(first, ' ', last)"},
+    ], keep_unmapped_as="extras").collect()[0]
+    assert out["customer_id"] == 1
+    assert out["name"]["first"] == "Ada" and out["name"]["last"] == "L"
+    assert out["source_system"] == "crm" and out["full"] == "Ada L"
+    assert out["extras"]["extra"] == "x"
+
+
+def test_rules_filter_validate_transform(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "US"), (2, -5.0, "US"), (3, 7.0, None), (4, 1.0, "ignore")],
+        "id int, amount double, country string")
+    good, bad = apply_rules(df, [
+        Rule("filter", predicate="country = 'ignore'"),
+        Rule("validation", predicate="amount >= 0", error="negative_amount"),
+        Rule("validation", predicate="country IS NOT NULL", error="null_country"),
+        Rule("transformation", target="amount_cents", expr="cast(amount * 100 as long)"),
+    ])
+    g = {r["id"]: r for r in good.collect()}
+    b = {r["id"]: r["_errors"] for r in bad.collect()}
+    assert set(g) == {1} and g[1]["amount_cents"] == 1000
+    assert b[2] == ["negative_amount"] and b[3] == ["null_country"]
+    assert 4 not in set(g) | set(b)  # filtered silently
+
+
+def test_sha256_checksum(spark):
+    import hashlib
+    r = spark.createDataFrame([("abc",)], "s string").select(
+        T.sha256_checksum("s").alias("h")).collect()[0]
+    assert r["h"] == hashlib.sha256(b"abc").hexdigest()

@@ -1,0 +1,154 @@
+"""Training-data operator tests: dedup family, similarity search, text
+analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_core_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat and runs away fast"),  # near dup of 1
+        (4, "completely different content about spark dataframes and shuffles here"),
+        (5, "der schnelle braune fuchs springt und der hund und die katze schlafen"),
+        (6, "le chat et le chien dorment dans la maison pres de la porte"),
+        (7, "THE QUICK  brown fox! jumps over the lazy dog and runs away fast"),  # dup of 1 after normalize
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs, "text", "doc_id").collect()
+    sizes = sorted(r["dup_count"] for r in groups)
+    assert sizes == [1, 1, 1, 1, 3]  # 1,2,7 collapse
+    big = [r for r in groups if r["dup_count"] == 3][0]
+    assert big["canonical_id"] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                                n=3, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 7)] == 1.0
+    assert 0.3 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_near_dupes(docs, "doc_id", "text",
+                                      num_perm=64, bands=16,
+                                      threshold=0.4).collect()}
+    assert (1, 2) in pairs and (1, 7) in pairs  # exact dups always collide
+    assert (1, 3) in pairs                      # near dup found
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    sh = {r["doc"]: r["simhash"] for r in
+          dedup.simhash64(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2] == sh[7]  # identical normalized text → same fingerprint
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_dupes(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16))
+    rows = [(i, base[i].tolist()) for i in range(6)]
+    rows.append((6, (base[0] + 0.01 * rng.standard_normal(16)).tolist()))  # near dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.embedding_near_dupes(df, "vec_id", "embedding", dim=16,
+                                        threshold=0.98).collect()}
+    assert pairs == {(0, 6)}
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((50, 8))
+    q = rng.standard_normal(8)
+    df = spark.createDataFrame([(i, m[i].tolist()) for i in range(50)],
+                               "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in
+           similarity.cosine_topk(df, "vec_id", "embedding", q.tolist(), k=5).collect()]
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-np.round(cos, 6), kind="stable")[:5])
+    assert got == [int(x) for x in want]
+
+
+def test_ivf_topk_recall(spark):
+    # clustered data: IVF with nprobe=2/8 cells must recover the true top-5
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.vstack([c + rng.standard_normal((40, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame([(i, vecs[i].tolist()) for i in range(len(vecs))],
+                               "vec_id long, embedding array<double>")
+    q = (centers[2] + 0.1 * rng.standard_normal(16)).tolist()
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk(df, "vec_id", "embedding", q, k=5).collect()}
+    approx = {r["vec_id"] for r in
+              similarity.ivf_topk(df, "vec_id", "embedding", q, k=5,
+                                  n_cells=8, nprobe=3).collect()}
+    assert len(exact & approx) >= 4  # ≥80% recall on clustered data
+
+
+def test_lsh_topk_subset_of_data(spark):
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((100, 12))
+    q = m[17] + 0.05 * rng.standard_normal(12)
+    df = spark.createDataFrame([(i, m[i].tolist()) for i in range(100)],
+                               "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in
+           similarity.lsh_topk(df, "vec_id", "embedding", q.tolist(), k=3,
+                               n_planes=10, max_hamming=3).collect()]
+    assert 17 in got  # the planted neighbor survives the prefilter
+
+
+def test_text_analysis(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze und der vogel"),
+         (3, "xyzzy 123 !!!")],
+        "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        text.lang_id("text").alias("lang"),
+        text.token_count_ws("text").alias("ws_tokens"),
+        text.token_count_bpe("text").alias("bpe_tokens"),
+        text.quality_score("text").alias("quality"),
+        text.fingerprint("text", k=3).alias("fp"),
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["lang"] == "en" and by[2]["lang"] == "de" and by[3]["lang"] == "und"
+    assert by[1]["ws_tokens"] == 8
+    assert by[3]["bpe_tokens"] == 5  # xyzzy, 123, !, !, !
+    assert 0.0 <= by[3]["quality"] < by[1]["quality"] <= 1.0
+    assert len(by[1]["fp"]) == 64  # sha256 hex
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["hist"]) == 8 and r["n_bytes"] == 512 for r in feats)
+    # deterministic across runs
+    again = multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()
+    assert sorted((r["media_id"], r["mean"]) for r in feats) == \
+           sorted((r["media_id"], r["mean"]) for r in again)
+    px = multimodal.resize_images(media, target=(8, 8)).collect()
+    assert all(len(r["pixels"]) == 64 for r in px)
+    frames = multimodal.frame_sample(media, every_ms=500)
+    assert frames.filter(F.col("frame_ts_ms") % 500 != 0).count() == 0
+    # real decoder is stubbed
+    with pytest.raises(Exception):
+        multimodal.real_decode(b"zz")
