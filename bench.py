@@ -1,0 +1,118 @@
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Headline metric: CDC replay-to-converged-table throughput (change-events/sec
+applied) on the seeded synthetic fixture sized to the testdata SF, plus
+wall-times for the headline operator queries at $SPARK_GRAFT_SF_DIR.
+
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] cores (default 32)
+    CDC_BENCH_SCALE      override fixture scale (t1|t2|bench)
+
+Fixture generation is cached under /tmp/cdc_bench_cache (untimed); the timed
+region is engine work only: initial load + 8-epoch replay (LWW reduce +
+bucket-pruned merge + manifest commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# map testdata scale → synthetic CDC fixture scale
+_SCALE_BY_SF = {"sf0.001": "t1", "sf0.01": "t1", "sf0.1": "t2"}
+FIXTURE_SCALE = os.environ.get(
+    "CDC_BENCH_SCALE", _SCALE_BY_SF.get(os.path.basename(SF_DIR.rstrip("/")), "t2"))
+
+CACHE = "/tmp/cdc_bench_cache"
+
+HEADLINE_QUERIES = [
+    "cdc_lww_latest", "cdc_lww_salted", "cdc_merge_state", "cdc_running_window",
+    "pricing_summary", "revenue_by_nation", "dedup_exact", "minhash_near_dupes",
+    "text_stats", "ann_cosine_topk",
+]
+
+
+def ensure_fixture(scale: str) -> str:
+    from cdc_core_spark import synth
+    d = os.path.join(CACHE, scale)
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        synth.write_fixture(d, scale)
+        open(marker, "w").write("ok")
+    return d
+
+
+def bench_replay(spark, fxdir: str) -> dict:
+    from pyspark.sql import functions as F
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.registry import SchemaRegistry
+    from cdc_core_spark import synth
+
+    reg = SchemaRegistry.from_docs(synth.registry_docs())
+    root = os.path.join(CACHE, f"engine_run_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CdcEngine(spark, root, reg, n_buckets=32)
+    src = spark.read.parquet(os.path.join(fxdir, "source_repos.parquet"))
+    events_path = os.path.join(fxdir, "change_events")
+    n_events = spark.read.parquet(events_path).count()
+
+    t0 = time.monotonic()
+    eng.replay(events_path, source_df=src)
+    n_final = eng.read_final().count()
+    wall = time.monotonic() - t0
+
+    mf = eng.manifests_df().toPandas()
+    applied = int(mf[mf.checkpoint_epoch >= 0]["events_read"].sum())
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": round(wall, 3), "events": n_events, "events_applied": applied,
+            "events_per_sec": round(applied / wall, 1), "final_rows": n_final}
+
+
+def main() -> None:
+    from cdc_core_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    fxdir = ensure_fixture(FIXTURE_SCALE)
+    spark = get_spark(app_name="cdc_bench", cores=CPUS)
+
+    queries: dict[str, float] = {}
+    replay = bench_replay(spark, fxdir)
+    queries["cdc_replay"] = replay["sec"]
+
+    qmap = entry.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        df = qmap[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_total_sec (cdc_replay = replay-to-converged-table; "
+                  "events_per_sec in extras)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "extras": {
+            "fixture_scale": FIXTURE_SCALE,
+            "cpus": CPUS,
+            "replay": replay,
+        },
+    }
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

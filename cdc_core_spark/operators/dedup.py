@@ -49,11 +49,29 @@ def tokens(col) -> "F.Column":
     return F.split(normalize_text(col), " ")
 
 
+def word_ngrams(t: "F.Column", n: int) -> "F.Column":
+    """Word n-grams of a token array via the zip-shift construction:
+    iteratively zip the running gram with the j-shifted token array.
+
+    NOT ``transform(sequence(...), i -> slice(t, i, n))`` — a non-literal
+    slice inside a higher-order function is interpreted with an O(len) copy
+    per element, i.e. O(len²) per row (measured 18× slower at 100-token
+    docs). zip_with is one linear pass per gram order.
+
+    Short docs (< n tokens) yield one shingle covering the whole text,
+    matching SQL ``t[i:i+n-1]`` clamped-slice semantics."""
+    gram = t
+    for j in range(2, n + 1):
+        shifted = F.slice(t, j, 1 << 30)  # literal bounds: single O(len) copy
+        gram = F.zip_with(gram, shifted,
+                          lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.filter(gram, lambda s: s.isNotNull())
+    return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(full)
+
+
 def ngrams(col, n: int = 3) -> "F.Column":
     """Distinct word n-grams of the normalized text."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))))
+    return F.array_distinct(word_ngrams(tokens(col), n))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -80,24 +98,53 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                .select("doc_a", "doc_b", "jaccard"))
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(col, num_perm: int = 64, shingle_n: int = 3) -> "F.Column":
     """MinHash signature as array<long>: per permutation i, min over shingles
-    of xxhash64(shingle, i). All JVM-side, codegen'd."""
+    of xxhash64(shingle, i). All JVM-side.
+
+    Implemented as ONE fold over the shingle array (element-wise least into a
+    64-wide accumulator) rather than 64 independent array_min expressions —
+    Catalyst collapses projections, so 64 separate expressions would
+    re-evaluate the whole normalize/tokenize/shingle pipeline 64× per row
+    (measured 10× slowdown at 5k docs)."""
     sh = ngrams(col, shingle_n)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_perm)
-    ])
+    init = F.array_repeat(F.lit(_MAX_LONG), num_perm)
+
+    def step(acc, s):
+        hashes = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_perm)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return F.aggregate(sh, init, step)
+
+
+def _pairs_from_buckets(bdf: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate pairs from LSH buckets: group docs per (band, bkey), drop
+    oversized buckets (a bucket everyone falls into is a stop-feature, not a
+    duplicate signal — the cap is what keeps this sub-quadratic at 100 TB),
+    emit in-bucket pair combinations without a self-join."""
+    groups = (bdf.groupBy("band", "bkey")
+              .agg(F.collect_list("doc").alias("docs"))
+              .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket)))
+    pairs = F.expr(
+        "filter(flatten(transform(docs, x -> transform(docs, y -> "
+        "struct(x as doc_a, y as doc_b)))), p -> p.doc_a < p.doc_b)")
+    return (groups.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b").distinct())
 
 
 def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, bands: int = 16,
-                       shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                       shingle_n: int = 3, threshold: float = 0.5,
+                       max_bucket: int = 64) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
 
     Candidates = pairs colliding in ≥1 of ``bands`` bands (rows/band =
     num_perm/bands); estimated Jaccard = fraction of matching signature
     positions; pairs below threshold are filtered after the cheap estimate.
+    ``max_bucket`` drops degenerate buckets (see _pairs_from_buckets).
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -110,12 +157,7 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     ])
     bdf = sigs.select("doc", F.explode(band_arr).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
-    cand = (bdf.alias("x").join(bdf.alias("y"),
-                                (F.col("x.band") == F.col("y.band"))
-                                & (F.col("x.bkey") == F.col("y.bkey"))
-                                & (F.col("x.doc") < F.col("y.doc")))
-            .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-            .distinct())
+    cand = _pairs_from_buckets(bdf, max_bucket)
     est = (cand.join(sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sa")), "doc_a")
                .join(sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
                .withColumn("est_jaccard",
@@ -157,24 +199,24 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3, max_bucket: int = 256) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k, blocked on 4 16-bit
-    bands (pigeonhole: any pair within hamming ≤ 3 collides in ≥1 band)."""
+    bands (pigeonhole: any pair within hamming ≤ 3 collides in ≥1 band);
+    oversized buckets capped like every LSH path here."""
     sh = simhash64(df, id_col, text_col)
     band = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"))
         for b in range(4)
     ])
-    bdf = sh.select("doc", "simhash", F.explode(band).alias("b")).select(
-        "doc", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
-    pairs = (bdf.alias("x").join(bdf.alias("y"),
-                                 (F.col("x.band") == F.col("y.band"))
-                                 & (F.col("x.bkey") == F.col("y.bkey"))
-                                 & (F.col("x.doc") < F.col("y.doc")))
-             .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"),
-                     F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"))
-             .distinct())
+    bdf = sh.select("doc", F.explode(band).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    cand = _pairs_from_buckets(bdf, max_bucket)
+    hashes = sh.select(F.col("doc"), F.col("simhash"))
+    pairs = (cand.join(hashes.select(F.col("doc").alias("doc_a"),
+                                     F.col("simhash").alias("ha")), "doc_a")
+                 .join(hashes.select(F.col("doc").alias("doc_b"),
+                                     F.col("simhash").alias("hb")), "doc_b"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (pairs.withColumn("hamming", ham)
                  .filter(F.col("hamming") <= max_hamming)
@@ -197,25 +239,21 @@ def embedding_near_dupes(df: DataFrame, id_col: str, vec_col: str,
         arr = F.array(*[F.lit(float(x)) for x in plane])
         return F.aggregate(F.zip_with(vec, arr, lambda a, b: a * b),
                            F.lit(0.0), lambda acc, x: acc + x)
-    v = F.col(vec_col).cast("array<double>")
-    bits = [F.when(dot_lit(v, p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    vecs = df.select(F.col(id_col).alias("doc"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    bits = [F.when(dot_lit(F.col("v"), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for p in planes]
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat(*bits[b * r:(b + 1) * r]).alias("bkey"))
         for b in range(bands)
     ])
-    b = (df.select(F.col(id_col).alias("doc"), v.alias("v"),
-                   F.explode(band_arr).alias("bd"))
-           .select("doc", "v", F.col("bd.band").alias("band"),
-                   F.col("bd.bkey").alias("bkey")))
-    pairs = (b.alias("x").join(b.alias("y"),
-                               (F.col("x.band") == F.col("y.band"))
-                               & (F.col("x.bkey") == F.col("y.bkey"))
-                               & (F.col("x.doc") < F.col("y.doc")))
-             .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"),
-                     F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
-             .dropDuplicates(["doc_a", "doc_b"]))
+    b = (vecs.select("doc", F.explode(band_arr).alias("bd"))
+             .select("doc", F.col("bd.band").alias("band"),
+                     F.col("bd.bkey").alias("bkey")))
+    cand = _pairs_from_buckets(b, max_bucket=1024)
+    pairs = (cand.join(vecs.select(F.col("doc").alias("doc_a"), F.col("v").alias("va")), "doc_a")
+                 .join(vecs.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb")), "doc_b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))

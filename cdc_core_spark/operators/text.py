@@ -87,7 +87,10 @@ def quality_score(col) -> Column:
     len_score = F.least(n_chars / F.lit(2000.0), F.lit(1.0))
     wl_score = F.lit(1.0) - F.least(F.abs(mean_wl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
     sym_score = F.lit(1.0) - F.least(sym * F.lit(4.0), F.lit(1.0))
-    return F.round(F.lit(0.4) * len_score + F.lit(0.3) * wl_score + F.lit(0.3) * sym_score, 6)
+    # no rounding: the formula is a fixed IEEE-754 expression tree, so Spark
+    # and the SQL oracle produce bit-identical doubles; rounding would
+    # re-introduce engine-specific HALF_UP vs HALF_EVEN tie behavior
+    return F.lit(0.4) * len_score + F.lit(0.3) * wl_score + F.lit(0.3) * sym_score
 
 
 def quality_score_sql(col: str) -> str:
@@ -99,7 +102,7 @@ def quality_score_sql(col: str) -> str:
     len_score = f"least({n_chars} / 2000.0, 1.0)"
     wl_score = f"(1.0 - least(abs({mean_wl} - 5.0) / 5.0, 1.0))"
     sym_score = f"(1.0 - least({sym} * 4.0, 1.0))"
-    return f"round(0.4 * {len_score} + 0.3 * {wl_score} + 0.3 * {sym_score}, 6)"
+    return f"(0.4 * {len_score} + 0.3 * {wl_score} + 0.3 * {sym_score})"
 
 
 def lang_id_sql(col: str) -> str:
@@ -125,10 +128,11 @@ def lang_id_sql(col: str) -> str:
 
 
 def word_shingles(col, k: int = 5) -> Column:
-    """Array of k-word shingles (space-joined)."""
+    """Array of k-word shingles (space-joined), zip-shift construction (see
+    cdc_core_spark.operators.dedup.word_ngrams for why not slice-per-index)."""
+    from cdc_core_spark.operators.dedup import word_ngrams
     toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return word_ngrams(toks, k)
 
 
 def fingerprint(col, k: int = 5) -> Column:

@@ -1,0 +1,86 @@
+"""Pre-flight for the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at sf=0.01, compare row counts and
+order-insensitive values (the driver's CORRECTNESS_r{N} protocol)."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.01"
+
+ORACLES = entry.oracle_sql()
+QUERIES = entry.queries()
+
+
+def _duck():
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int,)):
+        return int(v)
+    try:  # Decimal and numpy scalars
+        import decimal
+        import numpy as np
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 6)
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return round(float(v), 6)
+    except ImportError:
+        pass
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+    con = _duck()
+    res = con.execute(ORACLES[name])
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), (s_cols, d_cols)
+    assert len(s_rows) == len(d_rows), f"row count {len(s_rows)} vs {len(d_rows)}"
+    cs, cd = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+    mism = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
+    assert cs == cd, f"value mismatch, first diffs: {mism}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
