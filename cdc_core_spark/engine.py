@@ -155,26 +155,28 @@ class CdcEngine:
 
         ev = self._normalize_events(valid, sdef)
 
-        # per-bucket intake stats (events_read / max version), one tiny agg job
-        read_stats = {
-            r["_bucket"]: r for r in
-            ev.groupBy("_bucket").agg(
-                F.count("*").alias("events_read"),
-                F.max("_op_ts").alias("max_op_ts"),
-                F.max("_event_seq").alias("max_event_seq"),
-            ).collect()
-        }
-        err_bucket = F.pmod(
+        # per-bucket intake stats — ONE aggregation job over the epoch scan
+        # covering valid + malformed counts and the max version watermark
+        # (null-safe bucket so null-key malformed rows still get lineage)
+        vpred = valid_event_pred()
+        nb = F.pmod(
             F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
             F.lit(self.n_buckets)).cast("int")
-        err_stats = {
-            r["_bucket"]: r["events_error"] for r in
-            bad.withColumn("_bucket", err_bucket)
-            .groupBy("_bucket").agg(F.count("*").alias("events_error")).collect()
-        }
+        stat_rows = (data.withColumn("_bucket", nb)
+                     .groupBy("_bucket")
+                     .agg(F.sum(vpred.cast("long")).alias("events_read"),
+                          F.sum((~vpred).cast("long")).alias("events_error"),
+                          F.max(F.when(vpred, F.col("op_ts"))).alias("max_op_ts"),
+                          F.max(F.when(vpred, F.col("event_seq"))).alias("max_event_seq"))
+                     .collect())
+        read_stats = {r["_bucket"]: r for r in stat_rows}
+        err_stats = {r["_bucket"]: r["events_error"] for r in stat_rows}
 
+        # winners feed BOTH the applied-count manifest and the merge below —
+        # persist so the LWW shuffle runs once, not twice
         winners = lww_reduce(ev, key_cols, payload_cols + ["op"], salt=self.salt)
         winners = winners.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
+        winners.persist()
         applied_stats = {
             r["_bucket"]: r["events_applied"] for r in
             winners.groupBy("_bucket").agg(F.count("*").alias("events_applied")).collect()
@@ -209,6 +211,7 @@ class CdcEngine:
                 "wall_ms": wall_ms,
             })
         self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests)
+        winners.unpersist()
         return manifests
 
     def _quarantine(self, bad: DataFrame, epoch: int) -> None:
@@ -244,6 +247,26 @@ class CdcEngine:
                 continue
             batch = events.filter(F.col("checkpoint_epoch") == e)
             self.apply_epoch(batch, e)
+
+    # ------------------------------------------------------------- maintenance
+    def expire_tombstones(self, watermark_op_ts: int) -> None:
+        """Drop delete tombstones older than the watermark (table maintenance,
+        run once the at-least-once redelivery window has passed — after this,
+        a duplicate redelivery older than the watermark could resurrect a row,
+        so pick the watermark ≤ min uncommitted upstream offset, exactly the
+        ReceiverOffset committed-watermark contract)."""
+        df = (self.table.read(self.spark, with_internal_cols=True)
+              .filter(~(F.col("_deleted") & (F.col("_op_ts") < F.lit(watermark_op_ts))))
+              .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
+        self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None, manifests=[])
+
+    def compact(self) -> None:
+        """Rewrite every bucket into one file set under the current schema —
+        bounds small-file count and re-materializes alias/widen normalization
+        (the Iceberg rewrite_data_files analog)."""
+        df = (self.table.read(self.spark, with_internal_cols=True)
+              .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
+        self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None, manifests=[])
 
     # ------------------------------------------------------------------- reads
     def read_final(self) -> DataFrame:
