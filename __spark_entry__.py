@@ -186,11 +186,32 @@ def q_search(spark, sf_dir):
 
 
 def q_anti_semi_setops(spark, sf_dir):
-    """Set-op presence: users who click but never purchase (anti join)."""
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter("event_type = 'click'").select("user_id").distinct()
-    buys = ev.filter("event_type = 'purchase'").select("user_id").distinct()
-    return clicks.join(buys, "user_id", "left_anti")
+    """Anti join: orders with no lineitem shipped after 1998-01-01
+    (~10% of orders at every SF — non-degenerate on both sides)."""
+    o = _t(spark, sf_dir, "orders")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+          .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (o.join(li, "o_orderkey", "left_anti")
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+def q_semi_join(spark, sf_dir):
+    """Semi join: orders having at least one high-quantity lineitem."""
+    o = _t(spark, sf_dir, "orders")
+    li = (_t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+          .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (o.join(li, "o_orderkey", "left_semi")
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+def q_setop_except(spark, sf_dir):
+    """EXCEPT set-op: urgent-priority orderkeys minus fulfilled ('F') ones."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    done = o.filter("o_orderstatus = 'F'").select("o_orderkey")
+    return urgent.exceptAll(done).distinct()
 
 
 def q_rollup(spark, sf_dir):
@@ -302,9 +323,21 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dupes(spark, sf_dir):
+    """LSH-bucketed approximate variant of embedding_pairs_exact (recall is
+    asserted against the exact baseline in tests/test_operators.py)."""
     e = _t(spark, sf_dir, "embeddings")
+    # band shape tuned for the low-similarity regime of this corpus
+    # (threshold 0.35 → 8 bands of 3 planes ≈ 0.9 recall vs the exact baseline)
     return dedup.embedding_near_dupes(e, "vec_id", "embedding", dim=64,
-                                      threshold=0.9)
+                                      threshold=0.35, n_planes=24, bands=8)
+
+
+def q_embedding_pairs_exact(spark, sf_dir):
+    """Exact all-pairs cosine ≥ 0.35 (GEMM-blocked, SURVEY §2 embedding-cosine
+    near-dup baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (similarity.cosine_pairs_exact(e, "vec_id", "embedding", 0.35)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -324,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "search_q": q_search,
         "anti_semi_setops": q_anti_semi_setops,
+        "semi_join": q_semi_join,
+        "setop_except": q_setop_except,
         "rollup": q_rollup,
         # transforms
         "map_transform": q_map_transform,
@@ -335,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
         # approximate (rows-only)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash": q_simhash,
@@ -425,8 +461,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
         "anti_semi_setops": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-            AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1998-01-01')
+        """,
+        "semi_join": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE EXISTS (
+                SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                AND l_quantity >= 45)
+        """,
+        "setop_except": """
+            SELECT DISTINCT o_orderkey FROM (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                EXCEPT ALL
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
         """,
         "rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
@@ -501,6 +551,12 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "embedding_pairs_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """,
         # minhash_near_dupes / simhash / ivf_topk / embedding_near_dupes:
         # hash-seeded approximations — rows-only check; exactness is covered

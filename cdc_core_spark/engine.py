@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_core_spark.lake import SnapshotTable, bucket_expr, sql_type
-from cdc_core_spark.lww import lww_reduce
+from cdc_core_spark.lww import lww_reduce, lww_reduce_in_partition
 from cdc_core_spark.registry import SchemaDef, SchemaRegistry, validate_evolution
 
 OP_INSERT, OP_UPDATE, OP_DELETE = 3, 4, 5
@@ -35,6 +35,16 @@ SCHEMA_OPS = (0, 1, 2)
 DATA_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
 
 ENVELOPE_COLS = ("op", "op_ts", "event_seq", "txid", "schema_version")
+
+
+def _list_epochs(events_path: str) -> list[int] | None:
+    """Epoch ids from the hive partition layout — a filesystem listing, not a
+    Spark job. Returns None when the path isn't epoch-partitioned."""
+    import glob as _glob
+    dirs = _glob.glob(os.path.join(events_path, "checkpoint_epoch=*"))
+    if not dirs:
+        return None
+    return sorted(int(os.path.basename(d).split("=")[1]) for d in dirs)
 
 
 def valid_event_pred():
@@ -98,15 +108,19 @@ class CdcEngine:
                                 manifests=manifest)
 
     # -------------------------------------------------------- schema evolution
-    def _apply_schema_ops(self, events: DataFrame, epoch: int) -> SchemaDef:
+    def _apply_schema_ops(self, events: DataFrame, epoch: int,
+                          schema_rows: list | None = None) -> SchemaDef:
         """In-band DDL path (op codes 0/1/2, AvroChangeType.isSchemaChange,
         entity/.../model/AvroChangeType.java:40-49): route to the registry and
-        apply as a metadata-only evolution commit before the data MERGE."""
-        schema_evs = (events.filter(F.col("op").isin(*SCHEMA_OPS))
-                      .select("schema_version", "event_seq")
-                      .orderBy("event_seq").collect())
+        apply as a metadata-only evolution commit before the data MERGE.
+        ``schema_rows`` lets the replay loop pass pre-collected DDL events for
+        all epochs at once (one scan job instead of one per epoch)."""
+        if schema_rows is None:
+            schema_rows = (events.filter(F.col("op").isin(*SCHEMA_OPS))
+                           .select("schema_version", "event_seq")
+                           .orderBy("event_seq").collect())
         cur = self.current_schema
-        for row in schema_evs:
+        for row in schema_rows:
             new = self.registry.get(self.entity, row["schema_version"])
             if (new.major, new.minor) <= (cur.major, cur.minor):
                 continue  # replayed DDL — idempotent skip
@@ -140,77 +154,93 @@ class CdcEngine:
         return out.withColumn("_bucket", bucket_expr(sdef.key_cols(), self.n_buckets))
 
     # ------------------------------------------------------------- epoch apply
-    def apply_epoch(self, events: DataFrame, epoch: int) -> list[dict]:
+    def apply_epoch(self, events: DataFrame, epoch: int,
+                    err_stats: dict[int, int] | None = None,
+                    schema_rows: list | None = None) -> list[dict]:
         """Process one epoch end-to-end and atomically commit. Returns the
-        manifest rows written (one per touched storage bucket = partition_id)."""
+        manifest rows written (one per touched storage bucket = partition_id).
+
+        The replay loop passes pre-collected ``err_stats`` (per-bucket
+        malformed counts) and ``schema_rows`` (in-band DDL events) so the
+        whole epoch costs exactly TWO Spark jobs: (1) materialize the LWW
+        winners (which carry their own lineage stats — ``with_stats``), and
+        (2) the single-shuffle merge+write. Direct callers (tests) may omit
+        them and pay the per-epoch scans instead."""
         t0 = time.monotonic()
-        sdef = self._apply_schema_ops(events, epoch)
+        sdef = self._apply_schema_ops(events, epoch, schema_rows=schema_rows)
         key_cols = sdef.key_cols()
         payload_cols = [f["name"] for f in sdef.fields if f["name"] not in key_cols]
 
         data = events.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
-        valid = data.filter(valid_event_pred())
-        bad = data.filter(~valid_event_pred())
-        self._quarantine(bad, epoch)
+        vpred = valid_event_pred()
+        valid = data.filter(vpred)
+
+        if err_stats is None:
+            # standalone path: one aggregation job for malformed lineage
+            # (null-safe bucket so null-key malformed rows still get counted)
+            nb = F.pmod(
+                F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
+                F.lit(self.n_buckets)).cast("int")
+            err_stats = {
+                r["_bucket"]: r["n"] for r in
+                (data.filter(~vpred).withColumn("_bucket", nb)
+                 .groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect())
+            }
+            if sum(err_stats.values()) > 0:
+                self._quarantine(data.filter(~vpred), epoch)
 
         ev = self._normalize_events(valid, sdef)
 
-        # per-bucket intake stats — ONE aggregation job over the epoch scan
-        # covering valid + malformed counts and the max version watermark
-        # (null-safe bucket so null-key malformed rows still get lineage)
-        vpred = valid_event_pred()
-        nb = F.pmod(
-            F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
-            F.lit(self.n_buckets)).cast("int")
-        stat_rows = (data.withColumn("_bucket", nb)
-                     .groupBy("_bucket")
-                     .agg(F.sum(vpred.cast("long")).alias("events_read"),
-                          F.sum((~vpred).cast("long")).alias("events_error"),
-                          F.max(F.when(vpred, F.col("op_ts"))).alias("max_op_ts"),
-                          F.max(F.when(vpred, F.col("event_seq"))).alias("max_event_seq"))
-                     .collect())
-        read_stats = {r["_bucket"]: r for r in stat_rows}
-        err_stats = {r["_bucket"]: r["events_error"] for r in stat_rows}
-
-        # winners feed BOTH the applied-count manifest and the merge below —
-        # persist so the LWW shuffle runs once, not twice
-        winners = lww_reduce(ev, key_cols, payload_cols + ["op"], salt=self.salt)
+        # Job 1 — LWW winners, persisted. The same hash aggregation also
+        # carries per-key lineage (_n_events, _max_seq), so ONE collect yields
+        # every manifest stat: events_read, events_applied, and the
+        # (max_op_ts, max_event_seq) watermark. No separate stats scan.
+        winners = lww_reduce(ev, key_cols, payload_cols + ["op"], salt=self.salt,
+                             with_stats=True)
         winners = winners.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
         winners.persist()
-        applied_stats = {
-            r["_bucket"]: r["events_applied"] for r in
-            winners.groupBy("_bucket").agg(F.count("*").alias("events_applied")).collect()
-        }
-        touched = sorted(applied_stats)
+        stat_rows = (winners.groupBy("_bucket")
+                     .agg(F.count(F.lit(1)).alias("events_applied"),
+                          F.sum("_n_events").alias("events_read"),
+                          F.max("_op_ts").alias("max_op_ts"),
+                          F.max("_max_seq").alias("max_event_seq"))
+                     .collect())
+        read_stats = {r["_bucket"]: r for r in stat_rows}
+        touched = sorted(read_stats)
 
-        # bucket-pruned copy-on-write merge: target rows (incl. delete
+        # Job 2 — bucket-pruned copy-on-write merge: target rows (incl. delete
         # tombstones) are just "events" carrying their stored version; the
         # LWW union decides survivors. DELETE winners become tombstone rows —
         # they must keep out-versioning late duplicate redeliveries of older
         # events in future epochs (exactly-once under at-least-once delivery).
+        # ONE shuffle: the union is repartitioned by storage bucket (a pure
+        # function of the key) and reduced in-partition (Arrow-batched fold),
+        # instead of a by-key shuffle followed by a by-bucket repartition.
         base = (self.table.read(self.spark, buckets=touched, with_internal_cols=True)
                 .withColumn("op", F.when(F.col("_deleted"), F.lit(OP_DELETE))
                                    .otherwise(F.lit(OP_UPDATE)))
                 .drop("_deleted")
                 .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
-        merged = lww_reduce(base.unionByName(winners), key_cols, payload_cols + ["op"])
-        merged = (merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
-                  .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
+        union = base.unionByName(winners.drop("_n_events", "_max_seq"))
+        merged = lww_reduce_in_partition(
+            union.repartition(max(len(touched), 1), "_bucket"), key_cols)
+        merged = merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         manifests = []
-        for b in sorted(set(touched) | set(read_stats) | set(err_stats)):
+        for b in sorted(set(touched) | set(err_stats)):
             rs = read_stats.get(b)
             manifests.append({
                 "checkpoint_epoch": epoch, "partition_id": b,
                 "events_read": int(rs["events_read"]) if rs else 0,
-                "events_applied": int(applied_stats.get(b, 0)),
+                "events_applied": int(rs["events_applied"]) if rs else 0,
                 "events_error": int(err_stats.get(b, 0)),
                 "max_op_ts": int(rs["max_op_ts"]) if rs and rs["max_op_ts"] is not None else -1,
                 "max_event_seq": int(rs["max_event_seq"]) if rs and rs["max_event_seq"] is not None else -1,
                 "wall_ms": wall_ms,
             })
-        self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests)
+        self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests,
+                                pre_partitioned=True)
         winners.unpersist()
         return manifests
 
@@ -238,15 +268,54 @@ class CdcEngine:
             self.initial_load(source_df, schema_version)
         events = self.spark.read.parquet(events_path)
         if epochs is None:
-            epochs = sorted(
+            epochs = _list_epochs(events_path) or sorted(
                 r["checkpoint_epoch"] for r in
                 events.select("checkpoint_epoch").distinct().collect())
         done = self.table.committed_epochs()
-        for e in epochs:
-            if e in done:
-                continue
+        todo = [e for e in epochs if e not in done]
+        if not todo:
+            return
+        scope = events.filter(F.col("checkpoint_epoch").isin(todo))
+
+        # One scan for ALL in-band DDL events of the run (vs one per epoch)
+        schema_by_epoch: dict[int, list] = {e: [] for e in todo}
+        for r in (scope.filter(F.col("op").isin(*SCHEMA_OPS))
+                  .select("checkpoint_epoch", "schema_version", "event_seq")
+                  .orderBy("event_seq").collect()):
+            schema_by_epoch[r["checkpoint_epoch"]].append(r)
+
+        # One scan + one write for ALL malformed events of the run (DLQ):
+        # malformed-ness is state-independent, so quarantine routing doesn't
+        # need to ride inside the per-epoch loop. Dynamic partition overwrite
+        # keeps re-runs idempotent without clobbering other epochs' DLQ.
+        key_cols = self._key_cols()
+        vpred = valid_event_pred()
+        nb = F.pmod(
+            F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
+            F.lit(self.n_buckets)).cast("int")
+        data = scope.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
+        err_rows = (data.filter(~vpred).withColumn("_bucket", nb)
+                    .groupBy("checkpoint_epoch", "_bucket")
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
+        err_by_epoch: dict[int, dict[int, int]] = {e: {} for e in todo}
+        for r in err_rows:
+            err_by_epoch[r["checkpoint_epoch"]][r["_bucket"]] = r["n"]
+        if err_rows:
+            bad = data.filter(~vpred)
+            reason = (
+                F.when(~F.col("op").isin(*DATA_OPS), F.lit("invalid_op"))
+                .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
+                .otherwise(F.lit("delete_with_content"))
+            )
+            (bad.withColumn("error_reason", reason)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("checkpoint_epoch").parquet(self.errors_dir))
+
+        for e in todo:
             batch = events.filter(F.col("checkpoint_epoch") == e)
-            self.apply_epoch(batch, e)
+            self.apply_epoch(batch, e, err_stats=err_by_epoch[e],
+                             schema_rows=schema_by_epoch[e])
 
     # ------------------------------------------------------------- maintenance
     def expire_tombstones(self, watermark_op_ts: int) -> None:

@@ -169,10 +169,13 @@ class SnapshotTable:
                      epoch: int | None, manifests: list[dict],
                      new_fields: list[dict] | None = None,
                      new_aliases: dict | None = None,
-                     props: dict | None = None) -> Snapshot:
+                     props: dict | None = None,
+                     pre_partitioned: bool = False) -> Snapshot:
         """Copy-on-write commit: stage new files for ``touched_buckets`` from
         ``df`` (must carry ``_bucket``), carry all other buckets forward by
-        reference, publish atomically."""
+        reference, publish atomically. ``pre_partitioned`` skips the
+        by-bucket repartition when the caller already shuffled by ``_bucket``
+        (avoids a redundant full-table exchange)."""
         prev = self.latest()
         fields = new_fields or prev.fields
         aliases = new_aliases or prev.aliases
@@ -186,8 +189,9 @@ class SnapshotTable:
         stage_abs = os.path.join(self.root, stage_rel)
         new_files: list[dict] = []
         if touched_buckets:
-            (df.repartition(max(len(touched_buckets), 1), "_bucket")
-               .write.partitionBy("_bucket").mode("overwrite").parquet(stage_abs))
+            staged = df if pre_partitioned else df.repartition(
+                max(len(touched_buckets), 1), "_bucket")
+            staged.write.partitionBy("_bucket").mode("overwrite").parquet(stage_abs)
             for bdir in glob.glob(os.path.join(stage_abs, "_bucket=*")):
                 b = int(os.path.basename(bdir).split("=")[1])
                 for p in glob.glob(os.path.join(bdir, "*.parquet")):

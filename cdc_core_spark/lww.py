@@ -27,6 +27,9 @@ Tie-break totality: the version struct compares ``op_ts`` first then
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,24 +37,71 @@ VERSION_ORDER = ("_op_ts", "_event_seq")
 
 
 def lww_reduce(events: DataFrame, key_cols: list[str],
-               payload_cols: list[str], salt: int | None = None) -> DataFrame:
+               payload_cols: list[str], salt: int | None = None,
+               with_stats: bool = False) -> DataFrame:
     """Reduce to one winner row per key: the max-(op_ts, event_seq) event.
 
     ``events`` must carry ``_op_ts``/``_event_seq`` version columns.
     ``salt`` enables the explicit two-stage skew path (None = rely on
     Spark's built-in partial aggregation).
+
+    ``with_stats`` additionally emits per-key lineage columns in the SAME
+    aggregation (no extra scan job): ``_n_events`` (valid events reduced into
+    this winner) and ``_max_seq`` (max event_seq seen — NOT necessarily the
+    winner's seq under out-of-order op_ts). Winner op_ts is already the key's
+    max op_ts (first component of the lexicographic version max).
     """
     ver = F.struct(*[F.col(c) for c in VERSION_ORDER])
     pay = F.struct(*[F.col(c) for c in VERSION_ORDER + tuple(payload_cols)])
     if salt is None:
-        won = (events.groupBy(*key_cols)
-               .agg(F.max_by(pay, ver).alias("_w")))
+        aggs = [F.max_by(pay, ver).alias("_w")]
+        if with_stats:
+            aggs += [F.count(F.lit(1)).alias("_n_events"),
+                     F.max("_event_seq").alias("_max_seq")]
+        won = events.groupBy(*key_cols).agg(*aggs)
     else:
         salted = events.withColumn(
             "_salt", F.pmod(F.xxhash64(*VERSION_ORDER), F.lit(salt)))
-        stage1 = (salted.groupBy(*key_cols, "_salt")
-                  .agg(F.max_by(pay, ver).alias("_w")))
+        aggs1 = [F.max_by(pay, ver).alias("_w")]
+        if with_stats:
+            aggs1 += [F.count(F.lit(1)).alias("_n_events"),
+                      F.max("_event_seq").alias("_max_seq")]
+        stage1 = salted.groupBy(*key_cols, "_salt").agg(*aggs1)
         ver1 = F.struct(F.col("_w._op_ts"), F.col("_w._event_seq"))
-        won = (stage1.groupBy(*key_cols)
-               .agg(F.max_by(F.col("_w"), ver1).alias("_w")))
-    return won.select(*key_cols, "_w.*")
+        aggs2 = [F.max_by(F.col("_w"), ver1).alias("_w")]
+        if with_stats:
+            aggs2 += [F.sum("_n_events").alias("_n_events"),
+                      F.max("_max_seq").alias("_max_seq")]
+        won = stage1.groupBy(*key_cols).agg(*aggs2)
+    extra = ["_n_events", "_max_seq"] if with_stats else []
+    return won.select(*key_cols, "_w.*", *extra)
+
+
+def lww_reduce_in_partition(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-partition LWW reduce via an Arrow-batched incremental fold.
+
+    Requires every row of a key to live in one partition (e.g. after
+    ``repartition(n, "_bucket")`` where ``_bucket`` is a pure function of the
+    key). This replaces the second full-table shuffle of the merge path: the
+    union of target-state and epoch winners is shuffled ONCE by storage
+    bucket and reduced in place, so the MERGE is a single-shuffle job.
+
+    The fold is associative: each Arrow batch is concatenated with the
+    winners-so-far and re-reduced, bounding memory at O(distinct keys in
+    partition) instead of O(partition).
+    """
+    cols = df.columns
+    schema = df.schema
+
+    def reduce_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            both = both.sort_values(["_op_ts", "_event_seq"], kind="stable")
+            acc = both.groupby(key_cols, as_index=False, sort=False).tail(1)
+        if acc is not None:
+            yield acc[cols]
+
+    return df.mapInPandas(reduce_partition, schema=schema)

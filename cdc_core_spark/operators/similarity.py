@@ -98,6 +98,45 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
     return cosine_topk(cand, id_col, vec_col, query, k)
 
 
+def cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
+                       threshold: float) -> DataFrame:
+    """Exact all-pairs cosine similarity ≥ threshold (id_a < id_b).
+
+    One side of the n×n comparison is collected to a broadcast numpy matrix;
+    each Arrow batch of the other side does a single GEMM against it. Exact
+    by construction — this is the correctness baseline that
+    ``dedup.embedding_near_dupes`` (hyperplane-LSH bucketed) approximates;
+    at 10^9-vector scale use the LSH variant and rerank, the broadcast side
+    here is bounded by driver/executor memory.
+    """
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((ids, m))
+    thr = float(threshold)
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, mat = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+            sims = a @ mat.T
+            a_ids = pdf[id_col].to_numpy().astype(np.int64)
+            keep = (sims >= thr) & (a_ids[:, None] < all_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": all_ids[bj],
+                                "cosine": sims[ai, bj]})
+
+    return (df.select(id_col, vec_col)
+            .mapInPandas(pairs, schema="id_a long, id_b long, cosine double"))
+
+
 def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
              k: int = 10, n_planes: int = 12, dim: int | None = None,
              seed: int = 42, max_hamming: int = 2) -> DataFrame:

@@ -71,6 +71,9 @@ SCALES = {
     "t1": Scale("t1", n_paths=2_000, n_events=20_000, repeat=(4, 8)),
     "t2": Scale("t2", n_paths=50_000, n_events=500_000, repeat=(2, 4)),
     "bench": Scale("bench", n_paths=500_000, n_events=5_000_000, repeat=(1, 2)),
+    # scaling-efficiency fixture: big enough that executor CPU dominates
+    # per-job driver overhead (the N-vs-4N measurement, BASELINE.md)
+    "scale": Scale("scale", n_paths=2_000_000, n_events=20_000_000, repeat=(4, 8)),
 }
 
 
@@ -336,14 +339,19 @@ def write_fixture(out_dir: str, scale: str = "t1") -> Fixture:
     (hive-partitioned by checkpoint_epoch for partition pruning) + registry/."""
     fx = generate(scale)
     os.makedirs(out_dir, exist_ok=True)
-    fx.source_repos.to_parquet(os.path.join(out_dir, "source_repos.parquet"), index=False)
+    # row_group_size bounds scan granularity: Spark splits parquet only at
+    # row-group boundaries, so a single-group file would serialize every scan
+    # onto one task regardless of cluster size.
+    rg = 65536
+    fx.source_repos.to_parquet(os.path.join(out_dir, "source_repos.parquet"),
+                               index=False, row_group_size=rg)
     ev_dir = os.path.join(out_dir, "change_events")
     os.makedirs(ev_dir, exist_ok=True)
     for ep, part in fx.change_events.groupby("checkpoint_epoch"):
         pdir = os.path.join(ev_dir, f"checkpoint_epoch={ep}")
         os.makedirs(pdir, exist_ok=True)
         part.drop(columns=["checkpoint_epoch"]).to_parquet(
-            os.path.join(pdir, "part-0.parquet"), index=False
+            os.path.join(pdir, "part-0.parquet"), index=False, row_group_size=rg
         )
     reg_dir = os.path.join(out_dir, "registry", "source_repos")
     os.makedirs(reg_dir, exist_ok=True)

@@ -1,0 +1,95 @@
+"""Orchestrate the N-vs-4N scaling measurement (north rule: same input at two
+parallelism levels via spark-submit --py-files; report throughput at both and
+scaling efficiency = tput(4N) / (4 * tput(N))).
+
+    python scripts/run_scaling.py [scale] [N] [4N]     # default: bench 8 32
+
+Writes BENCH_SCALING.json at the repo root and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CACHE = "/tmp/cdc_bench_cache"
+
+
+def ensure_fixture(scale: str) -> str:
+    import shutil
+
+    from cdc_core_spark import synth
+    d = os.path.join(CACHE, scale)
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        synth.write_fixture(d, scale)
+        open(marker, "w").write("ok")
+    return d
+
+
+def run_at(cores: int, fixture: str, pyz: str) -> dict:
+    state = f"/tmp/cdc_scaling_run_{cores}"
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", "48g",
+        # shuffle parallelism is sized to the DATA (8m-ish partitions), held
+        # constant across cluster sizes — exactly like the fixed bucket count
+        # of the target table. Scaling N→4N must not change the logical work.
+        "--conf", "spark.sql.shuffle.partitions=64",
+        # epoch files are tens of MB; default 128m would put a whole epoch
+        # scan on one task. 8m ≈ one row group per split at bench scale.
+        "--conf", "spark.sql.files.maxPartitionBytes=8m",
+        "--conf", "spark.sql.files.openCostInBytes=1m",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", pyz,
+        os.path.join(REPO, "scripts", "scaling_driver.py"), fixture, state,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
+    raise RuntimeError(f"no RESULT line from local[{cores}] run")
+
+
+def main() -> None:
+    scale = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    fixture = ensure_fixture(scale)
+    pyz = "/tmp/cdc_core_spark_pkg.zip"
+    if os.path.exists(pyz):
+        os.remove(pyz)
+    subprocess.run(["zip", "-qr", pyz, "cdc_core_spark"], cwd=REPO, check=True)
+
+    lo = run_at(n_lo, fixture, pyz)
+    hi = run_at(n_hi, fixture, pyz)
+    assert lo["state_crc"] == hi["state_crc"], "parallelism changed the result!"
+    assert lo["final_rows"] == hi["final_rows"]
+
+    ratio = hi["events_per_sec"] / lo["events_per_sec"]
+    eff = ratio / (n_hi / n_lo)
+    out = {"scale": scale, "fixture_dir": fixture,
+           "runs": {f"local[{n_lo}]": lo, f"local[{n_hi}]": hi},
+           "speedup": round(ratio, 3),
+           "scaling_efficiency": round(eff, 3),
+           "result_invariant_under_parallelism": True}
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

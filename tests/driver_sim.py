@@ -1,0 +1,103 @@
+"""Simulate the driver's correctness gate: run each __spark_entry__.queries()
+entry AND its oracle_sql() on sf0.01, compare row-count, schema, value-hash
+after sorting columns by name and rows by all columns.
+
+Usage: python tests/driver_sim.py [sf_dir] [query ...]
+Not collected by pytest (no test_ prefix functions).
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> tuple[str, list[str], int]:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.6g}"
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            seq = v.tolist() if hasattr(v, "tolist") else v
+            return "[" + ",".join(cell(x) for x in seq) + "]"
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        return str(v)
+
+    rows = sorted(
+        ["|".join(cell(v) for v in rec) for rec in df.itertuples(index=False, name=None)]
+    )
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return h, sorted(df.columns), len(df)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from cdc_core_spark.session import get_spark
+
+    spark = get_spark(app_name="driver_sim", cores=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qmap = entry.queries()
+    omap = entry.oracle_sql()
+    n_fail = 0
+    for name, fn in qmap.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in omap:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(omap[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sh, scols, sn = canon(sdf)
+        oh, ocols, on = canon(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}: schema {scols} vs {ocols}")
+            n_fail += 1
+        elif sn != on:
+            print(f"FAIL  {name}: rows {sn} vs {on}")
+            n_fail += 1
+        elif sh != oh:
+            print(f"FAIL  {name}: value hash {sh} vs {oh} ({sn} rows)")
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {sn} rows hash={sh}")
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
