@@ -134,6 +134,47 @@ def q_cdc_running_window(spark, sf_dir):
                      F.row_number().over(w).alias("seq_in_key"))
 
 
+def q_tumbling_window(spark, sf_dir):
+    """Event-time tumbling window (1 day) per op type — the batch equivalent
+    of the streaming windowed aggregation (Structured Streaming runs the same
+    plan incrementally with a watermark; see cdc_core_spark/streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("win_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def q_session_window(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user: lag → new-session
+    flag → running sum = session id → per-session rollup. The per-key ordered
+    window is the sharded-executor sequential-apply view (SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ→TZ→long (UTC session)
+    gap = secs - F.lag(secs).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("sess_start"), F.max("ts").alias("sess_end"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sess_value")))
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON property shred (SchemaHelper JSON-inference / PropertyBag
+    wildcard-capture analog): typed extraction from the props JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                 F.round(F.avg("k"), 4).alias("avg_k")))
+
+
 # ---------------------------------------------------------------------------
 # relational operators (scan/filter/join/agg/sort/limit/setop/rollup)
 # ---------------------------------------------------------------------------
@@ -351,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_tx_metrics": q_cdc_tx_metrics,
         "cdc_running_window": q_cdc_running_window,
+        "tumbling_window": q_tumbling_window,
+        "session_window": q_session_window,
+        "json_extract": q_json_extract,
         # relational
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -432,6 +476,36 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS UNBOUNDED PRECEDING), 2) AS running_value,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_key
             FROM events
+        """,
+        "tumbling_window": """
+            SELECT date_trunc('day', ts) AS win_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, min(ts) AS sess_start,
+                   max(ts) AS sess_end, count(*) AS n_events,
+                   round(sum(value), 2) AS sess_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n,
+                   min(CAST(props->>'$.k' AS INT)) AS min_k,
+                   max(CAST(props->>'$.k' AS INT)) AS max_k,
+                   round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k
+            FROM events GROUP BY event_type
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

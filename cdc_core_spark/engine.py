@@ -222,8 +222,17 @@ class CdcEngine:
                 .drop("_deleted")
                 .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
         union = base.unionByName(winners.drop("_n_events", "_max_seq"))
-        merged = lww_reduce_in_partition(
-            union.repartition(max(len(touched), 1), "_bucket"), key_cols)
+        if os.environ.get("CDC_MERGE_STRATEGY", "arrow") == "jvm":
+            # two-shuffle JVM path: by-key max_by agg, then by-bucket repartition
+            merged = lww_reduce(union, key_cols, payload_cols + ["op"])
+            merged = merged.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
+            pre_part = False
+        else:
+            # single-shuffle path: shuffle by storage bucket, Arrow-batched
+            # in-partition fold (bucket is a pure function of the key)
+            merged = lww_reduce_in_partition(
+                union.repartition(max(len(touched), 1), "_bucket"), key_cols)
+            pre_part = True
         merged = merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
 
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -240,7 +249,7 @@ class CdcEngine:
                 "wall_ms": wall_ms,
             })
         self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests,
-                                pre_partitioned=True)
+                                pre_partitioned=pre_part)
         winners.unpersist()
         return manifests
 

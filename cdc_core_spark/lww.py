@@ -6,13 +6,16 @@ The reference serializes all events of a key through a single-threaded shard
 Order-insensitively, that is: *per key, keep the event with the maximum
 version tuple ``(op_ts, event_seq)``*.
 
-Spark-first realization: an **algebraic ``max_by`` hash aggregation**, not a
-``row_number`` window. Rationale at 10^10-event scale:
+Spark-first realization: an **algebraic ``max_by`` aggregation**, not a
+``row_number`` window. (Physically Spark plans ``max_by`` over a struct as a
+SortAggregate — struct buffers aren't hash-aggregable — but crucially still
+in partial+final mode.) Rationale at 10^10-event scale:
 
-* hash aggregation gets a map-side partial combine (each task reduces its
+* partial aggregation gives a map-side combine (each task reduces its
   slice of a hot key to one row before the shuffle), so a hot repo with 30%
   of all events ships ~one row per upstream task instead of 3·10^9 rows to a
-  single reducer — the window variant would sort the entire hot partition;
+  single reducer — the window variant would shuffle-sort the entire hot
+  partition with no pre-shuffle reduction;
 * ``max_by`` over the version struct is associative/commutative, so an
   explicit **salted two-stage** variant (stage 1 per (key, salt), stage 2 per
   key) is available as a belt-and-braces skew defense and provably returns

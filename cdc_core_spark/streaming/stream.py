@@ -18,7 +18,8 @@ BaseChronicleConsumer duality collapses into the source option).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdc_core_spark.engine import CdcEngine
 
@@ -55,3 +56,86 @@ def stream_ingest(engine: CdcEngine, events_path: str, checkpoint_dir: str,
     query = q.start()
     if available_now:
         query.awaitTermination()
+
+
+def keyed_read_state_stream(spark: SparkSession, events_path: str,
+                            checkpoint_dir: str, sink_table: str) -> None:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key read lineage (processed tx watermark + event count), the
+    EntityReadState analog (entity/.../model/EntityReadState.java:32-56 —
+    ``{processedTxId, eventCount, eventErrorCount}`` per entity).
+
+    State is a single (max_seq, n_events, n_errors) tuple per (repo, path);
+    each microbatch folds its Arrow batches into the state and emits the
+    updated row — downstream consumers always see the latest lineage per key.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_ddl = ("repo string, path string, processed_seq bigint, "
+               "n_events bigint, n_errors bigint")
+    state_ddl = "processed_seq bigint, n_events bigint, n_errors bigint"
+
+    def track(key, pdfs, state: GroupState):
+        seq, n, err = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            seq = max(seq, int(pdf["event_seq"].max()))
+            ok = pdf["op"].isin([3, 4, 5])
+            n += int(ok.sum())
+            err += int((~ok).sum())
+        state.update((seq, n, err))
+        import pandas as pd
+        yield pd.DataFrame({"repo": [key[0]], "path": [key[1]],
+                            "processed_seq": [seq], "n_events": [n],
+                            "n_errors": [err]})
+
+    stream = (spark.readStream
+              .schema(EVENT_DDL)
+              .option("basePath", events_path)
+              .parquet(events_path + "/*")
+              .filter(F.col("repo").isNotNull() & F.col("path").isNotNull()))
+    query = (stream.groupBy("repo", "path")
+             .applyInPandasWithState(track, out_ddl, state_ddl, "update",
+                                     GroupStateTimeout.NoTimeout)
+             .writeStream.outputMode("update")
+             .format("memory").queryName(sink_table)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+
+
+def windowed_op_counts_stream(spark: SparkSession, events_path: str,
+                              checkpoint_dir: str, sink_table: str,
+                              window: str = "1 hour",
+                              watermark: str = "2 hours") -> None:
+    """Event-time tumbling-window op counters over the change stream with a
+    watermark bounding late-data state (the streaming form of the
+    EventProcessorMetrics counters; late events beyond the watermark are
+    dropped from the window state — replay correctness does NOT depend on
+    this path, the LWW merge is order-insensitive, SURVEY §2.6).
+
+    Drains the backlog with availableNow and leaves results in the in-memory
+    ``sink_table``; with a real deployment the sink becomes a metrics store
+    and the trigger a continuous interval.
+    """
+    stream = (spark.readStream
+              .schema(EVENT_DDL)
+              .option("basePath", events_path)
+              .parquet(events_path + "/*"))
+    agg = (stream
+           .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
+           .withWatermark("event_time", watermark)
+           .groupBy(F.window("event_time", window).alias("w"), "op")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.max("event_seq").alias("max_event_seq"))
+           .select(F.col("w.start").alias("win_start"), "op",
+                   "n_events", "max_event_seq"))
+    query = (agg.writeStream
+             .outputMode("append")
+             .format("memory").queryName(sink_table)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()

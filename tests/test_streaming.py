@@ -6,8 +6,11 @@ from __future__ import annotations
 import glob
 import os
 
+from pyspark.sql import functions as F
+
 from cdc_core_spark.engine import CdcEngine
-from cdc_core_spark.streaming.stream import stream_ingest
+from cdc_core_spark.streaming.stream import (
+    keyed_read_state_stream, stream_ingest, windowed_op_counts_stream)
 
 from tests.conftest import assert_final_equal
 
@@ -20,6 +23,57 @@ def test_stream_ingest_converges(spark, t1, registry, tmp_path):
                   max_files_per_trigger=1, available_now=True)
     got = eng.read_final_with_sha().toPandas()
     assert_final_equal(got, t1["expected"])
+
+
+def test_windowed_op_counts_with_watermark(spark, t1, tmp_path):
+    """Watermarked tumbling-window streaming agg: every window the stream
+    emits (append mode = closed windows only) must equal the batch
+    computation of the same window; the open tail past the watermark is
+    legitimately withheld."""
+    events_path = f'{t1["dir"]}/change_events'
+    windowed_op_counts_stream(spark, events_path, str(tmp_path / "ckpt"),
+                              sink_table="win_counts",
+                              window="1 hour", watermark="2 hours")
+    emitted = spark.table("win_counts").toPandas()
+    assert len(emitted) > 0, "no closed windows emitted"
+
+    batch = (spark.read.parquet(events_path)
+             .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
+             .groupBy(F.window("event_time", "1 hour").alias("w"), "op")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.max("event_seq").alias("max_event_seq"))
+             .select(F.col("w.start").alias("win_start"), "op",
+                     "n_events", "max_event_seq")).toPandas()
+    key = ["win_start", "op"]
+    merged = emitted.merge(batch, on=key, suffixes=("_s", "_b"), how="left")
+    assert merged["n_events_b"].notna().all(), "stream emitted unknown window"
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["max_event_seq_s"] == merged["max_event_seq_b"]).all()
+
+
+def test_keyed_read_state_stream(spark, t1, tmp_path):
+    """applyInPandasWithState per-key lineage: after draining the backlog,
+    the latest emitted state per key equals the batch per-key aggregate."""
+    events_path = f'{t1["dir"]}/change_events'
+    keyed_read_state_stream(spark, events_path, str(tmp_path / "ckpt"),
+                            sink_table="read_state")
+    emitted = spark.table("read_state").toPandas()
+    assert len(emitted) > 0
+    # update-mode memory sink appends every emission; latest = max processed_seq
+    latest = (emitted.sort_values(["processed_seq", "n_events"])
+              .groupby(["repo", "path"], as_index=False).tail(1))
+
+    batch = (spark.read.parquet(events_path)
+             .filter(F.col("repo").isNotNull() & F.col("path").isNotNull())
+             .groupBy("repo", "path")
+             .agg(F.max("event_seq").alias("processed_seq"),
+                  F.sum(F.col("op").isin(3, 4, 5).cast("long")).alias("n_events"),
+                  F.sum((~F.col("op").isin(3, 4, 5)).cast("long")).alias("n_errors"))
+             ).toPandas()
+    m = latest.merge(batch, on=["repo", "path"], suffixes=("_s", "_b"))
+    assert len(m) == len(batch) == len(latest)
+    for c in ("processed_seq", "n_events", "n_errors"):
+        assert (m[f"{c}_s"] == m[f"{c}_b"]).all(), c
 
 
 def test_stream_restart_is_exactly_once(spark, t1, registry, tmp_path):
