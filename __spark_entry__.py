@@ -478,7 +478,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "tumbling_window": """
-            SELECT date_trunc('day', ts) AS win_start, event_type,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,

@@ -60,13 +60,15 @@ def valid_event_pred():
 class CdcEngine:
     def __init__(self, spark: SparkSession, root: str, registry: SchemaRegistry,
                  entity: str = "source_repos", n_buckets: int = 16,
-                 salt: int | None = None):
+                 salt: int | None = None, merge_mode: str | None = None):
         self.spark = spark
         self.root = root
         self.registry = registry
         self.entity = entity
         self.n_buckets = n_buckets
         self.salt = salt
+        # "mor" (merge-on-read deltas, default) | "cow-jvm" | "cow-arrow"
+        self.merge_mode = merge_mode or os.environ.get("CDC_MERGE_STRATEGY", "mor")
         self.table = SnapshotTable(os.path.join(root, "target"))
         self.errors_dir = os.path.join(root, "errors")
 
@@ -208,38 +210,50 @@ class CdcEngine:
         read_stats = {r["_bucket"]: r for r in stat_rows}
         touched = sorted(read_stats)
 
-        # Job 2 — bucket-pruned copy-on-write merge: target rows (incl. delete
-        # tombstones) are just "events" carrying their stored version; the
-        # LWW union decides survivors. DELETE winners become tombstone rows —
+        manifests = self._manifest_rows(epoch, read_stats, err_stats, t0)
+
+        # Job 2 — apply the winners. DELETE winners become tombstone rows —
         # they must keep out-versioning late duplicate redeliveries of older
         # events in future epochs (exactly-once under at-least-once delivery).
-        # ONE shuffle: the union is repartitioned by storage bucket (a pure
-        # function of the key) and reduced in-partition (Arrow-batched fold),
-        # instead of a by-key shuffle followed by a by-bucket repartition.
-        base = (self.table.read(self.spark, buckets=touched, with_internal_cols=True)
-                .withColumn("op", F.when(F.col("_deleted"), F.lit(OP_DELETE))
-                                   .otherwise(F.lit(OP_UPDATE)))
-                .drop("_deleted")
-                .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
-        union = base.unionByName(winners.drop("_n_events", "_max_seq"))
-        if os.environ.get("CDC_MERGE_STRATEGY", "arrow") == "jvm":
-            # two-shuffle JVM path: by-key max_by agg, then by-bucket repartition
-            merged = lww_reduce(union, key_cols, payload_cols + ["op"])
-            merged = merged.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
-            pre_part = False
+        mode = self.merge_mode
+        if mode == "mor":
+            # merge-on-read (default, the 10^10-event shape): append the
+            # winner set as bucket-tagged DELTA files — O(epoch) write, no
+            # table rewrite. Reads LWW-fold base+deltas; compact() re-bases.
+            delta = (winners.drop("_n_events", "_max_seq")
+                     .withColumn("_deleted", F.col("op") == OP_DELETE).drop("op"))
+            self.table.commit_delta(delta, epoch=epoch, manifests=manifests)
         else:
-            # single-shuffle path: shuffle by storage bucket, Arrow-batched
-            # in-partition fold (bucket is a pure function of the key)
-            merged = lww_reduce_in_partition(
-                union.repartition(max(len(touched), 1), "_bucket"), key_cols)
-            pre_part = True
-        merged = merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
+            # copy-on-write: rewrite touched buckets as merged base files.
+            base = (self.table.read(self.spark, buckets=touched, with_internal_cols=True)
+                    .withColumn("op", F.when(F.col("_deleted"), F.lit(OP_DELETE))
+                                       .otherwise(F.lit(OP_UPDATE)))
+                    .drop("_deleted")
+                    .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
+            union = base.unionByName(winners.drop("_n_events", "_max_seq"))
+            if mode == "cow-arrow":
+                # single-shuffle: shuffle by storage bucket (pure function of
+                # the key), Arrow-batched in-partition fold
+                merged = lww_reduce_in_partition(
+                    union.repartition(max(len(touched), 1), "_bucket"), key_cols)
+                pre_part = True
+            else:  # cow-jvm
+                merged = lww_reduce(union, key_cols, payload_cols + ["op"])
+                merged = merged.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
+                pre_part = False
+            merged = merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
+            self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests,
+                                    pre_partitioned=pre_part)
+        winners.unpersist()
+        return manifests
 
+    def _manifest_rows(self, epoch: int, read_stats: dict, err_stats: dict,
+                       t0: float) -> list[dict]:
         wall_ms = int((time.monotonic() - t0) * 1000)
-        manifests = []
-        for b in sorted(set(touched) | set(err_stats)):
+        rows = []
+        for b in sorted(set(read_stats) | set(err_stats)):
             rs = read_stats.get(b)
-            manifests.append({
+            rows.append({
                 "checkpoint_epoch": epoch, "partition_id": b,
                 "events_read": int(rs["events_read"]) if rs else 0,
                 "events_applied": int(rs["events_applied"]) if rs else 0,
@@ -248,10 +262,7 @@ class CdcEngine:
                 "max_event_seq": int(rs["max_event_seq"]) if rs and rs["max_event_seq"] is not None else -1,
                 "wall_ms": wall_ms,
             })
-        self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests,
-                                pre_partitioned=pre_part)
-        winners.unpersist()
-        return manifests
+        return rows
 
     def _quarantine(self, bad: DataFrame, epoch: int) -> None:
         """DLQ: original event + reason, per-epoch overwrite (idempotent rerun).

@@ -134,6 +134,14 @@ class SnapshotTable:
         Files are grouped by their write-time schema_id and each group is
         normalized (alias/rename, missing → null, cast-widen) before a
         unionByName — this is how rename + int→long widen stay metadata-only.
+
+        **Merge-on-read**: when the selection contains delta files (per-epoch
+        winner sets committed without rewriting the base — the Iceberg-v2
+        delete-file analog), the union is LWW-folded per key so the latest
+        version wins; ``compact()`` materializes the fold back into base
+        files. With base files only, the fold is skipped — reads of a
+        compacted table stay a plain scan.
+
         ``with_internal_cols`` additionally exposes the version tuple and the
         tombstone flag; without it, tombstone rows are filtered out (the
         user-visible table has no deleted keys).
@@ -152,14 +160,20 @@ class SnapshotTable:
             return spark.createDataFrame([], schema=ddl)
         parts = []
         by_schema: dict[str, list[str]] = {}
+        has_delta = False
         for f in files:
             by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
+            has_delta = has_delta or f.get("kind", "base") == "delta"
         for sid, paths in by_schema.items():
             df = spark.read.parquet(*paths)
             parts.append(_normalize(df, snap.fields, snap.aliases))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if has_delta:
+            from cdc_core_spark.lww import lww_reduce
+            payload = [c for c in snap.field_names() if c not in snap.key_cols]
+            out = lww_reduce(out, snap.key_cols, payload + ["_deleted"])
         if not with_internal_cols:
             out = out.filter(~F.col("_deleted"))
         return out.select(*out_cols)
@@ -204,6 +218,45 @@ class SnapshotTable:
                         schemas=schemas, files=carried + new_files,
                         manifests=manifests, parent=prev.version,
                         props=props if props is not None else prev.props)
+        try:
+            self._publish(snap)
+        except FileExistsError:
+            shutil.rmtree(stage_abs, ignore_errors=True)
+            raise
+        return snap
+
+    def commit_delta(self, df: DataFrame, epoch: int | None,
+                     manifests: list[dict],
+                     pre_partitioned: bool = False) -> Snapshot:
+        """Merge-on-read commit: stage ``df`` (per-key LWW winners carrying
+        ``_bucket`` + internal cols) as DELTA files and keep every existing
+        file — per-epoch write cost is O(epoch winners), not O(table). The
+        read path LWW-folds base+deltas; ``compact()`` re-bases. This is the
+        scale-correct CDC sink shape (the reference applies per-row upserts
+        to a mutable store — MergeOnRead mirrors that without rewriting the
+        table per batch; CopyOnWrite via ``commit_merge`` remains for
+        compaction and maintenance)."""
+        prev = self.latest()
+        sid = _sid_for(prev, prev.fields)
+        schemas = dict(prev.schemas)
+        if sid not in schemas:
+            schemas[sid] = prev.fields
+        commit_id = uuid.uuid4().hex[:12]
+        stage_rel = os.path.join("data", f"delta-{commit_id}")
+        stage_abs = os.path.join(self.root, stage_rel)
+        staged = df if pre_partitioned else df.repartition(
+            max(prev.n_buckets // 2, 1), "_bucket")
+        staged.write.partitionBy("_bucket").mode("overwrite").parquet(stage_abs)
+        new_files: list[dict] = []
+        for bdir in glob.glob(os.path.join(stage_abs, "_bucket=*")):
+            b = int(os.path.basename(bdir).split("=")[1])
+            for p in glob.glob(os.path.join(bdir, "*.parquet")):
+                new_files.append({"path": os.path.relpath(p, self.root),
+                                  "bucket": b, "schema_id": sid, "kind": "delta"})
+        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
+                        key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
+                        schemas=schemas, files=prev.files + new_files,
+                        manifests=manifests, parent=prev.version, props=prev.props)
         try:
             self._publish(snap)
         except FileExistsError:

@@ -1,0 +1,41 @@
+"""Memory-bandwidth saturation probe — context for the N-vs-4N scaling number.
+
+A CDC replay is string-shuffle heavy, i.e. memory-bound, so its core-count
+scaling is capped by the box's memory bandwidth, not by the engine. This
+probe measures effective copy bandwidth at increasing process counts; the
+point where GB/s stops growing is the hardware ceiling past which NO
+memory-bound job can scale, regardless of implementation.
+
+    python scripts/bandwidth_probe.py          # prints GB/s at 1/2/4/8/16/32
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import time
+
+import numpy as np
+
+
+def _copy(_) -> float:
+    a = np.zeros(200_000_000 // 8)  # 200 MB working set per process
+    b = a
+    for _ in range(10):
+        b = a.copy()
+    return float(b[0])
+
+
+def main() -> None:
+    for n in (1, 2, 4, 8, 16, 32):
+        with mp.Pool(n) as p:
+            p.map(_copy, range(n))  # warm
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_copy, range(n))
+        dt = time.time() - t0
+        gb = n * 10 * 0.2 * 2  # 10 copies × 200MB × (read+write)
+        print(f"procs={n:>2}: {gb / dt:6.1f} GB/s effective")
+
+
+if __name__ == "__main__":
+    main()
