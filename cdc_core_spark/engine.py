@@ -193,13 +193,18 @@ class CdcEngine:
 
         ev = self._normalize_events(valid, sdef)
 
-        # Job 1 — LWW winners, persisted. The same hash aggregation also
-        # carries per-key lineage (_n_events, _max_seq), so ONE collect yields
-        # every manifest stat: events_read, events_applied, and the
-        # (max_op_ts, max_event_seq) watermark. No separate stats scan.
+        # LWW winners. The same aggregation carries per-key lineage
+        # (_n_events, _max_seq), so every manifest stat — events_read,
+        # events_applied, (max_op_ts, max_event_seq) watermark — comes from
+        # the winner rows with no separate stats scan.
         winners = lww_reduce(ev, key_cols, payload_cols + ["op"], salt=self.salt,
                              with_stats=True)
         winners = winners.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
+
+        # Job 1 — materialize winners (persisted); ONE collect on the cache
+        # yields every per-bucket manifest stat. (An observe/CollectMetrics
+        # fusion into the write job was measured SLOWER — n_buckets×4
+        # conditional aggregates per row cost more than one cached job.)
         winners.persist()
         stat_rows = (winners.groupBy("_bucket")
                      .agg(F.count(F.lit(1)).alias("events_applied"),
@@ -209,41 +214,42 @@ class CdcEngine:
                      .collect())
         read_stats = {r["_bucket"]: r for r in stat_rows}
         touched = sorted(read_stats)
-
         manifests = self._manifest_rows(epoch, read_stats, err_stats, t0)
 
-        # Job 2 — apply the winners. DELETE winners become tombstone rows —
-        # they must keep out-versioning late duplicate redeliveries of older
-        # events in future epochs (exactly-once under at-least-once delivery).
         mode = self.merge_mode
         if mode == "mor":
-            # merge-on-read (default, the 10^10-event shape): append the
-            # winner set as bucket-tagged DELTA files — O(epoch) write, no
-            # table rewrite. Reads LWW-fold base+deltas; compact() re-bases.
+            # Job 2 (merge-on-read, default — the 10^10-event shape): append
+            # the winner set as bucket-tagged DELTA files — O(epoch) write,
+            # no table rewrite. Reads LWW-fold base+deltas; compact()
+            # re-bases. DELETE winners become tombstone rows — they must keep
+            # out-versioning late duplicate redeliveries of older events in
+            # future epochs (exactly-once under at-least-once delivery).
             delta = (winners.drop("_n_events", "_max_seq")
                      .withColumn("_deleted", F.col("op") == OP_DELETE).drop("op"))
             self.table.commit_delta(delta, epoch=epoch, manifests=manifests)
-        else:
-            # copy-on-write: rewrite touched buckets as merged base files.
-            base = (self.table.read(self.spark, buckets=touched, with_internal_cols=True)
-                    .withColumn("op", F.when(F.col("_deleted"), F.lit(OP_DELETE))
-                                       .otherwise(F.lit(OP_UPDATE)))
-                    .drop("_deleted")
-                    .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
-            union = base.unionByName(winners.drop("_n_events", "_max_seq"))
-            if mode == "cow-arrow":
-                # single-shuffle: shuffle by storage bucket (pure function of
-                # the key), Arrow-batched in-partition fold
-                merged = lww_reduce_in_partition(
-                    union.repartition(max(len(touched), 1), "_bucket"), key_cols)
-                pre_part = True
-            else:  # cow-jvm
-                merged = lww_reduce(union, key_cols, payload_cols + ["op"])
-                merged = merged.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
-                pre_part = False
-            merged = merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
-            self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests,
-                                    pre_partitioned=pre_part)
+            winners.unpersist()
+            return manifests
+
+        # Job 2 (copy-on-write): rewrite touched buckets as merged base files.
+        base = (self.table.read(self.spark, buckets=touched, with_internal_cols=True)
+                .withColumn("op", F.when(F.col("_deleted"), F.lit(OP_DELETE))
+                                   .otherwise(F.lit(OP_UPDATE)))
+                .drop("_deleted")
+                .withColumn("_bucket", bucket_expr(key_cols, self.n_buckets)))
+        union = base.unionByName(winners.drop("_n_events", "_max_seq"))
+        if mode == "cow-arrow":
+            # single-shuffle: shuffle by storage bucket (pure function of
+            # the key), Arrow-batched in-partition fold
+            merged = lww_reduce_in_partition(
+                union.repartition(max(len(touched), 1), "_bucket"), key_cols)
+            pre_part = True
+        else:  # cow-jvm
+            merged = lww_reduce(union, key_cols, payload_cols + ["op"])
+            merged = merged.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
+            pre_part = False
+        merged = merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
+        self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests,
+                                pre_partitioned=pre_part)
         winners.unpersist()
         return manifests
 

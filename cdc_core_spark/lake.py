@@ -226,7 +226,7 @@ class SnapshotTable:
         return snap
 
     def commit_delta(self, df: DataFrame, epoch: int | None,
-                     manifests: list[dict],
+                     manifests,
                      pre_partitioned: bool = False) -> Snapshot:
         """Merge-on-read commit: stage ``df`` (per-key LWW winners carrying
         ``_bucket`` + internal cols) as DELTA files and keep every existing
@@ -235,7 +235,12 @@ class SnapshotTable:
         scale-correct CDC sink shape (the reference applies per-row upserts
         to a mutable store — MergeOnRead mirrors that without rewriting the
         table per batch; CopyOnWrite via ``commit_merge`` remains for
-        compaction and maintenance)."""
+        compaction and maintenance).
+
+        ``manifests`` may be a list, or a zero-arg callable evaluated after
+        the stage write and before the snapshot publish — this lets the
+        caller derive manifest stats from ``df.observe`` metrics of the very
+        same job, so an epoch costs exactly ONE Spark job."""
         prev = self.latest()
         sid = _sid_for(prev, prev.fields)
         schemas = dict(prev.schemas)
@@ -253,10 +258,11 @@ class SnapshotTable:
             for p in glob.glob(os.path.join(bdir, "*.parquet")):
                 new_files.append({"path": os.path.relpath(p, self.root),
                                   "bucket": b, "schema_id": sid, "kind": "delta"})
+        manifest_rows = manifests() if callable(manifests) else manifests
         snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
                         key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
                         schemas=schemas, files=prev.files + new_files,
-                        manifests=manifests, parent=prev.version, props=prev.props)
+                        manifests=manifest_rows, parent=prev.version, props=prev.props)
         try:
             self._publish(snap)
         except FileExistsError:
