@@ -285,9 +285,16 @@ class CdcEngine:
 
     # ------------------------------------------------------------------ replay
     def replay(self, events_path: str, source_df: DataFrame | None = None,
-               schema_version: str = "1.0", epochs: list[int] | None = None) -> None:
+               schema_version: str = "1.0", epochs: list[int] | None = None,
+               compact_every: int | None = None) -> None:
         """Resume-from-checkpoint replay loop. Skips epochs whose manifests are
-        already committed (the ReceiverOffset committed-split analog)."""
+        already committed (the ReceiverOffset committed-split analog).
+
+        ``compact_every`` re-bases the merge-on-read deltas every N applied
+        epochs (and read cost stays bounded by base + ≤N delta layers — at
+        10^10-event scale this is the knob that trades write amplification
+        against read fold depth). Compaction is itself a plain snapshot
+        commit, so a crash mid-compaction is invisible to correctness."""
         if not self.table.exists():
             if source_df is None:
                 raise ValueError("table missing and no initial source_df given")
@@ -338,10 +345,12 @@ class CdcEngine:
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("checkpoint_epoch").parquet(self.errors_dir))
 
-        for e in todo:
+        for i, e in enumerate(todo, start=1):
             batch = events.filter(F.col("checkpoint_epoch") == e)
             self.apply_epoch(batch, e, err_stats=err_by_epoch[e],
                              schema_rows=schema_by_epoch[e])
+            if compact_every and i % compact_every == 0:
+                self.compact()
 
     # ------------------------------------------------------------- maintenance
     def expire_tombstones(self, watermark_op_ts: int) -> None:

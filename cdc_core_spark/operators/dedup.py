@@ -148,8 +148,11 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     """
     assert num_perm % bands == 0
     r = num_perm // bands
+    # cache: the signature pipeline feeds the band explode AND both sides of
+    # the candidate join — uncached it would be recomputed 3× (the dominant
+    # cost; signatures are num_perm longs per doc, tiny to hold)
     sigs = df.select(F.col(id_col).alias("doc"),
-                     minhash_signature(text_col, num_perm, shingle_n).alias("sig"))
+                     minhash_signature(text_col, num_perm, shingle_n).alias("sig")).cache()
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bkey"))

@@ -36,6 +36,19 @@ def test_expire_and_compact_preserve_state(spark, t1, registry, tmp_path):
     assert len(snap.files) <= max(n_files_before, 8)
 
 
+def test_compact_every_bounds_delta_depth(spark, t1, registry, tmp_path):
+    """replay(compact_every=3) re-bases mid-run: final state identical, and
+    at most the last (epochs % 3) epochs' delta layers remain un-based."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, compact_every=3)
+    assert_final_equal(eng.read_final_with_sha().toPandas(), t1["expected"])
+    snap = eng.table.latest()
+    delta_commits = {f["path"].split("/")[1] for f in snap.files
+                     if f.get("kind") == "delta"}
+    assert len(delta_commits) <= 2  # 8 epochs, compacted after 3 and 6
+
+
 def test_old_snapshots_remain_readable(spark, t1, registry, tmp_path):
     """Time travel: every published snapshot stays readable (files are never
     deleted by commits — the snapshot log is an immutable chain)."""
