@@ -35,8 +35,10 @@ CACHE = "/tmp/cdc_bench_cache"
 
 HEADLINE_QUERIES = [
     "cdc_lww_latest", "cdc_lww_salted", "cdc_merge_state", "cdc_running_window",
-    "pricing_summary", "revenue_by_nation", "dedup_exact", "minhash_near_dupes",
-    "text_stats", "ann_cosine_topk",
+    "tumbling_window", "session_window", "json_extract",
+    "pricing_summary", "revenue_by_nation", "anti_semi_setops",
+    "dedup_exact", "minhash_near_dupes", "text_stats", "ann_cosine_topk",
+    "embedding_pairs_exact",
 ]
 
 
@@ -77,6 +79,33 @@ def bench_replay(spark, fxdir: str) -> dict:
             "events_per_sec": round(applied / wall, 1), "final_rows": n_final}
 
 
+def bench_skew_defense(spark, fxdir: str) -> dict:
+    """SURVEY §7 risk 5 evidence: LWW over the hot-repo event log via
+    (a) row_number window (naive — sorts the hot partition),
+    (b) max_by aggregation (map-side partial combine), and
+    (c) explicit two-stage salted aggregation. Same results, different shuffles."""
+    from pyspark.sql import Window, functions as F
+    from cdc_core_spark.lww import lww_reduce
+
+    ev = (spark.read.parquet(os.path.join(fxdir, "change_events"))
+          .filter(F.col("op").isin(3, 4, 5) & F.col("repo").isNotNull())
+          .select("repo", "path", "content",
+                  F.col("op_ts").alias("_op_ts"), F.col("event_seq").alias("_event_seq")))
+    out = {}
+    t0 = time.monotonic()
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("_op_ts"), F.desc("_event_seq"))
+    (ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+     .write.format("noop").mode("overwrite").save())
+    out["window_row_number_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    lww_reduce(ev, ["repo", "path"], ["content"]).write.format("noop").mode("overwrite").save()
+    out["max_by_agg_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    lww_reduce(ev, ["repo", "path"], ["content"], salt=8).write.format("noop").mode("overwrite").save()
+    out["salted_two_stage_sec"] = round(time.monotonic() - t0, 3)
+    return out
+
+
 def main() -> None:
     from cdc_core_spark.session import get_spark
     import __spark_entry__ as entry
@@ -107,6 +136,8 @@ def main() -> None:
             "fixture_scale": FIXTURE_SCALE,
             "cpus": CPUS,
             "replay": replay,
+            "skew_defense": bench_skew_defense(spark, fxdir),
+            "scaling": "see BENCH_SCALING.json (N-vs-4N spark-submit runs)",
         },
     }
     sys.stdout.write("\n" + json.dumps(out) + "\n")
