@@ -1,0 +1,107 @@
+"""DataStore read API: keyed point lookup + Q-query search with paging.
+
+Reference surface (persistence module):
+* ``Q{where, sort, params}`` parsed to entity-mapped HQL and scrolled —
+  AbstractDataStore.java:43-70 (Q), :249-298 (search/doSearch),
+  impl/rdbms/SqlQueryParser.java:64-168;
+* keyed point lookup — AbstractDataStore.find, :228-247;
+* server-side paging cursor — Cursor.java:32-46 (nextPage),
+  impl/rdbms/HibernateCursor.java.
+
+Spark-first: the where/sort strings are handed to Catalyst (``F.expr``) —
+the analyzer/optimizer replaces SqlQueryParser entirely, and predicate
+pushdown into the parquet scan is what the reference delegated to the
+backing database. Parameter binding substitutes into literals up front
+(named ``:param`` style), so the expression stays a static plan.
+
+Paging note for 100 TB: ``Cursor`` materializes page boundaries with
+``offset``/``limit`` semantics via monotonic ordering — each page is an
+independent job with pushdown intact. For repeated scans of the same query
+prefer one job + ``toLocalIterator``; the page API exists for reference
+parity (UI-style scrolling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Q:
+    """Query spec: SQL-expression predicate + sort keys + named params.
+    Mirrors AbstractDataStore.Q (where/sort/params)."""
+    where: str | None = None
+    sort: list[tuple[str, str]] = field(default_factory=list)  # (col, "asc"|"desc")
+    params: dict = field(default_factory=dict)
+
+    def bound_where(self) -> str | None:
+        if self.where is None:
+            return None
+        w = self.where
+        for k, v in self.params.items():
+            lit = f"'{v}'" if isinstance(v, str) else repr(v)
+            w = w.replace(f":{k}", lit)
+        return w
+
+
+def search(df: DataFrame, q: Q, max_results: int | None = None) -> DataFrame:
+    """AbstractDataStore.search analog: filter + sort (+ limit), fully
+    declarative so Catalyst pushes the predicate into the scan."""
+    out = df
+    bw = q.bound_where()
+    if bw:
+        out = out.filter(F.expr(bw))
+    if q.sort:
+        out = out.orderBy(*[
+            F.col(c).desc() if d.lower().startswith("d") else F.col(c).asc()
+            for c, d in q.sort
+        ])
+    if max_results is not None:
+        out = out.limit(max_results)
+    return out
+
+
+def find_by_key(df: DataFrame, key: dict) -> DataFrame:
+    """Keyed point lookup (AbstractDataStore.find): conjunctive equality on
+    the key columns — with a bucketed/partitioned layout Catalyst prunes to
+    the single file group."""
+    cond = None
+    for c, v in key.items():
+        p = F.col(c) == F.lit(v)
+        cond = p if cond is None else (cond & p)
+    return df.filter(cond)
+
+
+class Cursor:
+    """Paged scroll over a search result (Cursor.nextPage analog).
+
+    Requires a total order: if ``q.sort`` doesn't already end in a unique
+    column, pass ``tiebreak`` to make paging deterministic.
+    """
+
+    def __init__(self, df: DataFrame, q: Q, page_size: int = 1000,
+                 tiebreak: str | None = None):
+        sort = list(q.sort)
+        if tiebreak and tiebreak not in [c for c, _ in sort]:
+            sort = sort + [(tiebreak, "asc")]
+        self._ordered = search(df, Q(q.where, sort, q.params))
+        self._page_size = page_size
+        self._page = 0
+
+    def next_page(self) -> list:
+        rows = (self._ordered
+                .offset(self._page * self._page_size)
+                .limit(self._page_size)
+                .collect())
+        self._page += 1
+        return rows
+
+    def __iter__(self):
+        while True:
+            rows = self.next_page()
+            if not rows:
+                return
+            yield rows

@@ -1,0 +1,50 @@
+"""DataStore read API: Q-search, keyed lookup, cursor paging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_core_spark.query import Cursor, Q, find_by_key, search
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_search_where_sort_limit(spark):
+    q = Q(where="o_orderstatus = :st AND o_totalprice > :minp",
+          sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+          params={"st": "O", "minp": 1000})
+    got = search(_orders(spark), q, max_results=5).collect()
+    assert len(got) == 5
+    prices = [r["o_totalprice"] for r in got]
+    assert prices == sorted(prices, reverse=True)
+    assert all(r["o_orderstatus"] == "O" and r["o_totalprice"] > 1000 for r in got)
+
+
+def test_search_predicate_pushdown(spark):
+    q = Q(where="o_orderstatus = 'F'")
+    plan = search(_orders(spark), q)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_find_by_key(spark):
+    df = _orders(spark)
+    some = df.select("o_orderkey").first()["o_orderkey"]
+    got = find_by_key(df, {"o_orderkey": some}).collect()
+    assert len(got) == 1 and got[0]["o_orderkey"] == some
+
+
+def test_cursor_pages_cover_exactly_once(spark):
+    df = _orders(spark)
+    q = Q(where="o_totalprice > 50000", sort=[("o_totalprice", "desc")])
+    cur = Cursor(df, q, page_size=97, tiebreak="o_orderkey")
+    seen = []
+    for page in cur:
+        assert len(page) <= 97
+        seen.extend(r["o_orderkey"] for r in page)
+    expected = {r["o_orderkey"] for r in df.filter("o_totalprice > 50000").collect()}
+    assert len(seen) == len(expected)          # no dup, no loss
+    assert set(seen) == expected
