@@ -297,6 +297,22 @@ def q_scalar_transformers(spark, sf_dir):
     )
 
 
+def q_transformer_roundtrip(spark, sf_dir):
+    """Transformer-library roundtrips (CurrencyValueTransformer /
+    DateIntegerTransformer analogs): currency-string parse and
+    date ↔ epoch-days both recover the source values."""
+    o = _t(spark, sf_dir, "orders")
+    money = F.concat(F.lit("$"), F.format_number(F.col("o_totalprice"), 2))
+    return o.select(
+        "o_orderkey",
+        F.round(T.currency_value(money), 2).alias("price_reparsed"),
+        T.date_to_epoch_days(F.col("o_orderdate").cast("date")).alias("epoch_days"),
+        F.date_format(T.epoch_days_to_date(
+            T.date_to_epoch_days(F.col("o_orderdate").cast("date"))),
+            "yyyy-MM-dd").alias("date_rt"),
+    )
+
+
 def q_checksum(spark, sf_dir):
     """Per-row sha256 content checksum — the engine's correctness invariant
     (ChecksumUtils.computeSHA256 analog)."""
@@ -423,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transforms
         "map_transform": q_map_transform,
         "scalar_transformers": q_scalar_transformers,
+        "transformer_roundtrip": q_transformer_roundtrip,
         "checksum": q_checksum,
         # training-data ops
         "dedup_exact": q_dedup_exact,
@@ -593,6 +610,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN '5-LOW' THEN 5 ELSE 0 END AS priority_code,
                    regexp_extract(o_orderpriority, '(\\d)-', 1) AS priority_digit,
                    round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+        """,
+        "transformer_roundtrip": """
+            -- the oracle states the roundtrip IDENTITY: parsing the formatted
+            -- currency string / epoch-days date must recover the source value
+            SELECT o_orderkey,
+                   round(o_totalprice, 2) AS price_reparsed,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_days,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_rt
             FROM orders
         """,
         "checksum": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
