@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cdc_core_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
 from cdc_core_spark.functions import transforms as T  # noqa: E402
+from cdc_core_spark.sources import readers  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -321,6 +322,57 @@ def q_checksum(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# format readers (SURVEY §2.1): roundtrip through our reader, oracle = source
+# ---------------------------------------------------------------------------
+
+_PART_DDL = ("p_partkey bigint, p_name string, p_brand string, p_type string, "
+             "p_size int, p_retailprice double")
+
+
+def _part_select(df):
+    return df.select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                     F.round("p_retailprice", 2).alias("p_retailprice"))
+
+
+def q_reader_csv(spark, sf_dir):
+    """CSV reader parity (SeparatedInputReader analog): part → CSV on disk →
+    read_csv with an explicit schema → values must equal the source table."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/cdc_rt_csv_{tag}"
+    p = _t(spark, sf_dir, "part")
+    p.write.mode("overwrite").option("header", True).csv(out)
+    return _part_select(readers.read_csv(spark, out, header=True, schema=_PART_DDL))
+
+
+def q_reader_json(spark, sf_dir):
+    """JSONL reader parity (JsonInputReader analog)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/cdc_rt_json_{tag}"
+    p = _t(spark, sf_dir, "part")
+    p.write.mode("overwrite").json(out)
+    return _part_select(readers.read_json(spark, out, schema=_PART_DDL,
+                                          multi_line=False))
+
+
+def q_reader_fixed_width(spark, sf_dir):
+    """Fixed-width reader parity (PositionalInputReader analog): render
+    nation as padded fixed-offset text, re-read via substring layout."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/cdc_rt_fw_{tag}"
+    n = _t(spark, sf_dir, "nation")
+    line = F.concat(F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+                    F.rpad("n_name", 20, " "),
+                    F.lpad(F.col("n_regionkey").cast("string"), 4, "0"))
+    n.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(out)
+    fw = readers.read_positional(spark, out, [("n_nationkey", 1, 4),
+                                              ("n_name", 5, 20),
+                                              ("n_regionkey", 25, 4)])
+    return fw.select(F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                     "n_name",
+                     F.col("n_regionkey").cast("long").alias("n_regionkey"))
+
+
+# ---------------------------------------------------------------------------
 # training-data ops: dedup / text / similarity
 # ---------------------------------------------------------------------------
 
@@ -441,6 +493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_transformers": q_scalar_transformers,
         "transformer_roundtrip": q_transformer_roundtrip,
         "checksum": q_checksum,
+        # format readers
+        "reader_csv": q_reader_csv,
+        "reader_json": q_reader_json,
+        "reader_fixed_width": q_reader_fixed_width,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -622,6 +678,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "checksum": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
+        "reader_csv": """
+            SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                   round(p_retailprice, 2) AS p_retailprice FROM part
+        """,
+        "reader_json": """
+            SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                   round(p_retailprice, 2) AS p_retailprice FROM part
+        """,
+        "reader_fixed_width": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
         "dedup_exact": f"""
             SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS canonical_id,
                    count(*) AS dup_count
