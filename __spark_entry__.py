@@ -176,6 +176,71 @@ def q_json_extract(spark, sf_dir):
                  F.round(F.avg("k"), 4).alias("avg_k")))
 
 
+def q_cdc_engine_replay(spark, sf_dir):
+    """END-TO-END ENGINE RUN, not a query shape: adapt the events stream onto
+    the CDC envelope (op / key / version tuple), run the real CdcEngine —
+    initial snapshot load, two replay epochs with LWW reduction, merge-on-read
+    commits, exactly-once manifests — and return the converged table state
+    with per-row content sha256 (the BASELINE.json correctness invariant).
+
+    Adapter mapping (deterministic, no wall-clock):
+      key   (repo, path) = ('r'||user_id%7, 'p'||user_id)
+      op    signup→INSERT(3), error→DELETE(5, null content), else UPDATE(4)
+      order (op_ts, event_seq) = (unix_millis(ts), event_id)
+      epochs split by event_id parity — LWW replay is order-insensitive, so
+      the converged state must be identical to the oracle's global winner set
+      (reference semantics: BaseEntity.version()==updatedTime LWW,
+      persistence/.../model/BaseEntity.java:125-128; keyed upsert
+      AbstractDataStore.java:185-205)."""
+    import shutil
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.registry import SchemaRegistry
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/cdc_entry_replay_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    registry = SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "repo", "type": "string", "nullable": False, "key": True},
+            {"name": "path", "type": "string", "nullable": False, "key": True},
+            {"name": "lang", "type": "string", "nullable": True},
+            {"name": "content", "type": "string", "nullable": True},
+        ]}])
+    eng = CdcEngine(spark, root, registry, n_buckets=8)
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("r"), (F.col("c_custkey") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("c_custkey").cast("string")).alias("path"),
+        F.col("c_mktsegment").alias("lang"),
+        F.col("c_name").alias("content"))
+    eng.initial_load(cust, schema_version="1.0")
+
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    adapted = ev.select(
+        F.when(F.col("event_type") == "signup", F.lit(3))
+         .when(is_del, F.lit(5)).otherwise(F.lit(4)).alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("lang"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("c:"), F.col("user_id").cast("string"),
+                     F.lit(":"), F.col("event_id").cast("string"))).alias("content"),
+        # ts is TIMESTAMP_NTZ; session tz is UTC, so NTZ→TZ cast is the same
+        # instant DuckDB's epoch_ms(naive-ts) assumes
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("op_ts"),
+        F.col("event_id").alias("event_seq"),
+        F.col("event_id").alias("txid"),
+        F.lit("1.0").alias("schema_version"),
+    )
+    for epoch in (0, 1):
+        eng.apply_epoch(adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch),
+                        epoch)
+    return eng.read_final().select(
+        "repo", "path", "lang", F.sha2("content", 256).alias("content_sha"))
+
+
 # ---------------------------------------------------------------------------
 # relational operators (scan/filter/join/agg/sort/limit/setop/rollup)
 # ---------------------------------------------------------------------------
@@ -265,6 +330,17 @@ def q_rollup(spark, sf_dir):
             .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
                     F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
                     "sum_qty", "n"))
+
+
+def q_cube(spark, sf_dir):
+    """CUBE aggregation (full grouping-sets lattice, SURVEY §2.6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.count("*").alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                    "sum_price", "n"))
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +448,21 @@ def q_reader_fixed_width(spark, sf_dir):
                      F.col("n_regionkey").cast("long").alias("n_regionkey"))
 
 
+def q_reader_xml(spark, sf_dir):
+    """XML reader parity (XmlInputReader analog, XmlInputReader.java:36):
+    supplier → XML rowTag files via Spark 4's native XML source → read_xml
+    with explicit schema → values must equal the source table."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/cdc_rt_xml_{tag}"
+    s = _t(spark, sf_dir, "supplier")
+    (s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+     .write.mode("overwrite").format("xml").option("rowTag", "supplier").save(out))
+    ddl = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    back = readers.read_xml(spark, out, row_tag="supplier", schema=ddl)
+    return back.select("s_suppkey", "s_name", "s_nationkey",
+                       F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / text / similarity
 # ---------------------------------------------------------------------------
@@ -475,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_dispatch": q_cdc_op_dispatch,
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_tx_metrics": q_cdc_tx_metrics,
+        "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_running_window": q_cdc_running_window,
         "tumbling_window": q_tumbling_window,
         "session_window": q_session_window,
@@ -488,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "setop_except": q_setop_except,
         "rollup": q_rollup,
+        "cube": q_cube,
         # transforms
         "map_transform": q_map_transform,
         "scalar_transformers": q_scalar_transformers,
@@ -497,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_csv": q_reader_csv,
         "reader_json": q_reader_json,
         "reader_fixed_width": q_reader_fixed_width,
+        "reader_xml": q_reader_xml,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -649,6 +743,43 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
+        "cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "cdc_engine_replay": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'signup' THEN 3
+                          WHEN event_type = 'error' THEN 5 ELSE 4 END AS op,
+                     'r' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                     'p' || CAST(user_id AS VARCHAR) AS path,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE event_type END AS lang,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE 'c:' || CAST(user_id AS VARCHAR) || ':'
+                               || CAST(event_id AS VARCHAR) END AS content,
+                     epoch_ms(ts) AS op_ts, event_id AS event_seq
+              FROM events
+            ),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY repo, path
+                      ORDER BY op_ts DESC, event_seq DESC) AS rn FROM ev),
+            winners AS (SELECT repo, path, op, lang, content FROM w WHERE rn = 1),
+            init AS (SELECT 'r' || CAST(c_custkey % 7 AS VARCHAR) AS repo,
+                            'p' || CAST(c_custkey AS VARCHAR) AS path,
+                            c_mktsegment AS lang, c_name AS content
+                     FROM customer)
+            SELECT coalesce(w.repo, i.repo) AS repo,
+                   coalesce(w.path, i.path) AS path,
+                   CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS lang,
+                   sha256(CASE WHEN w.repo IS NOT NULL THEN w.content
+                               ELSE i.content END) AS content_sha
+            FROM init i FULL OUTER JOIN winners w
+              ON i.repo = w.repo AND i.path = w.path
+            WHERE w.op IS NULL OR w.op <> 5
+        """,
         "map_transform": """
             SELECT p_partkey AS id, upper(p_brand) AS brand,
                    'catalog' AS source_system,
@@ -688,6 +819,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reader_fixed_width": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "reader_xml": """
+            SELECT s_suppkey, s_name, s_nationkey,
+                   round(s_acctbal, 2) AS s_acctbal FROM supplier
         """,
         "dedup_exact": f"""
             SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS canonical_id,
