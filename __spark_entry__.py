@@ -176,6 +176,50 @@ def q_json_extract(spark, sf_dir):
                  F.round(F.avg("k"), 4).alias("avg_k")))
 
 
+def _adapt_events(spark, sf_dir):
+    """Map the events stream onto the CDC envelope (shared by the batch and
+    streaming engine-replay queries; mapping documented on
+    q_cdc_engine_replay)."""
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    return ev.select(
+        F.when(F.col("event_type") == "signup", F.lit(3))
+         .when(is_del, F.lit(5)).otherwise(F.lit(4)).cast("bigint").alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("lang"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("c:"), F.col("user_id").cast("string"),
+                     F.lit(":"), F.col("event_id").cast("string"))).alias("content"),
+        # ts is TIMESTAMP_NTZ; session tz is UTC, so NTZ→TZ cast is the same
+        # instant DuckDB's epoch_ms(naive-ts) assumes
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("op_ts"),
+        F.col("event_id").alias("event_seq"),
+        F.col("event_id").alias("txid"),
+        F.lit("1.0").alias("schema_version"),
+    )
+
+
+def _replay_registry():
+    from cdc_core_spark.registry import SchemaRegistry
+    return SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "repo", "type": "string", "nullable": False, "key": True},
+            {"name": "path", "type": "string", "nullable": False, "key": True},
+            {"name": "lang", "type": "string", "nullable": True},
+            {"name": "content", "type": "string", "nullable": True},
+        ]}])
+
+
+def _replay_initial(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("r"), (F.col("c_custkey") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("c_custkey").cast("string")).alias("path"),
+        F.col("c_mktsegment").alias("lang"),
+        F.col("c_name").alias("content"))
+
+
 def q_cdc_engine_replay(spark, sf_dir):
     """END-TO-END ENGINE RUN, not a query shape: adapt the events stream onto
     the CDC envelope (op / key / version tuple), run the real CdcEngine —
@@ -194,49 +238,51 @@ def q_cdc_engine_replay(spark, sf_dir):
       AbstractDataStore.java:185-205)."""
     import shutil
     from cdc_core_spark.engine import CdcEngine
-    from cdc_core_spark.registry import SchemaRegistry
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = f"/tmp/cdc_entry_replay_{tag}"
     shutil.rmtree(root, ignore_errors=True)
-    registry = SchemaRegistry.from_docs([{
-        "entity": "source_repos", "major": 1, "minor": 0,
-        "fields": [
-            {"name": "repo", "type": "string", "nullable": False, "key": True},
-            {"name": "path", "type": "string", "nullable": False, "key": True},
-            {"name": "lang", "type": "string", "nullable": True},
-            {"name": "content", "type": "string", "nullable": True},
-        ]}])
-    eng = CdcEngine(spark, root, registry, n_buckets=8)
+    eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
 
-    cust = _t(spark, sf_dir, "customer").select(
-        F.concat(F.lit("r"), (F.col("c_custkey") % 7).cast("string")).alias("repo"),
-        F.concat(F.lit("p"), F.col("c_custkey").cast("string")).alias("path"),
-        F.col("c_mktsegment").alias("lang"),
-        F.col("c_name").alias("content"))
-    eng.initial_load(cust, schema_version="1.0")
-
-    ev = _t(spark, sf_dir, "events")
-    is_del = F.col("event_type") == "error"
-    adapted = ev.select(
-        F.when(F.col("event_type") == "signup", F.lit(3))
-         .when(is_del, F.lit(5)).otherwise(F.lit(4)).alias("op"),
-        F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("lang"),
-        F.when(is_del, F.lit(None).cast("string")).otherwise(
-            F.concat(F.lit("c:"), F.col("user_id").cast("string"),
-                     F.lit(":"), F.col("event_id").cast("string"))).alias("content"),
-        # ts is TIMESTAMP_NTZ; session tz is UTC, so NTZ→TZ cast is the same
-        # instant DuckDB's epoch_ms(naive-ts) assumes
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("op_ts"),
-        F.col("event_id").alias("event_seq"),
-        F.col("event_id").alias("txid"),
-        F.lit("1.0").alias("schema_version"),
-    )
+    adapted = _adapt_events(spark, sf_dir)
     for epoch in (0, 1):
         eng.apply_epoch(adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch),
                         epoch)
+    return eng.read_final().select(
+        "repo", "path", "lang", F.sha2("content", 256).alias("content_sha"))
+
+
+def q_stream_engine_replay(spark, sf_dir):
+    """The SAME replay through Structured Streaming: the adapted event log is
+    laid down as parquet files, tailed as a file stream with
+    maxFilesPerTrigger=1, and each microbatch flows through
+    engine.apply_epoch via foreachBatch (streaming/stream.py — the
+    Kappa-architecture shape: batch and streaming share one engine path).
+    Must converge to the identical state as q_cdc_engine_replay, so it shares
+    that query's oracle SQL."""
+    import shutil
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.streaming.stream import stream_ingest
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/cdc_entry_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    root, evdir, ckpt = f"{base}/state", f"{base}/events", f"{base}/ckpt"
+
+    eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+
+    # pad the adapter columns up to the streaming EVENT_DDL contract
+    adapted = (_adapt_events(spark, sf_dir)
+               .withColumn("commit", F.lit(None).cast("string"))
+               .withColumn("language", F.lit(None).cast("string"))
+               .withColumn("size_bytes", F.lit(None).cast("bigint"))
+               .withColumn("rev", F.lit(None).cast("bigint"))
+               .withColumn("checkpoint_epoch",
+                           F.pmod(F.col("event_seq"), F.lit(2)).cast("int")))
+    adapted.repartition(2, "checkpoint_epoch").write.mode("overwrite").parquet(evdir)
+    stream_ingest(eng, evdir, ckpt, max_files_per_trigger=1, available_now=True)
     return eng.read_final().select(
         "repo", "path", "lang", F.sha2("content", 256).alias("content_sha"))
 
@@ -463,6 +509,27 @@ def q_reader_xml(spark, sf_dir):
                        F.round("s_acctbal", 2).alias("s_acctbal"))
 
 
+def q_reader_jdbc(spark, sf_dir):
+    """JDBC reader parity (DbInputReader + QueryBuilder paged cursor analog,
+    DbInputReader.java:135): nation → embedded Derby DB → read_jdbc with a
+    partitionColumn (predicate-partitioned parallel read replaces the
+    reference's hand-rolled paging cursor). Embedded Derby works because
+    local-mode executors share the JVM; on a cluster the same call takes a
+    network JDBC URL."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    db = f"/tmp/cdc_rt_jdbc_{tag}"
+    import shutil
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    n = _t(spark, sf_dir, "nation")
+    n.write.jdbc(url, "nation", mode="overwrite", properties=props)
+    back = readers.read_jdbc(spark, url, "nation", properties=props,
+                             partition_column="n_nationkey",
+                             lower_bound=0, upper_bound=25, num_partitions=4)
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / text / similarity
 # ---------------------------------------------------------------------------
@@ -567,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_tx_metrics": q_cdc_tx_metrics,
         "cdc_engine_replay": q_cdc_engine_replay,
+        "stream_engine_replay": q_stream_engine_replay,
         "cdc_running_window": q_cdc_running_window,
         "tumbling_window": q_tumbling_window,
         "session_window": q_session_window,
@@ -591,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_json": q_reader_json,
         "reader_fixed_width": q_reader_fixed_width,
         "reader_xml": q_reader_xml,
+        "reader_jdbc": q_reader_jdbc,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -621,6 +690,40 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
 """
 
 _NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+# sequential-apply winner-set oracle for both engine-replay queries (batch
+# epochs and Structured Streaming converge to the same LWW state)
+_ENGINE_REPLAY_SQL = """
+    WITH ev AS (
+      SELECT CASE WHEN event_type = 'signup' THEN 3
+                  WHEN event_type = 'error' THEN 5 ELSE 4 END AS op,
+             'r' || CAST(user_id % 7 AS VARCHAR) AS repo,
+             'p' || CAST(user_id AS VARCHAR) AS path,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE event_type END AS lang,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE 'c:' || CAST(user_id AS VARCHAR) || ':'
+                       || CAST(event_id AS VARCHAR) END AS content,
+             epoch_ms(ts) AS op_ts, event_id AS event_seq
+      FROM events
+    ),
+    w AS (SELECT *, row_number() OVER (
+              PARTITION BY repo, path
+              ORDER BY op_ts DESC, event_seq DESC) AS rn FROM ev),
+    winners AS (SELECT repo, path, op, lang, content FROM w WHERE rn = 1),
+    init AS (SELECT 'r' || CAST(c_custkey % 7 AS VARCHAR) AS repo,
+                    'p' || CAST(c_custkey AS VARCHAR) AS path,
+                    c_mktsegment AS lang, c_name AS content
+             FROM customer)
+    SELECT coalesce(w.repo, i.repo) AS repo,
+           coalesce(w.path, i.path) AS path,
+           CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS lang,
+           sha256(CASE WHEN w.repo IS NOT NULL THEN w.content
+                       ELSE i.content END) AS content_sha
+    FROM init i FULL OUTER JOIN winners w
+      ON i.repo = w.repo AND i.path = w.path
+    WHERE w.op IS NULL OR w.op <> 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -749,37 +852,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
-        "cdc_engine_replay": """
-            WITH ev AS (
-              SELECT CASE WHEN event_type = 'signup' THEN 3
-                          WHEN event_type = 'error' THEN 5 ELSE 4 END AS op,
-                     'r' || CAST(user_id % 7 AS VARCHAR) AS repo,
-                     'p' || CAST(user_id AS VARCHAR) AS path,
-                     CASE WHEN event_type = 'error' THEN NULL
-                          ELSE event_type END AS lang,
-                     CASE WHEN event_type = 'error' THEN NULL
-                          ELSE 'c:' || CAST(user_id AS VARCHAR) || ':'
-                               || CAST(event_id AS VARCHAR) END AS content,
-                     epoch_ms(ts) AS op_ts, event_id AS event_seq
-              FROM events
-            ),
-            w AS (SELECT *, row_number() OVER (
-                      PARTITION BY repo, path
-                      ORDER BY op_ts DESC, event_seq DESC) AS rn FROM ev),
-            winners AS (SELECT repo, path, op, lang, content FROM w WHERE rn = 1),
-            init AS (SELECT 'r' || CAST(c_custkey % 7 AS VARCHAR) AS repo,
-                            'p' || CAST(c_custkey AS VARCHAR) AS path,
-                            c_mktsegment AS lang, c_name AS content
-                     FROM customer)
-            SELECT coalesce(w.repo, i.repo) AS repo,
-                   coalesce(w.path, i.path) AS path,
-                   CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS lang,
-                   sha256(CASE WHEN w.repo IS NOT NULL THEN w.content
-                               ELSE i.content END) AS content_sha
-            FROM init i FULL OUTER JOIN winners w
-              ON i.repo = w.repo AND i.path = w.path
-            WHERE w.op IS NULL OR w.op <> 5
-        """,
+        "cdc_engine_replay": _ENGINE_REPLAY_SQL,
+        "stream_engine_replay": _ENGINE_REPLAY_SQL,
         "map_transform": """
             SELECT p_partkey AS id, upper(p_brand) AS brand,
                    'catalog' AS source_system,
@@ -823,6 +897,9 @@ def oracle_sql() -> dict[str, str]:
         "reader_xml": """
             SELECT s_suppkey, s_name, s_nationkey,
                    round(s_acctbal, 2) AS s_acctbal FROM supplier
+        """,
+        "reader_jdbc": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "dedup_exact": f"""
             SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS canonical_id,
