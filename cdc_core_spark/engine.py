@@ -97,15 +97,23 @@ class CdcEngine:
         for f in fields:
             c = (F.col(f["name"]) if f["name"] in present else F.lit(None))
             cols.append(c.cast(sql_type(f["type"])).alias(f["name"]))
+        from pyspark.sql import Observation
+        obs = Observation("initial_load")
         df = (source_df.select(cols)
               .withColumn("_op_ts", F.lit(-1).cast("bigint"))
               .withColumn("_event_seq", F.lit(-1).cast("bigint"))
               .withColumn("_deleted", F.lit(False))
-              .withColumn("_bucket", bucket_expr(sdef.key_cols(), self.n_buckets)))
-        n = df.count()
-        manifest = [{"checkpoint_epoch": -1, "partition_id": -1, "events_read": n,
+              .withColumn("_bucket", bucket_expr(sdef.key_cols(), self.n_buckets))
+              .observe(obs, F.count(F.lit(1)).alias("n")))
+
+        def manifest():
+            # evaluated post-write: the row count rides the write job's
+            # observe metrics instead of a separate counting scan
+            n = int(obs.get["n"])
+            return [{"checkpoint_epoch": -1, "partition_id": -1, "events_read": n,
                      "events_applied": n, "events_error": 0, "max_op_ts": -1,
                      "max_event_seq": -1, "wall_ms": 0}]
+
         self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None,
                                 manifests=manifest)
 

@@ -180,7 +180,7 @@ class SnapshotTable:
 
     # ---------------- write / commit ----------------
     def commit_merge(self, df: DataFrame, touched_buckets: list[int],
-                     epoch: int | None, manifests: list[dict],
+                     epoch: int | None, manifests,
                      new_fields: list[dict] | None = None,
                      new_aliases: dict | None = None,
                      props: dict | None = None,
@@ -189,7 +189,11 @@ class SnapshotTable:
         ``df`` (must carry ``_bucket``), carry all other buckets forward by
         reference, publish atomically. ``pre_partitioned`` skips the
         by-bucket repartition when the caller already shuffled by ``_bucket``
-        (avoids a redundant full-table exchange)."""
+        (avoids a redundant full-table exchange). ``manifests`` may be a
+        list, or a zero-arg callable evaluated after the stage write and
+        before the publish (same contract as ``commit_delta`` — lets callers
+        derive manifest stats from ``df.observe`` metrics of the write job
+        instead of paying a separate counting scan)."""
         prev = self.latest()
         fields = new_fields or prev.fields
         aliases = new_aliases or prev.aliases
@@ -213,10 +217,11 @@ class SnapshotTable:
                                       "bucket": b, "schema_id": sid})
         touched = set(touched_buckets)
         carried = [f for f in prev.files if f["bucket"] not in touched]
+        manifest_rows = manifests() if callable(manifests) else manifests
         snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
                         key_cols=prev.key_cols, fields=fields, aliases=aliases,
                         schemas=schemas, files=carried + new_files,
-                        manifests=manifests, parent=prev.version,
+                        manifests=manifest_rows, parent=prev.version,
                         props=props if props is not None else prev.props)
         try:
             self._publish(snap)
