@@ -182,34 +182,52 @@ def _adapt_events(spark, sf_dir):
     q_cdc_engine_replay)."""
     ev = _t(spark, sf_dir, "events")
     is_del = F.col("event_type") == "error"
+    content = F.concat(F.lit("c:"), F.col("user_id").cast("string"),
+                       F.lit(":"), F.col("event_id").cast("string"))
+    odd = F.col("event_id") % 2 == 1  # epoch-1 events, written under schema 1.1
     return ev.select(
         F.when(F.col("event_type") == "signup", F.lit(3))
          .when(is_del, F.lit(5)).otherwise(F.lit(4)).cast("bigint").alias("op"),
         F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
         F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
         F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("lang"),
-        F.when(is_del, F.lit(None).cast("string")).otherwise(
-            F.concat(F.lit("c:"), F.col("user_id").cast("string"),
-                     F.lit(":"), F.col("event_id").cast("string"))).alias("content"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(content).alias("content"),
+        F.when(~is_del & odd, F.length(content)).cast("long").alias("size_bytes"),
         # ts is TIMESTAMP_NTZ; session tz is UTC, so NTZ→TZ cast is the same
         # instant DuckDB's epoch_ms(naive-ts) assumes
         F.unix_millis(F.col("ts").cast("timestamp")).alias("op_ts"),
         F.col("event_id").alias("event_seq"),
         F.col("event_id").alias("txid"),
-        F.lit("1.0").alias("schema_version"),
+        F.when(odd, F.lit("1.1")).otherwise(F.lit("1.0")).alias("schema_version"),
     )
 
 
+def _ddl_row(spark):
+    """In-band schema-change event: op=1 (schema update) to version 1.1,
+    versioned before every data event so it applies first in its epoch."""
+    return spark.createDataFrame(
+        [(1, None, None, None, None, None, -1, -1, -1, "1.1")],
+        schema=("op bigint, repo string, path string, lang string, "
+                "content string, size_bytes bigint, op_ts bigint, "
+                "event_seq bigint, txid bigint, schema_version string"))
+
+
 def _replay_registry():
+    """Two versions: 1.1 adds size_bytes (a legal nullable-ADD evolution,
+    SchemaEvolutionValidator rules) — applied in-band during the replay."""
     from cdc_core_spark.registry import SchemaRegistry
-    return SchemaRegistry.from_docs([{
-        "entity": "source_repos", "major": 1, "minor": 0,
-        "fields": [
-            {"name": "repo", "type": "string", "nullable": False, "key": True},
-            {"name": "path", "type": "string", "nullable": False, "key": True},
-            {"name": "lang", "type": "string", "nullable": True},
-            {"name": "content", "type": "string", "nullable": True},
-        ]}])
+    base_fields = [
+        {"name": "repo", "type": "string", "nullable": False, "key": True},
+        {"name": "path", "type": "string", "nullable": False, "key": True},
+        {"name": "lang", "type": "string", "nullable": True},
+        {"name": "content", "type": "string", "nullable": True},
+    ]
+    return SchemaRegistry.from_docs([
+        {"entity": "source_repos", "major": 1, "minor": 0, "fields": base_fields},
+        {"entity": "source_repos", "major": 1, "minor": 1,
+         "fields": base_fields + [{"name": "size_bytes", "type": "long",
+                                   "nullable": True}]},
+    ])
 
 
 def _replay_initial(spark, sf_dir):
@@ -235,7 +253,14 @@ def q_cdc_engine_replay(spark, sf_dir):
       the converged state must be identical to the oracle's global winner set
       (reference semantics: BaseEntity.version()==updatedTime LWW,
       persistence/.../model/BaseEntity.java:125-128; keyed upsert
-      AbstractDataStore.java:185-205)."""
+      AbstractDataStore.java:185-205).
+
+    Epoch 1 carries an in-band DDL event (op=1 → schema 1.1, ADD
+    size_bytes) — schema evolution happens inside the replay and the added
+    column is part of the value-hashed result: odd-seq winners carry
+    length(content), all earlier writers read back as NULL via
+    metadata-only evolution (AvroChangeType.isSchemaChange DDL path +
+    EntitySchema.apply semantics)."""
     import shutil
     from cdc_core_spark.engine import CdcEngine
 
@@ -247,10 +272,13 @@ def q_cdc_engine_replay(spark, sf_dir):
 
     adapted = _adapt_events(spark, sf_dir)
     for epoch in (0, 1):
-        eng.apply_epoch(adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch),
-                        epoch)
+        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
+        if epoch == 1:  # in-band DDL: evolve to 1.1 (ADD size_bytes)
+            batch = _ddl_row(spark).unionByName(batch)
+        eng.apply_epoch(batch, epoch)
     return eng.read_final().select(
-        "repo", "path", "lang", F.sha2("content", 256).alias("content_sha"))
+        "repo", "path", "lang", "size_bytes",
+        F.sha2("content", 256).alias("content_sha"))
 
 
 def q_stream_engine_replay(spark, sf_dir):
@@ -273,18 +301,22 @@ def q_stream_engine_replay(spark, sf_dir):
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
 
-    # pad the adapter columns up to the streaming EVENT_DDL contract
-    adapted = (_adapt_events(spark, sf_dir)
-               .withColumn("commit", F.lit(None).cast("string"))
-               .withColumn("language", F.lit(None).cast("string"))
-               .withColumn("size_bytes", F.lit(None).cast("bigint"))
-               .withColumn("rev", F.lit(None).cast("bigint"))
-               .withColumn("checkpoint_epoch",
-                           F.pmod(F.col("event_seq"), F.lit(2)).cast("int")))
+    # pad the adapter columns up to the streaming EVENT_DDL contract; the
+    # in-band DDL event rides the odd-parity microbatch like the batch path
+    def pad(df):
+        return (df.withColumn("commit", F.lit(None).cast("string"))
+                .withColumn("language", F.lit(None).cast("string"))
+                .withColumn("rev", F.lit(None).cast("bigint"))
+                .withColumn("checkpoint_epoch",
+                            F.pmod(F.greatest("event_seq", F.lit(0)),
+                                   F.lit(2)).cast("int")))
+    adapted = pad(_adapt_events(spark, sf_dir)).unionByName(
+        pad(_ddl_row(spark)).withColumn("checkpoint_epoch", F.lit(1)))
     adapted.repartition(2, "checkpoint_epoch").write.mode("overwrite").parquet(evdir)
     stream_ingest(eng, evdir, ckpt, max_files_per_trigger=1, available_now=True)
     return eng.read_final().select(
-        "repo", "path", "lang", F.sha2("content", 256).alias("content_sha"))
+        "repo", "path", "lang", "size_bytes",
+        F.sha2("content", 256).alias("content_sha"))
 
 
 # ---------------------------------------------------------------------------
@@ -710,7 +742,8 @@ _ENGINE_REPLAY_SQL = """
     w AS (SELECT *, row_number() OVER (
               PARTITION BY repo, path
               ORDER BY op_ts DESC, event_seq DESC) AS rn FROM ev),
-    winners AS (SELECT repo, path, op, lang, content FROM w WHERE rn = 1),
+    winners AS (SELECT repo, path, op, lang, content, event_seq
+                FROM w WHERE rn = 1),
     init AS (SELECT 'r' || CAST(c_custkey % 7 AS VARCHAR) AS repo,
                     'p' || CAST(c_custkey AS VARCHAR) AS path,
                     c_mktsegment AS lang, c_name AS content
@@ -718,6 +751,11 @@ _ENGINE_REPLAY_SQL = """
     SELECT coalesce(w.repo, i.repo) AS repo,
            coalesce(w.path, i.path) AS path,
            CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS lang,
+           -- size_bytes exists only from schema 1.1 on (odd-seq events,
+           -- added by the in-band DDL); earlier writers and the initial
+           -- snapshot read back as NULL (metadata-only evolution)
+           CASE WHEN w.repo IS NOT NULL AND w.event_seq % 2 = 1
+                THEN length(w.content) END AS size_bytes,
            sha256(CASE WHEN w.repo IS NOT NULL THEN w.content
                        ELSE i.content END) AS content_sha
     FROM init i FULL OUTER JOIN winners w
