@@ -437,6 +437,53 @@ def q_map_transform(spark, sf_dir):
     )
 
 
+def _order_rules():
+    from cdc_core_spark.functions.mapping import Rule
+    return [
+        Rule("filter", predicate="o_orderstatus = 'P'"),            # ignore pending
+        Rule("validation", predicate="o_totalprice > 50000",
+             error="low_price"),
+        Rule("validation", predicate="o_custkey % 10 != 0",
+             error="blocked_customer"),
+        Rule("transformation", target="price_band",
+             expr="CASE WHEN o_totalprice > 200000 THEN 'high' "
+                  "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END"),
+    ]
+
+
+def _mapped_orders(spark, sf_dir):
+    from cdc_core_spark.functions import mapping as M
+    o = _t(spark, sf_dir, "orders")
+    return M.compile_mapping(o, [
+        {"target": "o_orderkey", "source": "o_orderkey"},
+        {"target": "o_custkey", "source": "o_custkey"},
+        {"target": "o_orderstatus", "source": "o_orderstatus"},
+        {"target": "o_totalprice", "source": "o_totalprice"},
+        {"target": "src", "const": "orders"},
+    ])
+
+
+def q_rules_pipeline(spark, sf_dir):
+    """Full Mapping.read pipeline (FilterChain → MapTransformer →
+    RulesExecutor, Mapping.java:225-269) compiled to one DataFrame pass:
+    filter rule drops rows silently, validation failures quarantine, the
+    transformation rule writes a field. Returns the GOOD stream."""
+    from cdc_core_spark.functions.mapping import apply_rules
+    good, _bad = apply_rules(_mapped_orders(spark, sf_dir), _order_rules())
+    return good.select("o_orderkey", "o_orderstatus", "src", "price_band",
+                       F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_rules_quarantine(spark, sf_dir):
+    """The QUARANTINE stream of the same rule chain, with accumulated
+    validation error tags (EntityValidationError upsert semantics,
+    PersistencePipeline.java:80-93)."""
+    from cdc_core_spark.functions.mapping import apply_rules
+    _good, bad = apply_rules(_mapped_orders(spark, sf_dir), _order_rules())
+    return bad.select("o_orderkey",
+                      F.array_join("_errors", ",").alias("errors"))
+
+
 def q_scalar_transformers(spark, sf_dir):
     """Transformer library: date parts, enum map, numeric banding, regex."""
     o = _t(spark, sf_dir, "orders")
@@ -539,6 +586,21 @@ def q_reader_xml(spark, sf_dir):
     back = readers.read_xml(spark, out, row_tag="supplier", schema=ddl)
     return back.select("s_suppkey", "s_name", "s_nationkey",
                        F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+def q_reader_excel(spark, sf_dir):
+    """Excel reader parity (ExcelInputReader analog): region → minimal xlsx
+    on disk → dependency-free xlsx parse (zip of XML parts; no openpyxl in
+    the container) → values must equal the source table. Driver-side by
+    design: Excel carries small config/intake files in the reference, never
+    bulk data."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/cdc_rt_xlsx_{tag}.xlsx"
+    r = _t(spark, sf_dir, "region")
+    rows = [(int(x["r_regionkey"]), x["r_name"]) for x in
+            r.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()]
+    readers.write_excel_minimal(out, ["r_regionkey", "r_name"], rows)
+    return readers.read_excel(spark, out, schema="r_regionkey bigint, r_name string")
 
 
 def q_reader_jdbc(spark, sf_dir):
@@ -683,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         # transforms
         "map_transform": q_map_transform,
+        "rules_pipeline": q_rules_pipeline,
+        "rules_quarantine": q_rules_quarantine,
         "scalar_transformers": q_scalar_transformers,
         "transformer_roundtrip": q_transformer_roundtrip,
         "checksum": q_checksum,
@@ -692,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_fixed_width": q_reader_fixed_width,
         "reader_xml": q_reader_xml,
         "reader_jdbc": q_reader_jdbc,
+        "reader_excel": q_reader_excel,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -892,6 +957,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
+        "rules_pipeline": """
+            SELECT o_orderkey, o_orderstatus, 'orders' AS src,
+                   CASE WHEN o_totalprice > 200000 THEN 'high'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'low' END AS price_band,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_orderstatus <> 'P'
+              AND o_totalprice > 50000 AND o_custkey % 10 != 0
+        """,
+        "rules_quarantine": """
+            SELECT o_orderkey,
+                   array_to_string(list_filter([
+                       CASE WHEN NOT (o_totalprice > 50000)
+                            THEN 'low_price' END,
+                       CASE WHEN NOT (o_custkey % 10 != 0)
+                            THEN 'blocked_customer' END
+                   ], x -> x IS NOT NULL), ',') AS errors
+            FROM orders
+            WHERE o_orderstatus <> 'P'
+              AND NOT (o_totalprice > 50000 AND o_custkey % 10 != 0)
+        """,
         "map_transform": """
             SELECT p_partkey AS id, upper(p_brand) AS brand,
                    'catalog' AS source_system,
@@ -938,6 +1025,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reader_jdbc": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "reader_excel": """
+            SELECT r_regionkey, r_name FROM region
         """,
         "dedup_exact": f"""
             SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS canonical_id,

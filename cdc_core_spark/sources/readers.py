@@ -61,17 +61,113 @@ def read_positional(spark: SparkSession, path: str,
 
 
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0,
-               header: int = 0) -> DataFrame:
-    """ExcelInputReader (ExcelInputReader.java:64): driver-side pandas read
-    (Excel inputs are small config/intake files in the reference); requires
-    openpyxl — gated import."""
-    import pandas as pd
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet, header=header)
-    except ImportError as e:  # openpyxl not in this container
-        raise NotImplementedError(
-            "Excel read requires openpyxl, not available in this environment") from e
+               header: bool = True, schema: str | None = None) -> DataFrame:
+    """ExcelInputReader (ExcelInputReader.java:64): driver-side read — Excel
+    inputs are small config/intake files in the reference, never bulk data,
+    so a distributed scan buys nothing. Dependency-free: xlsx is a zip of
+    XML parts; this parses sheet rows + sharedStrings directly (no openpyxl
+    in the container). Supports shared/inline strings and numbers — the
+    subset the reference's header+grid reader handles."""
+    rows = _parse_xlsx(path, sheet)
+    if not rows:
+        raise ValueError(f"no rows in {path}")
+    if header:
+        names, data = rows[0], rows[1:]
+    else:
+        names, data = [f"c{i}" for i in range(len(rows[0]))], rows
+    names = [str(n) for n in names]
+    width = len(names)
+    data = [tuple((r + [None] * width)[:width]) for r in data]
+    if schema:
+        return spark.createDataFrame(data, schema=schema)
+    pdf = __import__("pandas").DataFrame(data, columns=names)
     return spark.createDataFrame(pdf)
+
+
+def write_excel_minimal(path: str, columns: list[str], rows: list[tuple]) -> None:
+    """Minimal xlsx writer (tests/fixtures only): one sheet, inline strings,
+    raw numbers. Produces the standard OPC zip layout any reader accepts."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(v) -> str:
+        if v is None:
+            return "<c/>"
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return f"<c><v>{v}</v></c>"
+        return f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    body = "".join(
+        "<row>" + "".join(cell(v) for v in r) + "</row>"
+        for r in [tuple(columns)] + list(rows))
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>' + body
+             + "</sheetData></worksheet>")
+    ct = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+          '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+          'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>')
+    wb = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+    rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId0" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            '</Relationships>')
+    wbrels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+              '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+              '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+              'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+              '</Relationships>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wbrels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def _parse_xlsx(path: str, sheet: str | int = 0) -> list[list]:
+    import re as _re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{NS}t"))
+                      for si in root.iter(f"{NS}si")]
+        idx = sheet if isinstance(sheet, int) else 0
+        sheets = sorted(n for n in z.namelist()
+                        if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        root = ET.fromstring(z.read(sheets[idx]))
+        out: list[list] = []
+        for row in root.iter(f"{NS}row"):
+            vals: list = []
+            for c in row.iter(f"{NS}c"):
+                t = c.get("t")
+                if t == "inlineStr":
+                    vals.append("".join(x.text or "" for x in c.iter(f"{NS}t")))
+                    continue
+                v = c.find(f"{NS}v")
+                if v is None or v.text is None:
+                    vals.append(None)
+                elif t == "s":
+                    vals.append(shared[int(v.text)])
+                else:
+                    num = float(v.text)
+                    vals.append(int(num) if num.is_integer() else num)
+            out.append(vals)
+        return out
 
 
 def read_jdbc(spark: SparkSession, url: str, table_or_query: str,

@@ -73,9 +73,31 @@ def test_infer_json_schema(spark):
     assert "a" in s and "ARRAY" in s.upper()
 
 
-def test_read_excel_gated(spark, tmp_path):
-    pytest.importorskip("openpyxl", reason="openpyxl not in container")
-    import pandas as pd
+def test_read_excel_roundtrip(spark, tmp_path):
     p = tmp_path / "c.xlsx"
-    pd.DataFrame(ROWS).to_excel(p, index=False)
+    cols = list(ROWS[0].keys())
+    readers.write_excel_minimal(str(p), cols, [tuple(r[c] for c in cols) for r in ROWS])
     _assert_customers(readers.read_excel(spark, str(p)))
+
+
+def test_read_excel_shared_strings_and_gaps(spark, tmp_path):
+    # exercise the sharedStrings branch + missing trailing cells via a zip
+    # built with the standard parts but t="s" cells
+    import zipfile
+    p = tmp_path / "s.xlsx"
+    readers.write_excel_minimal(str(p), ["a", "b"], [(1, "x")])
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ss = (f'<?xml version="1.0"?><sst xmlns="{ns}"><si><t>hello</t></si></sst>')
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+             '<row><c t="s"><v>0</v></c><c><v>2.5</v></c></row>'
+             '<row><c t="s"><v>0</v></c></row>'
+             "</sheetData></worksheet>")
+    with zipfile.ZipFile(p) as zin:
+        items = {n: zin.read(n) for n in zin.namelist()}
+    items["xl/sharedStrings.xml"] = ss.encode()
+    items["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zout:
+        for n, data in items.items():
+            zout.writestr(n, data)
+    rows = readers._parse_xlsx(str(p))
+    assert rows == [["hello", 2.5], ["hello"]]
