@@ -36,9 +36,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the CDC converged-state query — LWW-latest event per key,
-    broadcast-joined to the dimension table (the MERGE read-side shape)."""
-    return q_cdc_merge_state(spark, "/root/testdata/sf0.001")
+    """Flagship: a full end-to-end engine replay — initial snapshot load,
+    two LWW epochs with an in-band schema evolution, merge-on-read commits,
+    exactly-once manifests — returning the converged table with per-row
+    content sha256 (the BASELINE.json correctness invariant)."""
+    return q_cdc_engine_replay(spark, "/root/testdata/sf0.001")
 
 
 # ---------------------------------------------------------------------------
