@@ -39,7 +39,8 @@ CACHE = "/tmp/cdc_bench_cache"
 HEADLINE_QUERIES = [
     "cdc_lww_latest", "cdc_lww_salted", "cdc_merge_state", "cdc_running_window",
     "tumbling_window", "session_window", "json_extract",
-    "pricing_summary", "revenue_by_nation", "anti_semi_setops",
+    "pricing_summary", "revenue_by_nation", "anti_semi_setops", "cube",
+    "rules_pipeline",
     "dedup_exact", "minhash_near_dupes", "text_stats", "ann_cosine_topk",
     "embedding_pairs_exact",
 ]
