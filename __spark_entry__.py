@@ -372,6 +372,17 @@ def q_search(spark, sf_dir):
             .limit(20))
 
 
+def q_point_lookup(spark, sf_dir):
+    """Keyed point lookup (AbstractDataStore.find analog,
+    AbstractDataStore.java:228-247): conjunctive key equality — Catalyst
+    pushes it into the scan; on the bucketed target table it prunes to one
+    file group."""
+    from cdc_core_spark.query import find_by_key
+    c = _t(spark, sf_dir, "customer")
+    return find_by_key(c, {"c_custkey": 42}).select(
+        "c_custkey", "c_name", "c_mktsegment")
+
+
 def q_anti_semi_setops(spark, sf_dir):
     """Anti join: orders with no lineitem shipped after 1998-01-01
     (~10% of orders at every SF — non-degenerate on both sides)."""
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "topk_orders": q_topk_orders,
         "search_q": q_search,
+        "point_lookup": q_point_lookup,
         "anti_semi_setops": q_anti_semi_setops,
         "semi_join": q_semi_join,
         "setop_except": q_setop_except,
@@ -926,6 +938,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
             FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 1000
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "point_lookup": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey = 42
         """,
         "anti_semi_setops": """
             SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
