@@ -109,7 +109,12 @@ def minhash_signature(col, num_perm: int = 64, shingle_n: int = 3) -> "F.Column"
     64-wide accumulator) rather than 64 independent array_min expressions —
     Catalyst collapses projections, so 64 separate expressions would
     re-evaluate the whole normalize/tokenize/shingle pipeline 64× per row
-    (measured 10× slowdown at 5k docs)."""
+    (measured 10× slowdown at 5k docs).
+
+    Measured dead end: the classical hash-once + 64 affine permutations
+    ``(a_i*h+b_i) mod (2^31-1)`` family is ~1.4× SLOWER here — pmod is an
+    integer division and 65 of them cost more than 64 seeded xxhash64 calls
+    on short shingle strings (5k-doc A/B: 3.6s vs 2.6s)."""
     sh = ngrams(col, shingle_n)
     init = F.array_repeat(F.lit(_MAX_LONG), num_perm)
 
