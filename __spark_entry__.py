@@ -187,8 +187,12 @@ def _adapt_events(spark, sf_dir):
     content = F.concat(F.lit("c:"), F.col("user_id").cast("string"),
                        F.lit(":"), F.col("event_id").cast("string"))
     odd = F.col("event_id") % 2 == 1  # epoch-1 events, written under schema 1.1
+    # ~1% malformed (bad op code) — exercises the DLQ/quarantine route inside
+    # the oracle-checked replay: these events must NOT reach the final state
+    bad = F.col("event_id") % 101 == 0
     return ev.select(
-        F.when(F.col("event_type") == "signup", F.lit(3))
+        F.when(bad, F.lit(99))
+         .when(F.col("event_type") == "signup", F.lit(3))
          .when(is_del, F.lit(5)).otherwise(F.lit(4)).cast("bigint").alias("op"),
         F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
         F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
@@ -262,7 +266,10 @@ def q_cdc_engine_replay(spark, sf_dir):
     column is part of the value-hashed result: odd-seq winners carry
     length(content), all earlier writers read back as NULL via
     metadata-only evolution (AvroChangeType.isSchemaChange DDL path +
-    EntitySchema.apply semantics)."""
+    EntitySchema.apply semantics). ~1% of events carry an invalid op and
+    must be quarantined (DLQ, MessageProcessor.sendError analog) — the
+    oracle excludes them, so mis-applying a malformed event fails the
+    value-hash."""
     import shutil
     from cdc_core_spark.engine import CdcEngine
 
@@ -808,6 +815,9 @@ _ENGINE_REPLAY_SQL = """
     WITH ev AS (
       SELECT CASE WHEN event_type = 'signup' THEN 3
                   WHEN event_type = 'error' THEN 5 ELSE 4 END AS op,
+             -- event_id % 101 = 0 rows carry an invalid op in the adapter
+             -- and are quarantined by the engine, never applied
+             event_id % 101 = 0 AS malformed,
              'r' || CAST(user_id % 7 AS VARCHAR) AS repo,
              'p' || CAST(user_id AS VARCHAR) AS path,
              CASE WHEN event_type = 'error' THEN NULL
@@ -820,7 +830,8 @@ _ENGINE_REPLAY_SQL = """
     ),
     w AS (SELECT *, row_number() OVER (
               PARTITION BY repo, path
-              ORDER BY op_ts DESC, event_seq DESC) AS rn FROM ev),
+              ORDER BY op_ts DESC, event_seq DESC) AS rn
+          FROM ev WHERE NOT malformed),
     winners AS (SELECT repo, path, op, lang, content, event_seq
                 FROM w WHERE rn = 1),
     init AS (SELECT 'r' || CAST(c_custkey % 7 AS VARCHAR) AS repo,
