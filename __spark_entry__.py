@@ -290,6 +290,39 @@ def q_cdc_engine_replay(spark, sf_dir):
         F.sha2("content", 256).alias("content_sha"))
 
 
+def q_cdc_engine_manifests(spark, sf_dir):
+    """Lineage/metrics gate: run the same engine replay and return the commit
+    manifests aggregated per epoch — events_read (valid events entering LWW),
+    events_applied (winner rows), events_error (quarantined) must equal the
+    oracle's direct counts over the raw stream (EntityReadState /
+    EntityWriteState + EventProcessorMetrics analogs; manifest rows are the
+    exactly-once ledger keyed (checkpoint_epoch, partition_id)).
+
+    Aggregated to epoch level because partition_id is the engine's internal
+    storage-bucket hash — per-epoch totals are engine-independent facts."""
+    import shutil
+    from cdc_core_spark.engine import CdcEngine
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/cdc_entry_manifests_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+    adapted = _adapt_events(spark, sf_dir)
+    for epoch in (0, 1):
+        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
+        if epoch == 1:
+            batch = _ddl_row(spark).unionByName(batch)
+        eng.apply_epoch(batch, epoch)
+    mf = eng.manifests_df()
+    return (mf.filter(F.col("checkpoint_epoch") >= 0)
+            .groupBy(F.col("checkpoint_epoch").cast("bigint").alias("checkpoint_epoch"))
+            .agg(F.sum("events_read").alias("events_read"),
+                 F.sum("events_applied").alias("events_applied"),
+                 F.sum("events_error").alias("events_error"),
+                 F.max("max_event_seq").alias("max_event_seq")))
+
+
 def q_stream_engine_replay(spark, sf_dir):
     """The SAME replay through Structured Streaming: the adapted event log is
     laid down as parquet files, tailed as a file stream with
@@ -749,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tx_metrics": q_cdc_tx_metrics,
         "cdc_engine_replay": q_cdc_engine_replay,
         "stream_engine_replay": q_stream_engine_replay,
+        "cdc_engine_manifests": q_cdc_engine_manifests,
         "cdc_running_window": q_cdc_running_window,
         "tumbling_window": q_tumbling_window,
         "session_window": q_session_window,
@@ -986,6 +1020,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
+        "cdc_engine_manifests": """
+            SELECT event_id % 2 AS checkpoint_epoch,
+                   count(*) FILTER (WHERE event_id % 101 != 0) AS events_read,
+                   count(DISTINCT (user_id))
+                       FILTER (WHERE event_id % 101 != 0) AS events_applied,
+                   count(*) FILTER (WHERE event_id % 101 = 0) AS events_error,
+                   max(event_id) FILTER (WHERE event_id % 101 != 0)
+                       AS max_event_seq
+            FROM events GROUP BY event_id % 2
+        """,
         "rules_pipeline": """
             SELECT o_orderkey, o_orderstatus, 'orders' AS src,
                    CASE WHEN o_totalprice > 200000 THEN 'high'
