@@ -75,14 +75,29 @@ def ngrams(col, n: int = 3) -> "F.Column":
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_postings: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold via inverted index:
     |A∩B| from gram co-occurrence counts, |A|,|B| from per-doc gram counts.
-    Shuffle cost O(total grams), never O(N²)."""
+    Shuffle cost O(total grams), never O(N²).
+
+    ``max_postings`` is the 100-TB guard: a stop-gram shared by k docs
+    produces a k² join group, so corpora with common phrases need the
+    posting-list cap (same rationale as the LSH bucket cap). Dropping a
+    gram from the INDEX only removes candidate discovery via that gram; it
+    biases Jaccard of the surviving pairs because the intersection counter
+    loses the gram — hence default None (exact, what the oracle checks) and
+    opt-in at scale."""
     g = (df.select(F.col(id_col).alias("doc"), ngrams(text_col, n).alias("grams"))
            .withColumn("n_grams", F.size("grams")))
     sizes = g.select("doc", "n_grams")
     inv = g.select("doc", F.explode("grams").alias("gram"))
+    if max_postings is not None:
+        freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        inv = (inv.join(F.broadcast(freq.filter(F.col("_df") > max_postings)
+                                    .select("gram").withColumn("_stop", F.lit(True))),
+                        "gram", "left")
+               .filter(F.col("_stop").isNull()).drop("_stop"))
     co = (inv.alias("a").join(inv.alias("b"),
                               (F.col("a.gram") == F.col("b.gram"))
                               & (F.col("a.doc") < F.col("b.doc")))

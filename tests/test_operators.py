@@ -41,6 +41,22 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_postings_cap(docs):
+    """max_postings drops stop-grams from the index, which biases the
+    estimated Jaccard DOWNWARD (intersection loses the dropped grams while
+    doc sizes stay full) — the docstring's caveat. Dup pairs stay
+    discoverable through their surviving rarer grams at a lower threshold;
+    with a cap of 1 no gram may index more than one doc, so no pairs at
+    all."""
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                        threshold=0.1, max_postings=3).collect()}
+    assert (1, 2) in capped and (1, 7) in capped  # via df=3 'dog' grams
+    none = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                     threshold=0.0, max_postings=1).collect()
+    assert none == []
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {(r["doc_a"], r["doc_b"]) for r in
              dedup.minhash_near_dupes(docs, "doc_id", "text",
