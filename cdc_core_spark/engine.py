@@ -47,6 +47,24 @@ def _list_epochs(events_path: str) -> list[int] | None:
     return sorted(int(os.path.basename(d).split("=")[1]) for d in dirs)
 
 
+def _footer_stats(path: str, max_cols: tuple[str, ...]) -> tuple[int, int | None, int | None]:
+    """(num_rows, max(col) per requested column) from parquet footer metadata —
+    driver-side, no Spark job. Spark always writes int64 min/max statistics."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    maxima: list[int | None] = []
+    for col in max_cols:
+        idx = name_to_idx[col]
+        best = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                best = st.max if best is None else max(best, st.max)
+        maxima.append(best)
+    return (md.num_rows, *maxima)
+
+
 def valid_event_pred():
     """Quarantine predicate (reference DLQ: MessageProcessor.java:216-225):
     data op code, non-null key, DELETE must not carry content."""
@@ -166,7 +184,8 @@ class CdcEngine:
     # ------------------------------------------------------------- epoch apply
     def apply_epoch(self, events: DataFrame, epoch: int,
                     err_stats: dict[int, int] | None = None,
-                    schema_rows: list | None = None) -> list[dict]:
+                    schema_rows: list | None = None,
+                    read_stats: dict[int, int] | None = None) -> list[dict]:
         """Process one epoch end-to-end and atomically commit. Returns the
         manifest rows written (one per touched storage bucket = partition_id).
 
@@ -175,7 +194,18 @@ class CdcEngine:
         whole epoch costs exactly TWO Spark jobs: (1) materialize the LWW
         winners (which carry their own lineage stats — ``with_stats``), and
         (2) the single-shuffle merge+write. Direct callers (tests) may omit
-        them and pay the per-epoch scans instead."""
+        them and pay the per-epoch scans instead.
+
+        ``read_stats`` (per-bucket valid-event counts, precomputed by the
+        replay loop in one count-only job for ALL epochs) upgrades the
+        merge-on-read path to exactly ONE Spark job per epoch: the remaining
+        manifest stats — events_applied, (max_op_ts, max_event_seq)
+        watermark — are read from the staged parquet FOOTERS of the delta
+        write itself (num_rows + column min/max statistics), so the separate
+        winners-materialize job disappears. Values are identical to the
+        two-job path: every valid event folds into its key's winner, and the
+        winner's ``_max_seq``/``_op_ts`` maxima per bucket are exactly the
+        footer maxima of the staged columns."""
         t0 = time.monotonic()
         sdef = self._apply_schema_ops(events, epoch, schema_rows=schema_rows)
         key_cols = sdef.key_cols()
@@ -208,6 +238,37 @@ class CdcEngine:
         winners = lww_reduce(ev, key_cols, payload_cols + ["op"], salt=self.salt,
                              with_stats=True)
         winners = winners.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
+
+        if read_stats is not None and self.merge_mode == "mor":
+            # Single-job fast path: stage+commit the delta (keeping _max_seq
+            # for the footer watermark), then derive per-bucket manifests
+            # from the staged footers + precomputed read/err counts.
+            delta = (winners.drop("_n_events")
+                     .withColumn("_deleted", F.col("op") == OP_DELETE).drop("op"))
+
+            def manifests_from_footers(new_files: list[dict]) -> list[dict]:
+                applied, max_ts, max_seq = {}, {}, {}
+                for f in new_files:
+                    b = f["bucket"]
+                    rows, mts, mseq = _footer_stats(
+                        os.path.join(self.table.root, f["path"]),
+                        ("_op_ts", "_max_seq"))
+                    applied[b] = applied.get(b, 0) + rows
+                    if mts is not None:
+                        max_ts[b] = max(max_ts.get(b, mts), mts)
+                    if mseq is not None:
+                        max_seq[b] = max(max_seq.get(b, mseq), mseq)
+                stats = {
+                    b: {"_bucket": b, "events_applied": applied[b],
+                        "events_read": read_stats.get(b, 0),
+                        "max_op_ts": max_ts.get(b), "max_event_seq": max_seq.get(b)}
+                    for b in applied
+                }
+                return self._manifest_rows(epoch, stats, err_stats, t0)
+
+            snap = self.table.commit_delta(delta, epoch=epoch,
+                                           manifests=manifests_from_footers)
+            return snap.manifests
 
         # Job 1 — materialize winners (persisted); ONE collect on the cache
         # yields every per-bucket manifest stat. (An observe/CollectMetrics
@@ -325,23 +386,30 @@ class CdcEngine:
                   .orderBy("event_seq").collect()):
             schema_by_epoch[r["checkpoint_epoch"]].append(r)
 
-        # One scan + one write for ALL malformed events of the run (DLQ):
-        # malformed-ness is state-independent, so quarantine routing doesn't
-        # need to ride inside the per-epoch loop. Dynamic partition overwrite
-        # keeps re-runs idempotent without clobbering other epochs' DLQ.
+        # One count-only scan for ALL epochs' lineage pre-stats (valid reads
+        # AND malformed counts per bucket — column-pruned to key cols + op +
+        # epoch, no payload). Malformed-ness is state-independent, so DLQ
+        # routing doesn't need to ride inside the per-epoch loop either.
+        # Dynamic partition overwrite keeps re-runs idempotent without
+        # clobbering other epochs' DLQ. With these in hand each MOR epoch
+        # costs exactly ONE Spark job (see apply_epoch read_stats path).
         key_cols = self._key_cols()
         vpred = valid_event_pred()
         nb = F.pmod(
             F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
             F.lit(self.n_buckets)).cast("int")
         data = scope.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
-        err_rows = (data.filter(~vpred).withColumn("_bucket", nb)
-                    .groupBy("checkpoint_epoch", "_bucket")
-                    .agg(F.count(F.lit(1)).alias("n")).collect())
+        stat_rows = (data.withColumn("_bucket", nb).withColumn("_ok", vpred)
+                     .groupBy("checkpoint_epoch", "_bucket", "_ok")
+                     .agg(F.count(F.lit(1)).alias("n")).collect())
         err_by_epoch: dict[int, dict[int, int]] = {e: {} for e in todo}
-        for r in err_rows:
-            err_by_epoch[r["checkpoint_epoch"]][r["_bucket"]] = r["n"]
-        if err_rows:
+        read_by_epoch: dict[int, dict[int, int]] = {e: {} for e in todo}
+        n_err = 0
+        for r in stat_rows:
+            tgt = read_by_epoch if r["_ok"] else err_by_epoch
+            tgt[r["checkpoint_epoch"]][r["_bucket"]] = r["n"]
+            n_err += 0 if r["_ok"] else r["n"]
+        if n_err:
             bad = data.filter(~vpred)
             reason = (
                 F.when(~F.col("op").isin(*DATA_OPS), F.lit("invalid_op"))
@@ -356,7 +424,8 @@ class CdcEngine:
         for i, e in enumerate(todo, start=1):
             batch = events.filter(F.col("checkpoint_epoch") == e)
             self.apply_epoch(batch, e, err_stats=err_by_epoch[e],
-                             schema_rows=schema_by_epoch[e])
+                             schema_rows=schema_by_epoch[e],
+                             read_stats=read_by_epoch[e])
             if compact_every and i % compact_every == 0:
                 self.compact()
 

@@ -242,10 +242,12 @@ class SnapshotTable:
         table per batch; CopyOnWrite via ``commit_merge`` remains for
         compaction and maintenance).
 
-        ``manifests`` may be a list, or a zero-arg callable evaluated after
-        the stage write and before the snapshot publish — this lets the
-        caller derive manifest stats from ``df.observe`` metrics of the very
-        same job, so an epoch costs exactly ONE Spark job."""
+        ``manifests`` may be a list, or a callable evaluated after the stage
+        write and before the snapshot publish — called with the staged file
+        list (each ``{path, bucket, ...}``, paths relative to the table
+        root) so the caller can derive manifest stats from ``df.observe``
+        metrics or the staged parquet footers of the very same job, making
+        an epoch cost exactly ONE Spark job."""
         prev = self.latest()
         sid = _sid_for(prev, prev.fields)
         schemas = dict(prev.schemas)
@@ -263,7 +265,7 @@ class SnapshotTable:
             for p in glob.glob(os.path.join(bdir, "*.parquet")):
                 new_files.append({"path": os.path.relpath(p, self.root),
                                   "bucket": b, "schema_id": sid, "kind": "delta"})
-        manifest_rows = manifests() if callable(manifests) else manifests
+        manifest_rows = manifests(new_files) if callable(manifests) else manifests
         snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
                         key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
                         schemas=schemas, files=prev.files + new_files,
