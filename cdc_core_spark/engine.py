@@ -190,11 +190,12 @@ class CdcEngine:
         manifest rows written (one per touched storage bucket = partition_id).
 
         The replay loop passes pre-collected ``err_stats`` (per-bucket
-        malformed counts) and ``schema_rows`` (in-band DDL events) so the
-        whole epoch costs exactly TWO Spark jobs: (1) materialize the LWW
-        winners (which carry their own lineage stats — ``with_stats``), and
-        (2) the single-shuffle merge+write. Direct callers (tests) may omit
-        them and pay the per-epoch scans instead.
+        malformed counts) and ``schema_rows`` (in-band DDL events); without
+        ``read_stats`` the epoch then costs two Spark jobs: (1) materialize
+        the LWW winners (which carry their own lineage stats —
+        ``with_stats``), and (2) the single-shuffle merge+write. Direct
+        callers (tests, streaming) may omit them and pay the per-epoch scans
+        instead.
 
         ``read_stats`` (per-bucket valid-event counts, precomputed by the
         replay loop in one count-only job for ALL epochs) upgrades the
