@@ -99,6 +99,27 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                         (F.col("frame_ts_ms") / F.lit(every_ms)).cast("int")))
 
 
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Derive a MEDIA_SCHEMA table from a text corpus: the payload is the
+    document's bytes (opaque binary, exactly how a real pipeline carries
+    undecoded media), metadata derived deterministically from the id. Lets
+    the multimodal plumbing run over the provided testdata tables instead of
+    a synthesized corpus — row count and payload sizes scale with the SF."""
+    kinds = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+    mid = F.col(id_col).cast("long")
+    kind = F.element_at(F.array(*[F.lit(k) for k, _ in kinds]),
+                        (mid % 3 + 1).cast("int"))
+    mime = F.element_at(F.array(*[F.lit(m) for _, m in kinds]),
+                        (mid % 3 + 1).cast("int"))
+    return docs.select(
+        mid.alias("media_id"), kind.alias("kind"), mime.alias("mime"),
+        (mid % 64 + 16).cast("int").alias("width"),
+        (mid % 48 + 16).cast("int").alias("height"),
+        (mid * 37 % 5000).cast("long").alias("duration_ms"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table matching MEDIA_SCHEMA (payload = seeded
     bytes; kind/mime cycled) for tests and benchmarks."""
