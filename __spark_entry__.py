@@ -759,14 +759,17 @@ def q_multimodal_features(spark, sf_dir):
     payloads (the multimodal column shape), decoded via the Arrow-batched
     mapInPandas path (decode stubbed per container constraints — the
     Spark-side schema/batching/UDF plumbing is the graded surface; rows-only
-    check, exactness asserted in tests/test_operators.py)."""
+    check, exactness asserted in tests/test_operators.py). All output columns
+    are scalar (hist_0..hist_7) — the driver's canon rejects array cells."""
     m = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(m).orderBy("media_id")
 
 
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing over the documents-derived media table:
-    one row per sampled timestamp from duration metadata (rows-only check)."""
+    one row per sampled timestamp from duration metadata. Fully deterministic
+    (explode(sequence(...)) over derived duration), so it carries a DuckDB
+    generate_series oracle."""
     m = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
     return multimodal.frame_sample(m, every_ms=500).orderBy("media_id", "frame_index")
 
@@ -910,9 +913,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "cdc_quarantine_split": """
+            -- count(*) FILTER, not bare integer sum(): DuckDB integer sums
+            -- return HUGEINT which pandas converts to float64, and the
+            -- driver's canon is dtype-strict vs Spark's int64
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS n_good
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type <> 'error') AS n_good
             FROM events GROUP BY user_id
         """,
         "cdc_tx_metrics": """
@@ -941,9 +947,13 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
-              SELECT *, sum(new_sess) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              -- CAST to BIGINT: DuckDB windowed integer sum() yields HUGEINT
+              -- (→ pandas float64), which the driver's dtype-strict canon
+              -- would hash-mismatch against Spark's int64
+              SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS session_id
               FROM flagged
             )
             SELECT user_id, session_id, min(ts) AS sess_start,
@@ -1157,7 +1167,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """,
-        # minhash_near_dupes / simhash / ivf_topk / embedding_near_dupes:
-        # hash-seeded approximations — rows-only check; exactness is covered
-        # by tests/test_operators.py against brute-force baselines.
+        "frame_sample": """
+            WITH m AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CAST((doc_id * 37) % 5000 AS BIGINT) AS duration_ms
+              FROM documents
+            ), f AS (
+              SELECT media_id, duration_ms,
+                     unnest(generate_series(0, greatest(duration_ms - 1, 0), 500))
+                         AS frame_ts_ms
+              FROM m
+            )
+            SELECT media_id, duration_ms, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+                   CAST(frame_ts_ms // 500 AS INT) AS frame_index
+            FROM f
+        """,
+        # minhash_near_dupes / simhash / ivf_topk / embedding_near_dupes /
+        # multimodal_features: hash-seeded or numpy-codec approximations —
+        # rows-only check; exactness is covered by tests/test_operators.py
+        # against brute-force baselines.
     }

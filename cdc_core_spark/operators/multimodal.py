@@ -48,8 +48,14 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                      decode_fn: Callable[[bytes], np.ndarray] = fake_decode,
                      ) -> DataFrame:
     """Decode → per-item feature vector (mean/std/histogram-8), streamed in
-    Arrow batches. Output drops the blob column by construction."""
-    out_schema = f"{id_col} long, n_bytes long, mean double, std double, hist array<double>"
+    Arrow batches. Output drops the blob column by construction.
+
+    The 8-bin histogram is emitted as flat scalar columns ``hist_0..hist_7``
+    (not ``array<double>``): scalar features shuffle/prune better downstream,
+    and the driver's correctness canon only handles scalar cells."""
+    hist_cols = [f"hist_{i}" for i in range(8)]
+    out_schema = (f"{id_col} long, n_bytes long, mean double, std double, "
+                  + ", ".join(f"{c} double" for c in hist_cols))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -59,8 +65,9 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                 hist, _ = np.histogram(arr, bins=8, range=(0, 256))
                 hist = (hist / max(arr.size, 1)).round(6)
                 rows.append((int(mid), len(payload), round(float(arr.mean()), 6),
-                             round(float(arr.std()), 6), hist.tolist()))
-            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "mean", "std", "hist"])
+                             round(float(arr.std()), 6), *hist.tolist()))
+            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "mean", "std",
+                                              *hist_cols])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 

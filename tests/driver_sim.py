@@ -22,20 +22,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> tuple[str, list[str], int]:
+    """Dtype-STRICT canon mirroring the real driver (judged round 1):
+    a float 2.0 is NOT the int 2 (DuckDB HUGEINT sums come back as float64 —
+    oracles must CAST to BIGINT), and array/list cells are rejected outright
+    (the driver's pandas sort_values crashes on unhashable cells)."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return f"{v:.6g}"
-        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
-            seq = v.tolist() if hasattr(v, "tolist") else v
-            return "[" + ",".join(cell(x) for x in seq) + "]"
+            return f"f:{v:.6g}"
+        if isinstance(v, (list, tuple, dict)) or (hasattr(v, "tolist")
+                                                  and getattr(v, "ndim", 0)):
+            raise TypeError(
+                f"array-typed cell {type(v).__name__} — the driver's canon "
+                "cannot sort these; gate queries must emit scalars only")
         if isinstance(v, (bytes, bytearray)):
             return v.hex()
+        if isinstance(v, (int,)) or hasattr(v, "item"):  # numpy scalar ints
+            return f"i:{int(v)}" if not isinstance(v, float) else f"f:{v:.6g}"
         return str(v)
 
     rows = sorted(
@@ -73,6 +79,12 @@ def main() -> None:
             n_fail += 1
             continue
         if name not in omap:
+            try:
+                canon(sdf)  # the real driver canonicalizes rows-only queries too
+            except TypeError as e:
+                print(f"FAIL  {name}: canon error {e}")
+                n_fail += 1
+                continue
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
@@ -81,8 +93,13 @@ def main() -> None:
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        sh, scols, sn = canon(sdf)
-        oh, ocols, on = canon(odf)
+        try:
+            sh, scols, sn = canon(sdf)
+            oh, ocols, on = canon(odf)
+        except TypeError as e:
+            print(f"FAIL  {name}: canon error {e}")
+            n_fail += 1
+            continue
         if scols != ocols:
             print(f"FAIL  {name}: schema {scols} vs {ocols}")
             n_fail += 1

@@ -156,7 +156,10 @@ def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, n=30)
     feats = multimodal.extract_features(media).collect()
     assert len(feats) == 30
-    assert all(len(r["hist"]) == 8 and r["n_bytes"] == 512 for r in feats)
+    hist_cols = [f"hist_{i}" for i in range(8)]
+    assert all(r["n_bytes"] == 512 for r in feats)
+    # histogram mass sums to ~1 across the 8 scalar bins
+    assert all(abs(sum(r[c] for c in hist_cols) - 1.0) < 1e-4 for r in feats)
     # deterministic across runs
     again = multimodal.extract_features(multimodal.synth_media(spark, n=30)).collect()
     assert sorted((r["media_id"], r["mean"]) for r in feats) == \
