@@ -67,11 +67,26 @@ def _footer_stats(path: str, max_cols: tuple[str, ...]) -> tuple[int, int | None
 
 def valid_event_pred():
     """Quarantine predicate (reference DLQ: MessageProcessor.java:216-225):
-    data op code, non-null key, DELETE must not carry content."""
-    return (
+    data op code, non-null key, DELETE must not carry content.
+
+    Null-safe by construction: a null op makes the raw conjunction NULL,
+    which `filter(pred)` drops but `filter(~pred)` ALSO drops — the counting
+    and quarantine paths would disagree. coalesce(False) pins null-op rows
+    to invalid on every consumer."""
+    return F.coalesce(
         F.col("op").isin(*DATA_OPS)
         & F.col("repo").isNotNull() & F.col("path").isNotNull()
-        & ~((F.col("op") == OP_DELETE) & F.col("content").isNotNull())
+        & ~((F.col("op") == OP_DELETE) & F.col("content").isNotNull()),
+        F.lit(False))
+
+
+def _error_reason():
+    """DLQ reason tag, null-safe on op (shared by both quarantine writers)."""
+    return (
+        F.when(~F.coalesce(F.col("op").isin(*DATA_OPS), F.lit(False)),
+               F.lit("invalid_op"))
+        .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
+        .otherwise(F.lit("delete_with_content"))
     )
 
 
@@ -344,12 +359,7 @@ class CdcEngine:
         """DLQ: original event + reason, per-epoch overwrite (idempotent rerun).
         Reference: error messages re-tagged mode=Error with correlation id
         (MessageProcessor.sendError, BaseKafkaProducer keyed send)."""
-        reason = (
-            F.when(~F.col("op").isin(*DATA_OPS), F.lit("invalid_op"))
-            .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
-            .otherwise(F.lit("delete_with_content"))
-        )
-        out = bad.withColumn("error_reason", reason)
+        out = bad.withColumn("error_reason", _error_reason())
         (out.write.mode("overwrite")
             .parquet(os.path.join(self.errors_dir, f"checkpoint_epoch={epoch}")))
 
@@ -412,12 +422,7 @@ class CdcEngine:
             n_err += 0 if r["_ok"] else r["n"]
         if n_err:
             bad = data.filter(~vpred)
-            reason = (
-                F.when(~F.col("op").isin(*DATA_OPS), F.lit("invalid_op"))
-                .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
-                .otherwise(F.lit("delete_with_content"))
-            )
-            (bad.withColumn("error_reason", reason)
+            (bad.withColumn("error_reason", _error_reason())
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("checkpoint_epoch").parquet(self.errors_dir))

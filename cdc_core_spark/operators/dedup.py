@@ -168,11 +168,19 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    # cache: the signature pipeline feeds the band explode AND both sides of
-    # the candidate join — uncached it would be recomputed 3× (the dominant
-    # cost; signatures are num_perm longs per doc, tiny to hold)
+    # localCheckpoint (lazy), not cache(): the signature pipeline feeds the
+    # band explode AND both sides of the candidate join — unmaterialized it
+    # would be recomputed 3× (the dominant cost; signatures are num_perm
+    # longs per doc, tiny to hold). cache() blocks live in the CacheManager
+    # until an explicit unpersist — impossible here because the returned
+    # DataFrame still references them — so repeated calls leak executor
+    # storage for the session lifetime. localCheckpoint blocks are owned by
+    # the RDD and reclaimed by the ContextCleaner once the result DataFrame
+    # is dropped. (Tradeoff: checkpointed partitions aren't recomputable on
+    # executor loss; acceptable for a derived, rerunnable dedup pass.)
     sigs = df.select(F.col(id_col).alias("doc"),
-                     minhash_signature(text_col, num_perm, shingle_n).alias("sig")).cache()
+                     minhash_signature(text_col, num_perm, shingle_n).alias("sig")
+                     ).localCheckpoint(eager=False)
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bkey"))

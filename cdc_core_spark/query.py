@@ -38,12 +38,25 @@ class Q:
     params: dict = field(default_factory=dict)
 
     def bound_where(self) -> str | None:
+        """Bind named params into the predicate text. Word-boundary regex,
+        longest name first — `:p` must never corrupt `:p2` — and string
+        values are SQL-escaped (' → '') so a quote in a value can't break
+        or inject into the expression handed to Catalyst."""
         if self.where is None:
             return None
+        import re
         w = self.where
-        for k, v in self.params.items():
-            lit = f"'{v}'" if isinstance(v, str) else repr(v)
-            w = w.replace(f":{k}", lit)
+        for k in sorted(self.params, key=len, reverse=True):
+            v = self.params[k]
+            if v is None:
+                lit = "NULL"
+            elif isinstance(v, bool):
+                lit = "true" if v else "false"
+            elif isinstance(v, str):
+                lit = "'" + v.replace("'", "''") + "'"
+            else:
+                lit = repr(v)
+            w = re.sub(rf":{re.escape(k)}\b", lambda _m, lit=lit: lit, w)
         return w
 
 

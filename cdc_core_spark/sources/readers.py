@@ -85,87 +85,186 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0,
 
 
 def write_excel_minimal(path: str, columns: list[str], rows: list[tuple]) -> None:
-    """Minimal xlsx writer (tests/fixtures only): one sheet, inline strings,
-    raw numbers. Produces the standard OPC zip layout any reader accepts."""
+    """Minimal single-sheet xlsx writer (tests/fixtures only)."""
+    write_excel_multi(path, [("Sheet1", columns, rows)])
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index → A1 letters (0→A, 26→AA)."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def write_excel_multi(path: str,
+                      sheets: list[tuple[str, list[str], list[tuple]]]) -> None:
+    """Multi-sheet xlsx writer (tests/fixtures only): inline strings, raw
+    numbers, and POI-faithful sparse encoding — None cells are OMITTED and
+    every cell carries its r="B2" reference, exactly the layout real writers
+    produce (exercises the reader's gap-padding path)."""
     import zipfile
     from xml.sax.saxutils import escape
 
-    def cell(v) -> str:
-        if v is None:
-            return "<c/>"
+    def cell(ci: int, ri: int, v) -> str:
+        ref = f"{_col_letter(ci)}{ri}"
         if isinstance(v, (int, float)) and not isinstance(v, bool):
-            return f"<c><v>{v}</v></c>"
-        return f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>')
 
-    body = "".join(
-        "<row>" + "".join(cell(v) for v in r) + "</row>"
-        for r in [tuple(columns)] + list(rows))
-    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-             '<worksheet xmlns="http://schemas.openxmlformats.org/'
-             'spreadsheetml/2006/main"><sheetData>' + body
-             + "</sheetData></worksheet>")
+    def sheet_xml(columns, rows) -> str:
+        body = "".join(
+            f'<row r="{ri}">' + "".join(
+                cell(ci, ri, v) for ci, v in enumerate(r) if v is not None)
+            + "</row>"
+            for ri, r in enumerate([tuple(columns)] + list(rows), start=1))
+        return ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main"><sheetData>' + body
+                + "</sheetData></worksheet>")
+
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(1, len(sheets) + 1))
     ct = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
           '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
           '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
           '<Default Extension="xml" ContentType="application/xml"/>'
           '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
           'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
-          'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>')
+          + overrides + "</Types>")
+    sheet_decls = "".join(
+        f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, (name, _c, _r) in enumerate(sheets, start=1))
     wb = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
           '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
           'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-          '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>')
+          f'<sheets>{sheet_decls}</sheets></workbook>')
     rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             '<Relationship Id="rId0" Type="http://schemas.openxmlformats.org/'
             'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
             '</Relationships>')
+    wb_rel_items = "".join(
+        f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, len(sheets) + 1))
     wbrels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
               '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-              '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
-              'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
-              '</Relationships>')
+              + wb_rel_items + "</Relationships>")
     with zipfile.ZipFile(path, "w") as z:
         z.writestr("[Content_Types].xml", ct)
         z.writestr("_rels/.rels", rels)
         z.writestr("xl/workbook.xml", wb)
         z.writestr("xl/_rels/workbook.xml.rels", wbrels)
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        for i, (_name, columns, rows) in enumerate(sheets, start=1):
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml(columns, rows))
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RID_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _cell_col_index(ref: str | None) -> int | None:
+    """'B2' → 1 (0-based column index from the letters of an A1 ref)."""
+    if not ref:
+        return None
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1 if n else None
+
+
+def _resolve_sheet_part(z, sheet: str | int) -> str:
+    """Resolve a sheet name or workbook-order index to its worksheet part via
+    xl/workbook.xml + its rels (what POI — the reference ExcelInputReader's
+    engine — does). Raises on an unknown sheet name. Falls back to
+    numeric-suffix-ordered sheet files only when workbook.xml is absent
+    (lexicographic ordering would misresolve sheet10 before sheet2)."""
+    import re as _re
+    from xml.etree import ElementTree as ET
+
+    names = set(z.namelist())
+    if "xl/workbook.xml" in names:
+        rels: dict[str, str] = {}
+        if "xl/_rels/workbook.xml.rels" in names:
+            for rel in ET.fromstring(z.read("xl/_rels/workbook.xml.rels")).iter(
+                    f"{_REL_NS}Relationship"):
+                rels[rel.get("Id")] = rel.get("Target")
+        sheets: list[tuple[str, str | None]] = []
+        for s in ET.fromstring(z.read("xl/workbook.xml")).iter(f"{_XLSX_NS}sheet"):
+            target = rels.get(s.get(f"{_RID_NS}id"))
+            if target is not None:
+                target = target.lstrip("/")
+                if not target.startswith("xl/"):
+                    target = "xl/" + target
+            sheets.append((s.get("name"), target))
+        if isinstance(sheet, str):
+            by_name = {n: t for n, t in sheets}
+            if sheet not in by_name:
+                raise ValueError(
+                    f"unknown sheet {sheet!r}; workbook has {[n for n, _ in sheets]}")
+            part = by_name[sheet]
+        else:
+            if not 0 <= sheet < len(sheets):
+                raise ValueError(f"sheet index {sheet} out of range "
+                                 f"({len(sheets)} sheets)")
+            part = sheets[sheet][1]
+        if part is not None:
+            return part
+        # workbook.xml without usable rels: fall through to file ordering
+    if isinstance(sheet, str):
+        raise ValueError(f"cannot resolve sheet name {sheet!r}: no xl/workbook.xml")
+    parts = sorted(
+        (n for n in names if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(_re.search(r"sheet(\d+)\.xml$", n).group(1)))
+    return parts[sheet]
 
 
 def _parse_xlsx(path: str, sheet: str | int = 0) -> list[list]:
-    import re as _re
     import zipfile
     from xml.etree import ElementTree as ET
 
-    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    NS = _XLSX_NS
     with zipfile.ZipFile(path) as z:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             shared = ["".join(t.text or "" for t in si.iter(f"{NS}t"))
                       for si in root.iter(f"{NS}si")]
-        idx = sheet if isinstance(sheet, int) else 0
-        sheets = sorted(n for n in z.namelist()
-                        if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
-        root = ET.fromstring(z.read(sheets[idx]))
+        root = ET.fromstring(z.read(_resolve_sheet_part(z, sheet)))
         out: list[list] = []
         for row in root.iter(f"{NS}row"):
             vals: list = []
             for c in row.iter(f"{NS}c"):
+                # honor the r="B2" cell reference: real writers (Excel/POI)
+                # omit blank cells, so positional reading would silently
+                # shift later values left — pad the gap with None instead
+                ci = _cell_col_index(c.get("r"))
+                if ci is None:
+                    ci = len(vals)
+                while len(vals) < ci:
+                    vals.append(None)
                 t = c.get("t")
                 if t == "inlineStr":
-                    vals.append("".join(x.text or "" for x in c.iter(f"{NS}t")))
-                    continue
-                v = c.find(f"{NS}v")
-                if v is None or v.text is None:
-                    vals.append(None)
-                elif t == "s":
-                    vals.append(shared[int(v.text)])
+                    val = "".join(x.text or "" for x in c.iter(f"{NS}t"))
                 else:
-                    num = float(v.text)
-                    vals.append(int(num) if num.is_integer() else num)
+                    v = c.find(f"{NS}v")
+                    if v is None or v.text is None:
+                        val = None
+                    elif t == "s":
+                        val = shared[int(v.text)]
+                    else:
+                        num = float(v.text)
+                        val = int(num) if num.is_integer() else num
+                vals.append(val)
             out.append(vals)
         return out
 

@@ -37,6 +37,24 @@ def test_find_by_key(spark):
     assert len(got) == 1 and got[0]["o_orderkey"] == some
 
 
+def test_bound_where_prefix_params_and_quote_escape():
+    # :p must not corrupt :p2 (longest-first, word-boundary match), and a
+    # quote inside a string value must be SQL-escaped, not break the expr
+    q = Q(where="a = :p AND b = :p2 AND c = :name",
+          params={"p": 1, "p2": 2, "name": "O'Brien"})
+    assert q.bound_where() == "a = 1 AND b = 2 AND c = 'O''Brien'"
+    q2 = Q(where="x = :flag AND y IS NOT DISTINCT FROM :none",
+           params={"flag": True, "none": None})
+    assert q2.bound_where() == "x = true AND y IS NOT DISTINCT FROM NULL"
+
+
+def test_search_with_quoted_string_param(spark):
+    df = spark.createDataFrame([(1, "O'Brien"), (2, "Smith")],
+                               "id int, name string")
+    got = search(df, Q(where="name = :n", params={"n": "O'Brien"})).collect()
+    assert [r["id"] for r in got] == [1]
+
+
 def test_cursor_pages_cover_exactly_once(spark):
     df = _orders(spark)
     q = Q(where="o_totalprice > 50000", sort=[("o_totalprice", "desc")])

@@ -101,3 +101,43 @@ def test_read_excel_shared_strings_and_gaps(spark, tmp_path):
             zout.writestr(n, data)
     rows = readers._parse_xlsx(str(p))
     assert rows == [["hello", 2.5], ["hello"]]
+
+
+def test_read_excel_named_sheet(spark, tmp_path):
+    p = tmp_path / "multi.xlsx"
+    readers.write_excel_multi(str(p), [
+        ("Data", ["a", "b"], [(1, "x"), (2, "y")]),
+        ("Summary", ["total"], [(3,)]),
+    ])
+    by_name = readers.read_excel(spark, str(p), sheet="Summary").collect()
+    assert [r["total"] for r in by_name] == [3]
+    by_idx = readers.read_excel(spark, str(p), sheet=0).collect()
+    assert sorted(r["a"] for r in by_idx) == [1, 2]
+    with pytest.raises(ValueError, match="unknown sheet"):
+        readers.read_excel(spark, str(p), sheet="Nope")
+    with pytest.raises(ValueError, match="out of range"):
+        readers.read_excel(spark, str(p), sheet=5)
+
+
+def test_read_excel_sheet_index_past_ten(spark, tmp_path):
+    # 11+ sheets: index resolution must follow workbook order, not the
+    # lexicographic file order where sheet10.xml sorts before sheet2.xml
+    p = tmp_path / "many.xlsx"
+    readers.write_excel_multi(str(p), [
+        (f"S{i}", ["v"], [(i,)]) for i in range(12)])
+    assert readers.read_excel(spark, str(p), sheet=10).collect()[0]["v"] == 10
+    assert readers.read_excel(spark, str(p), sheet="S2").collect()[0]["v"] == 2
+
+
+def test_read_excel_sparse_interior_cells(spark, tmp_path):
+    # POI/Excel omit blank cells and carry r="B2" refs; an empty interior
+    # cell must NOT shift later values into the wrong column
+    p = tmp_path / "sparse.xlsx"
+    readers.write_excel_multi(str(p), [
+        ("Sheet1", ["a", "b", "c"], [(1, None, "z"), (None, "m", None)]),
+    ])
+    rows = readers._parse_xlsx(str(p))
+    assert rows == [["a", "b", "c"], [1, None, "z"], [None, "m"]]
+    got = readers.read_excel(spark, str(p)).collect()
+    assert got[0]["c"] == "z" and got[0]["b"] is None
+    assert got[1]["b"] == "m" and got[1]["c"] is None

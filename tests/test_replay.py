@@ -49,6 +49,55 @@ def test_schema_evolved_final_schema(spark, t1, registry, tmp_path):
     assert eng.table.latest().props["schema_version"] == "2.1"
 
 
+def test_null_op_quarantined_consistently(spark, tmp_path):
+    """A null op must land in the DLQ AND the error count — on both the
+    standalone apply_epoch path and the replay fast path (the predicate is
+    null-safe via coalesce, so counting/quarantining/filtering agree)."""
+    from pyspark.sql import functions as F
+    from cdc_core_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "repo", "type": "string", "nullable": False, "key": True},
+            {"name": "path", "type": "string", "nullable": False, "key": True},
+            {"name": "content", "type": "string", "nullable": True},
+        ]}])
+    rows = [
+        (3, "r1", "p2", "c1", 10, 1, "1.0"),
+        (None, "r1", "p3", "cX", 11, 2, "1.0"),   # null op → invalid_op
+        (9, "r1", "p4", "cY", 12, 3, "1.0"),      # bad op code → invalid_op
+        (4, "r1", "p1", "c2", 13, 4, "1.0"),
+    ]
+    ddl = ("op int, repo string, path string, content string, "
+           "op_ts long, event_seq long, schema_version string")
+    src = spark.createDataFrame([("r1", "p1", "c0")],
+                                "repo string, path string, content string")
+
+    # standalone apply_epoch path
+    eng = CdcEngine(spark, str(tmp_path / "a"), reg, n_buckets=4)
+    eng.initial_load(src)
+    m = eng.apply_epoch(spark.createDataFrame(rows, ddl), 0)
+    assert sum(r["events_error"] for r in m) == 2
+    errs = eng.errors_df().collect()
+    assert len(errs) == 2
+    assert {r["error_reason"] for r in errs} == {"invalid_op"}
+
+    # replay fast path (pre-counted stats + dynamic-partition DLQ write)
+    evdir = str(tmp_path / "ev")
+    (spark.createDataFrame(rows, ddl).withColumn("checkpoint_epoch", F.lit(0))
+     .write.partitionBy("checkpoint_epoch").parquet(evdir))
+    eng2 = CdcEngine(spark, str(tmp_path / "b"), reg, n_buckets=4)
+    eng2.replay(evdir, source_df=src)
+    mf = eng2.manifests_df().toPandas()
+    assert mf[mf.checkpoint_epoch == 0]["events_error"].sum() == 2
+    assert eng2.errors_df().count() == 2
+    # converged state identical on both paths
+    a = sorted(tuple(r) for r in eng.read_final().collect())
+    b = sorted(tuple(r) for r in eng2.read_final().collect())
+    assert a == b
+
+
 def test_manifest_lineage(spark, t1, registry, tmp_path):
     """Manifests exist per (epoch, partition) with correct event counts
     (FIXTURES.md §5): sum(events_read) over data epochs = valid deliveries."""
