@@ -361,6 +361,50 @@ def q_stream_engine_replay(spark, sf_dir):
         F.sha2("content", 256).alias("content_sha"))
 
 
+def q_datastore_writeback(spark, sf_dir):
+    """DataStore WRITE-BACK gate — the reference's headline persistence
+    surface (keyed create/update/upsert/delete into an external RDBMS,
+    AbstractDataStore.java:140-226, RdbmsDataStore.java:45-98): the initial
+    snapshot is upserted into an embedded-Derby table, then the LWW winner
+    set of the adapted event stream is MERGEd in — matched tombstones
+    DELETE, matched winners UPDATE, new keys INSERT, unmatched tombstones
+    skip — and the converged table is read back over JDBC. The read-back
+    state must equal the engine-replay oracle winners (minus the
+    evolution-managed size_bytes column: the external store is not under the
+    registry's control). Spark-first shape: parallel staged JDBC write + ONE
+    set-based MERGE statement, not the reference's per-row Hibernate
+    session."""
+    import shutil
+    from cdc_core_spark.sinks import datastore as ds_sink
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    db = f"/tmp/cdc_writeback_{tag}"
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # string KEY columns need VARCHAR (Derby can't compare CLOB in MERGE ON);
+    # nullable payload strings stay CLOB (null VARCHAR binds fail, see sink)
+    ct = "repo VARCHAR(16), path VARCHAR(32)"
+
+    init = _replay_initial(spark, sf_dir).withColumn("deleted", F.lit(False))
+    ds_sink.upsert_jdbc(init, url, "repo_state", ["repo", "path"],
+                        properties=props, deleted_col="deleted",
+                        column_types=ct)
+    ad = _adapt_events(spark, sf_dir).filter(F.col("op").isin(3, 4, 5))
+    ver = F.struct("op_ts", "event_seq")
+    pay = F.struct("op", "lang", "content")
+    winners = (ad.groupBy("repo", "path").agg(F.max_by(pay, ver).alias("w"))
+               .select("repo", "path", F.col("w.lang").alias("lang"),
+                       F.col("w.content").alias("content"),
+                       (F.col("w.op") == 5).alias("deleted")))
+    ds_sink.upsert_jdbc(winners, url, "repo_state", ["repo", "path"],
+                        properties=props, deleted_col="deleted",
+                        column_types=ct)
+    back = readers.read_jdbc(spark, url, "repo_state", properties=props)
+    return back.select("repo", "path", "lang",
+                       F.sha2("content", 256).alias("content_sha"))
+
+
 # ---------------------------------------------------------------------------
 # relational operators (scan/filter/join/agg/sort/limit/setop/rollup)
 # ---------------------------------------------------------------------------
@@ -787,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_replay": q_cdc_engine_replay,
         "stream_engine_replay": q_stream_engine_replay,
         "cdc_engine_manifests": q_cdc_engine_manifests,
+        "datastore_writeback": q_datastore_writeback,
         "cdc_running_window": q_cdc_running_window,
         "tumbling_window": q_tumbling_window,
         "session_window": q_session_window,
@@ -847,9 +892,9 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
 
 _NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
-# sequential-apply winner-set oracle for both engine-replay queries (batch
-# epochs and Structured Streaming converge to the same LWW state)
-_ENGINE_REPLAY_SQL = """
+# shared winner-set CTE for the replay-family oracles (engine replay, stream
+# replay, datastore write-back): adapter mapping + LWW ranking + initial load
+_REPLAY_CTE = """
     WITH ev AS (
       SELECT CASE WHEN event_type = 'signup' THEN 3
                   WHEN event_type = 'error' THEN 5 ELSE 4 END AS op,
@@ -876,6 +921,11 @@ _ENGINE_REPLAY_SQL = """
                     'p' || CAST(c_custkey AS VARCHAR) AS path,
                     c_mktsegment AS lang, c_name AS content
              FROM customer)
+"""
+
+# sequential-apply winner-set oracle for both engine-replay queries (batch
+# epochs and Structured Streaming converge to the same LWW state)
+_ENGINE_REPLAY_SQL = _REPLAY_CTE + """
     SELECT coalesce(w.repo, i.repo) AS repo,
            coalesce(w.path, i.path) AS path,
            CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS lang,
@@ -884,6 +934,19 @@ _ENGINE_REPLAY_SQL = """
            -- snapshot read back as NULL (metadata-only evolution)
            CASE WHEN w.repo IS NOT NULL AND w.event_seq % 2 = 1
                 THEN length(w.content) END AS size_bytes,
+           sha256(CASE WHEN w.repo IS NOT NULL THEN w.content
+                       ELSE i.content END) AS content_sha
+    FROM init i FULL OUTER JOIN winners w
+      ON i.repo = w.repo AND i.path = w.path
+    WHERE w.op IS NULL OR w.op <> 5
+"""
+
+# write-back target state: same winners, no schema-evolution column (the
+# external RDBMS table is not under the registry's evolution control)
+_WRITEBACK_SQL = _REPLAY_CTE + """
+    SELECT coalesce(w.repo, i.repo) AS repo,
+           coalesce(w.path, i.path) AS path,
+           CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS lang,
            sha256(CASE WHEN w.repo IS NOT NULL THEN w.content
                        ELSE i.content END) AS content_sha
     FROM init i FULL OUTER JOIN winners w
@@ -1031,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
+        "datastore_writeback": _WRITEBACK_SQL,
         "cdc_engine_manifests": """
             SELECT event_id % 2 AS checkpoint_epoch,
                    count(*) FILTER (WHERE event_id % 101 != 0) AS events_read,

@@ -1,0 +1,99 @@
+"""DataStore write-back sink: keyed upsert/delete MERGE into embedded Derby
+(AbstractDataStore create/update/upsert/delete surface,
+persistence/.../AbstractDataStore.java:140-226, RdbmsDataStore.java:45-98)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_core_spark.sinks import datastore as ds
+from cdc_core_spark.sources import readers
+
+PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+DDL = "id long, name string, v long, deleted boolean"
+CT = None  # key is BIGINT; nullable "name" must stay CLOB (null VARCHAR bind fails)
+
+
+def _url(tmp_path, name):
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+def _state(spark, url):
+    back = readers.read_jdbc(spark, url, "target", properties=PROPS)
+    return {r["id"]: (r["name"], r["v"]) for r in back.collect()}
+
+
+def test_upsert_insert_update_delete(spark, tmp_path):
+    url = _url(tmp_path, "db1")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False)], DDL)
+    ds.upsert_jdbc(b1, url, "target", ["id"], properties=PROPS,
+                   deleted_col="deleted", column_types=CT)
+    assert _state(spark, url) == {1: ("a", 1), 2: ("b", 1)}
+
+    # update existing, insert new, skip unmatched tombstone
+    b2 = spark.createDataFrame(
+        [(2, "b2", 2, False), (3, "c", 2, False), (4, "ghost", 2, True)], DDL)
+    ds.upsert_jdbc(b2, url, "target", ["id"], properties=PROPS,
+                   deleted_col="deleted", column_types=CT)
+    assert _state(spark, url) == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 2)}
+
+    # matched tombstone deletes
+    b3 = spark.createDataFrame([(3, None, 3, True)], DDL)
+    ds.upsert_jdbc(b3, url, "target", ["id"], properties=PROPS,
+                   deleted_col="deleted", column_types=CT)
+    assert _state(spark, url) == {1: ("a", 1), 2: ("b2", 2)}
+
+    # idempotent re-run: same batch, same final state
+    ds.upsert_jdbc(b3, url, "target", ["id"], properties=PROPS,
+                   deleted_col="deleted", column_types=CT)
+    assert _state(spark, url) == {1: ("a", 1), 2: ("b2", 2)}
+
+
+def test_upsert_version_guard_rejects_stale(spark, tmp_path):
+    """Optimistic-concurrency arm: a stale (lower-version) replayed row must
+    not regress the target (BaseEntity @Version / StaleDataError analog)."""
+    url = _url(tmp_path, "db2")
+    b1 = spark.createDataFrame([(1, "new", 5, False)], DDL)
+    ds.upsert_jdbc(b1, url, "target", ["id"], properties=PROPS,
+                   deleted_col="deleted", version_col="v", column_types=CT)
+    stale = spark.createDataFrame(
+        [(1, "stale", 3, False), (1, "stale-del", 4, True)], DDL)
+    # two rows same key would break MERGE — apply one at a time (stale order)
+    for row in stale.collect():
+        one = spark.createDataFrame([tuple(row)], DDL)
+        ds.upsert_jdbc(one, url, "target", ["id"], properties=PROPS,
+                       deleted_col="deleted", version_col="v", column_types=CT)
+    assert _state(spark, url) == {1: ("new", 5)}
+    newer = spark.createDataFrame([(1, "v6", 6, False)], DDL)
+    ds.upsert_jdbc(newer, url, "target", ["id"], properties=PROPS,
+                   deleted_col="deleted", version_col="v", column_types=CT)
+    assert _state(spark, url) == {1: ("v6", 6)}
+
+
+def test_insert_and_delete_jdbc(spark, tmp_path):
+    url = _url(tmp_path, "db3")
+    df = spark.createDataFrame([(1, "a", 1, False), (2, "b", 1, False)], DDL)
+    ds.insert_jdbc(df.drop("deleted"), url, "target",
+                   properties=PROPS, column_types=CT)
+    keys = spark.createDataFrame([(1,)], "id long")
+    ds.delete_jdbc(spark, url, "target", ["id"], keys, properties=PROPS)
+    assert set(_state(spark, url)) == {2}
+
+
+def test_upsert_composite_key(spark, tmp_path):
+    url = _url(tmp_path, "db4")
+    ddl = "repo string, path string, content string, deleted boolean"
+    ct = "repo VARCHAR(32), path VARCHAR(64)"  # string KEYS need VARCHAR for MERGE ON
+    b1 = spark.createDataFrame(
+        [("r1", "p1", "c1", False), ("r1", "p2", "c2", False)], ddl)
+    ds.upsert_jdbc(b1, url, "target", ["repo", "path"], properties=PROPS,
+                   deleted_col="deleted", column_types=ct)
+    b2 = spark.createDataFrame(
+        [("r1", "p1", "c1b", False), ("r2", "p1", "c3", False),
+         ("r1", "p2", None, True)], ddl)
+    ds.upsert_jdbc(b2, url, "target", ["repo", "path"], properties=PROPS,
+                   deleted_col="deleted", column_types=ct)
+    back = readers.read_jdbc(spark, url, "target", properties=PROPS)
+    got = {(r["repo"], r["path"]): r["content"] for r in back.collect()}
+    assert got == {("r1", "p1"): "c1b", ("r2", "p1"): "c3"}
