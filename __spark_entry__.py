@@ -361,6 +361,39 @@ def q_stream_engine_replay(spark, sf_dir):
         F.sha2("content", 256).alias("content_sha"))
 
 
+def q_avro_envelope_roundtrip(spark, sf_dir):
+    """Avro change-record WIRE-FORMAT gate (AvroChangeRecord.parse/toAvro,
+    entity/.../model/AvroChangeRecord.java:60-133): every epoch batch —
+    including the in-band DDL event — is serialized to Avro binary
+    (to_avro_envelope), decoded back (from_avro_envelope), and replayed
+    through the real engine. The converged state must equal the plain
+    engine replay bit for bit, so it shares _ENGINE_REPLAY_SQL. The codec
+    is spec-faithful binary encoding cross-validated against the JVM
+    org.apache.avro reader in tests/test_avro.py (the spark-avro connector
+    jar is absent from this container; when present the same API runs
+    native from_avro/to_avro JVM-side)."""
+    import shutil
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.functions.avro_codec import (from_avro_envelope,
+                                                     to_avro_envelope)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/cdc_entry_avro_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+    adapted = _adapt_events(spark, sf_dir)
+    for epoch in (0, 1):
+        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
+        if epoch == 1:
+            batch = _ddl_row(spark).unionByName(batch)
+        wire = to_avro_envelope(batch)           # the Kafka-value shape
+        eng.apply_epoch(from_avro_envelope(wire), epoch)
+    return eng.read_final().select(
+        "repo", "path", "lang", "size_bytes",
+        F.sha2("content", 256).alias("content_sha"))
+
+
 def q_datastore_writeback(spark, sf_dir):
     """DataStore WRITE-BACK gate — the reference's headline persistence
     surface (keyed create/update/upsert/delete into an external RDBMS,
@@ -832,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_engine_replay": q_stream_engine_replay,
         "cdc_engine_manifests": q_cdc_engine_manifests,
         "datastore_writeback": q_datastore_writeback,
+        "avro_envelope_roundtrip": q_avro_envelope_roundtrip,
         "cdc_running_window": q_cdc_running_window,
         "tumbling_window": q_tumbling_window,
         "session_window": q_session_window,
@@ -1095,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
         "datastore_writeback": _WRITEBACK_SQL,
+        "avro_envelope_roundtrip": _ENGINE_REPLAY_SQL,
         "cdc_engine_manifests": """
             SELECT event_id % 2 AS checkpoint_epoch,
                    count(*) FILTER (WHERE event_id % 101 != 0) AS events_read,

@@ -1,0 +1,222 @@
+"""Avro change-record wire format — parse/serialize of the CDC envelope
+(reference: AvroChangeRecord.parse/toAvro,
+entity/src/main/java/io/zyient/cdc/entity/model/AvroChangeRecord.java:60-133;
+op codes AvroChangeType.java:22-49).
+
+Two paths, auto-selected:
+
+* **Native** — when the spark-avro connector is on the classpath
+  (``org.apache.spark.sql.avro.*``), ``to_avro``/``from_avro`` run the codec
+  JVM-side inside codegen: the 100-TB path. The connector is an EXTERNAL
+  Spark module and is absent from this container (only avro core jars ship),
+  so it's detected, not assumed.
+* **Fallback** — a spec-faithful Avro *binary encoding* codec (Apache Avro
+  1.11 specification, "Binary encoding": zigzag-varint ints/longs,
+  length-prefixed UTF-8 strings/bytes, union-index prefix, IEEE-754
+  little-endian floats) executed in Arrow-batched ``mapInPandas``. Per-row
+  Python inside the batch loop is the cost any Python Avro codec pays; tests
+  cross-validate the produced bytes against the JVM's real
+  ``org.apache.avro`` GenericDatumReader, so the fallback speaks genuine
+  wire format, not a lookalike.
+
+Only the types the reference envelope needs are implemented: int, long,
+boolean, double, string, bytes, and ``["null", T]`` unions.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Avro schema of the CDC envelope — AvroChangeRecord.java:42-99 fields
+#: mapped onto this engine's event-log columns (txId→txid, timestamp→op_ts,
+#: target entity key→(repo, path), data payload→(lang, content, size_bytes)).
+ENVELOPE_AVRO_SCHEMA = json.dumps({
+    "type": "record", "name": "ChangeEvent", "namespace": "cdc_core_spark",
+    "fields": [
+        {"name": "op", "type": "int"},
+        {"name": "txid", "type": "long"},
+        {"name": "op_ts", "type": "long"},
+        {"name": "event_seq", "type": "long"},
+        {"name": "schema_version", "type": "string"},
+        {"name": "repo", "type": ["null", "string"], "default": None},
+        {"name": "path", "type": ["null", "string"], "default": None},
+        {"name": "lang", "type": ["null", "string"], "default": None},
+        {"name": "content", "type": ["null", "string"], "default": None},
+        {"name": "size_bytes", "type": ["null", "long"], "default": None},
+    ],
+})
+
+_SPARK_TYPE = {"int": "int", "long": "bigint", "boolean": "boolean",
+               "double": "double", "string": "string", "bytes": "binary"}
+
+
+def _fields(schema_json: str) -> list[tuple[str, str, bool]]:
+    """[(name, primitive_type, nullable)] from a flat record schema."""
+    sch = json.loads(schema_json)
+    out = []
+    for f in sch["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            prim = [x for x in t if x != "null"]
+            if t[0] != "null" or len(prim) != 1:
+                raise ValueError(f"only ['null', T] unions supported: {t}")
+            out.append((f["name"], prim[0], True))
+        else:
+            out.append((f["name"], t, False))
+    return out
+
+
+def spark_ddl(schema_json: str) -> str:
+    """Spark DDL string for the decoded record."""
+    return ", ".join(f"{n} {_SPARK_TYPE[t]}" for n, t, _ in _fields(schema_json))
+
+
+# --------------------------------------------------------------- primitives
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(buf: bytearray, n: int) -> None:
+    n = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+
+
+def _encode_value(buf: bytearray, t: str, v) -> None:
+    if t in ("int", "long"):
+        _write_long(buf, int(v))
+    elif t == "boolean":
+        buf.append(1 if v else 0)
+    elif t == "double":
+        import struct
+        buf += struct.pack("<d", float(v))
+    elif t == "string":
+        raw = str(v).encode("utf-8")
+        _write_long(buf, len(raw))
+        buf += raw
+    elif t == "bytes":
+        raw = bytes(v)
+        _write_long(buf, len(raw))
+        buf += raw
+    else:
+        raise ValueError(f"unsupported avro type {t}")
+
+
+def _decode_value(data: bytes, pos: int, t: str):
+    if t in ("int", "long"):
+        return _read_long(data, pos)
+    if t == "boolean":
+        return data[pos] == 1, pos + 1
+    if t == "double":
+        import struct
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t in ("string", "bytes"):
+        n, pos = _read_long(data, pos)
+        raw = data[pos:pos + n]
+        return (raw.decode("utf-8") if t == "string" else bytes(raw)), pos + n
+    raise ValueError(f"unsupported avro type {t}")
+
+
+def encode_record(fields: list[tuple[str, str, bool]], row: dict) -> bytes:
+    buf = bytearray()
+    for name, t, nullable in fields:
+        v = row.get(name)
+        if nullable:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                _write_long(buf, 0)     # union branch 0 = null
+                continue
+            _write_long(buf, 1)         # union branch 1 = value
+        _encode_value(buf, t, v)
+    return bytes(buf)
+
+
+def decode_record(fields: list[tuple[str, str, bool]], data: bytes) -> dict:
+    out, pos = {}, 0
+    for name, t, nullable in fields:
+        if nullable:
+            branch, pos = _read_long(data, pos)
+            if branch == 0:
+                out[name] = None
+                continue
+        out[name], pos = _decode_value(data, pos, t)
+    return out
+
+
+# ------------------------------------------------------------ DataFrame API
+def native_avro_available(spark) -> bool:
+    """True when the spark-avro connector jar is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def to_avro_envelope(df: DataFrame,
+                     schema_json: str = ENVELOPE_AVRO_SCHEMA) -> DataFrame:
+    """Serialize envelope columns into one Avro-binary ``value`` column
+    (AvroChangeRecord.toAvro/serialize analog)."""
+    fields = _fields(schema_json)
+    spark = df.sparkSession
+    cols = [n for n, _, _ in fields]
+    if native_avro_available(spark):
+        from pyspark.sql.avro.functions import to_avro
+        return df.select(
+            to_avro(F.struct(*cols), schema_json).alias("value"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            yield pd.DataFrame(
+                {"value": [encode_record(fields, r) for r in recs]})
+
+    return df.select(cols).mapInPandas(enc, schema="value binary")
+
+
+def from_avro_envelope(df: DataFrame, value_col: str = "value",
+                       schema_json: str = ENVELOPE_AVRO_SCHEMA) -> DataFrame:
+    """Parse an Avro-binary column back into envelope columns
+    (AvroChangeRecord.parse analog)."""
+    fields = _fields(schema_json)
+    spark = df.sparkSession
+    ddl = spark_ddl(schema_json)
+    if native_avro_available(spark):
+        from pyspark.sql.avro.functions import from_avro
+        return (df.select(from_avro(F.col(value_col), schema_json).alias("r"))
+                .select("r.*"))
+
+    names = [n for n, _, _ in fields]
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_record(fields, bytes(v)) for v in pdf[value_col]]
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.select(value_col).mapInPandas(dec, schema=ddl)
