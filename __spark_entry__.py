@@ -186,7 +186,9 @@ def _adapt_events(spark, sf_dir):
     is_del = F.col("event_type") == "error"
     content = F.concat(F.lit("c:"), F.col("user_id").cast("string"),
                        F.lit(":"), F.col("event_id").cast("string"))
-    odd = F.col("event_id") % 2 == 1  # epoch-1 events, written under schema 1.1
+    odd = F.col("event_id") % 2 == 1   # epoch-1 events: schema ≥ 1.1 writers
+    v20 = F.col("event_id") % 4 == 1   # written under 2.0 (renamed column)
+    v21 = F.col("event_id") % 4 == 3   # written under 2.1 (widened rev)
     # ~1% malformed (bad op code) — exercises the DLQ/quarantine route inside
     # the oracle-checked replay: these events must NOT reach the final state
     bad = F.col("event_id") % 101 == 0
@@ -196,43 +198,73 @@ def _adapt_events(spark, sf_dir):
          .when(is_del, F.lit(5)).otherwise(F.lit(4)).cast("bigint").alias("op"),
         F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
         F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("lang"),
+        # pre-rename writers (schema 1.0, even seq) populate `lang`;
+        # post-rename writers (2.0/2.1, odd seq) populate `language` — the
+        # registry alias map must reconcile both onto the final column
+        F.when(is_del | odd, F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("lang"),
+        F.when(is_del | ~odd, F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("language"),
         F.when(is_del, F.lit(None).cast("string")).otherwise(content).alias("content"),
         F.when(~is_del & odd, F.length(content)).cast("long").alias("size_bytes"),
+        # rev: int-range for pre-widen writers, > 2^31 for 2.1 writers — the
+        # widened values only survive if the int→long MODIFY really applied
+        F.when(is_del, F.lit(None).cast("bigint"))
+         .when(v21, F.lit(2147483648) + F.col("event_id"))
+         .otherwise(F.col("event_id") % 1000000).cast("bigint").alias("rev"),
         # ts is TIMESTAMP_NTZ; session tz is UTC, so NTZ→TZ cast is the same
         # instant DuckDB's epoch_ms(naive-ts) assumes
         F.unix_millis(F.col("ts").cast("timestamp")).alias("op_ts"),
         F.col("event_id").alias("event_seq"),
         F.col("event_id").alias("txid"),
-        F.when(odd, F.lit("1.1")).otherwise(F.lit("1.0")).alias("schema_version"),
+        F.when(v21, F.lit("2.1")).when(v20, F.lit("2.0"))
+         .otherwise(F.lit("1.0")).alias("schema_version"),
     )
 
 
-def _ddl_row(spark):
-    """In-band schema-change event: op=1 (schema update) to version 1.1,
-    versioned before every data event so it applies first in its epoch."""
-    return spark.createDataFrame(
-        [(1, None, None, None, None, None, -1, -1, -1, "1.1")],
-        schema=("op bigint, repo string, path string, lang string, "
-                "content string, size_bytes bigint, op_ts bigint, "
-                "event_seq bigint, txid bigint, schema_version string"))
+_ADAPTED_DDL = ("op bigint, repo string, path string, lang string, "
+                "language string, content string, size_bytes bigint, "
+                "rev bigint, op_ts bigint, event_seq bigint, txid bigint, "
+                "schema_version string")
+
+
+def _ddl_rows(spark):
+    """In-band schema-change events (op=1, AvroChangeType schema-update):
+    three episodes — ADD size_bytes (1.1), RENAME lang→language (2.0),
+    WIDEN rev int→long (2.1) — sequenced before every data event so they
+    apply in order at the head of their epoch (EntitySchema.apply +
+    SchemaEvolutionValidator semantics, EntitySchema.java:327-453)."""
+    rows = [(1, None, None, None, None, None, None, None, -1, seq, -1, ver)
+            for seq, ver in ((-3, "1.1"), (-2, "2.0"), (-1, "2.1"))]
+    return spark.createDataFrame(rows, schema=_ADAPTED_DDL)
 
 
 def _replay_registry():
-    """Two versions: 1.1 adds size_bytes (a legal nullable-ADD evolution,
-    SchemaEvolutionValidator rules) — applied in-band during the replay."""
+    """Four versions mirroring the full evolution surface: 1.1 ADDs
+    size_bytes (nullable-ADD), 2.0 RENAMEs lang→language (alias map), 2.1
+    WIDENs rev int→long — all applied in-band during the oracle-checked
+    replay (SchemaEvolutionValidator rules, EntityDiff ops)."""
     from cdc_core_spark.registry import SchemaRegistry
     base_fields = [
         {"name": "repo", "type": "string", "nullable": False, "key": True},
         {"name": "path", "type": "string", "nullable": False, "key": True},
         {"name": "lang", "type": "string", "nullable": True},
         {"name": "content", "type": "string", "nullable": True},
+        {"name": "rev", "type": "int", "nullable": True},
     ]
+    v11 = [dict(f) for f in base_fields] + [
+        {"name": "size_bytes", "type": "long", "nullable": True}]
+    v20 = [({**f, "name": "language"} if f["name"] == "lang" else dict(f))
+           for f in v11]
+    v21 = [({**f, "type": "long"} if f["name"] == "rev" else dict(f))
+           for f in v20]
     return SchemaRegistry.from_docs([
         {"entity": "source_repos", "major": 1, "minor": 0, "fields": base_fields},
-        {"entity": "source_repos", "major": 1, "minor": 1,
-         "fields": base_fields + [{"name": "size_bytes", "type": "long",
-                                   "nullable": True}]},
+        {"entity": "source_repos", "major": 1, "minor": 1, "fields": v11},
+        {"entity": "source_repos", "major": 2, "minor": 0, "fields": v20,
+         "aliases": {"lang": "language"}},
+        {"entity": "source_repos", "major": 2, "minor": 1, "fields": v21,
+         "aliases": {"lang": "language"}},
     ])
 
 
@@ -261,15 +293,17 @@ def q_cdc_engine_replay(spark, sf_dir):
       persistence/.../model/BaseEntity.java:125-128; keyed upsert
       AbstractDataStore.java:185-205).
 
-    Epoch 1 carries an in-band DDL event (op=1 → schema 1.1, ADD
-    size_bytes) — schema evolution happens inside the replay and the added
-    column is part of the value-hashed result: odd-seq winners carry
-    length(content), all earlier writers read back as NULL via
-    metadata-only evolution (AvroChangeType.isSchemaChange DDL path +
-    EntitySchema.apply semantics). ~1% of events carry an invalid op and
-    must be quarantined (DLQ, MessageProcessor.sendError analog) — the
-    oracle excludes them, so mis-applying a malformed event fails the
-    value-hash."""
+    Epoch 1 carries THREE in-band DDL events covering the whole evolution
+    surface (AvroChangeType.isSchemaChange DDL path + EntitySchema.apply +
+    SchemaEvolutionValidator semantics): ADD size_bytes (1.1), RENAME
+    lang→language (2.0), WIDEN rev int→long (2.1). All three are part of
+    the value-hashed result: odd-seq winners carry length(content) in the
+    added column; pre-rename writers (even seq, `lang` column) must read
+    back through the alias map onto `language`; 2.1 writers carry rev
+    values > 2^31 that only survive a real int→long widen. ~1% of events
+    carry an invalid op and must be quarantined (DLQ,
+    MessageProcessor.sendError analog) — the oracle excludes them, so
+    mis-applying a malformed event fails the value-hash."""
     import shutil
     from cdc_core_spark.engine import CdcEngine
 
@@ -282,11 +316,11 @@ def q_cdc_engine_replay(spark, sf_dir):
     adapted = _adapt_events(spark, sf_dir)
     for epoch in (0, 1):
         batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
-        if epoch == 1:  # in-band DDL: evolve to 1.1 (ADD size_bytes)
-            batch = _ddl_row(spark).unionByName(batch)
+        if epoch == 1:  # in-band DDL: 1.1 ADD, 2.0 RENAME, 2.1 WIDEN
+            batch = _ddl_rows(spark).unionByName(batch)
         eng.apply_epoch(batch, epoch)
     return eng.read_final().select(
-        "repo", "path", "lang", "size_bytes",
+        "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))
 
 
@@ -312,7 +346,7 @@ def q_cdc_engine_manifests(spark, sf_dir):
     for epoch in (0, 1):
         batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
         if epoch == 1:
-            batch = _ddl_row(spark).unionByName(batch)
+            batch = _ddl_rows(spark).unionByName(batch)
         eng.apply_epoch(batch, epoch)
     mf = eng.manifests_df()
     return (mf.filter(F.col("checkpoint_epoch") >= 0)
@@ -344,20 +378,18 @@ def q_stream_engine_replay(spark, sf_dir):
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
 
     # pad the adapter columns up to the streaming EVENT_DDL contract; the
-    # in-band DDL event rides the odd-parity microbatch like the batch path
+    # in-band DDL events ride the odd-parity microbatch like the batch path
     def pad(df):
         return (df.withColumn("commit", F.lit(None).cast("string"))
-                .withColumn("language", F.lit(None).cast("string"))
-                .withColumn("rev", F.lit(None).cast("bigint"))
                 .withColumn("checkpoint_epoch",
                             F.pmod(F.greatest("event_seq", F.lit(0)),
                                    F.lit(2)).cast("int")))
     adapted = pad(_adapt_events(spark, sf_dir)).unionByName(
-        pad(_ddl_row(spark)).withColumn("checkpoint_epoch", F.lit(1)))
+        pad(_ddl_rows(spark)).withColumn("checkpoint_epoch", F.lit(1)))
     adapted.repartition(2, "checkpoint_epoch").write.mode("overwrite").parquet(evdir)
     stream_ingest(eng, evdir, ckpt, max_files_per_trigger=1, available_now=True)
     return eng.read_final().select(
-        "repo", "path", "lang", "size_bytes",
+        "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))
 
 
@@ -386,11 +418,11 @@ def q_avro_envelope_roundtrip(spark, sf_dir):
     for epoch in (0, 1):
         batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
         if epoch == 1:
-            batch = _ddl_row(spark).unionByName(batch)
+            batch = _ddl_rows(spark).unionByName(batch)
         wire = to_avro_envelope(batch)           # the Kafka-value shape
         eng.apply_epoch(from_avro_envelope(wire), epoch)
     return eng.read_final().select(
-        "repo", "path", "lang", "size_bytes",
+        "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))
 
 
@@ -423,11 +455,14 @@ def q_datastore_writeback(spark, sf_dir):
     ds_sink.upsert_jdbc(init, url, "repo_state", ["repo", "path"],
                         properties=props, deleted_col="deleted",
                         column_types=ct)
-    ad = _adapt_events(spark, sf_dir).filter(F.col("op").isin(3, 4, 5))
+    # unify pre-/post-rename writer columns (the external store is not under
+    # the registry's evolution control, so the adapter reconciles them here)
+    ad = (_adapt_events(spark, sf_dir).filter(F.col("op").isin(3, 4, 5))
+          .withColumn("lang_u", F.coalesce("language", "lang")))
     ver = F.struct("op_ts", "event_seq")
-    pay = F.struct("op", "lang", "content")
+    pay = F.struct("op", "lang_u", "content")
     winners = (ad.groupBy("repo", "path").agg(F.max_by(pay, ver).alias("w"))
-               .select("repo", "path", F.col("w.lang").alias("lang"),
+               .select("repo", "path", F.col("w.lang_u").alias("lang"),
                        F.col("w.content").alias("content"),
                        (F.col("w.op") == 5).alias("deleted")))
     ds_sink.upsert_jdbc(winners, url, "repo_state", ["repo", "path"],
@@ -942,6 +977,11 @@ _REPLAY_CTE = """
              CASE WHEN event_type = 'error' THEN NULL
                   ELSE 'c:' || CAST(user_id AS VARCHAR) || ':'
                        || CAST(event_id AS VARCHAR) END AS content,
+             -- rev: int-range for pre-widen writers, > 2^31 for schema-2.1
+             -- writers (event_id % 4 = 3) — mirrors the adapter exactly
+             CAST(CASE WHEN event_type = 'error' THEN NULL
+                       WHEN event_id % 4 = 3 THEN 2147483648 + event_id
+                       ELSE event_id % 1000000 END AS BIGINT) AS rev,
              epoch_ms(ts) AS op_ts, event_id AS event_seq
       FROM events
     ),
@@ -949,7 +989,7 @@ _REPLAY_CTE = """
               PARTITION BY repo, path
               ORDER BY op_ts DESC, event_seq DESC) AS rn
           FROM ev WHERE NOT malformed),
-    winners AS (SELECT repo, path, op, lang, content, event_seq
+    winners AS (SELECT repo, path, op, lang, content, rev, event_seq
                 FROM w WHERE rn = 1),
     init AS (SELECT 'r' || CAST(c_custkey % 7 AS VARCHAR) AS repo,
                     'p' || CAST(c_custkey AS VARCHAR) AS path,
@@ -962,12 +1002,16 @@ _REPLAY_CTE = """
 _ENGINE_REPLAY_SQL = _REPLAY_CTE + """
     SELECT coalesce(w.repo, i.repo) AS repo,
            coalesce(w.path, i.path) AS path,
-           CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS lang,
+           -- final column is `language` (renamed by the in-band 2.0 DDL);
+           -- pre-rename writers' `lang` values read through the alias map
+           CASE WHEN w.repo IS NOT NULL THEN w.lang ELSE i.lang END AS language,
            -- size_bytes exists only from schema 1.1 on (odd-seq events,
            -- added by the in-band DDL); earlier writers and the initial
            -- snapshot read back as NULL (metadata-only evolution)
            CASE WHEN w.repo IS NOT NULL AND w.event_seq % 2 = 1
                 THEN length(w.content) END AS size_bytes,
+           -- rev widened int→long by the 2.1 DDL; initial snapshot has none
+           CAST(CASE WHEN w.repo IS NOT NULL THEN w.rev END AS BIGINT) AS rev,
            sha256(CASE WHEN w.repo IS NOT NULL THEN w.content
                        ELSE i.content END) AS content_sha
     FROM init i FULL OUTER JOIN winners w

@@ -46,8 +46,10 @@ ENVELOPE_AVRO_SCHEMA = json.dumps({
         {"name": "repo", "type": ["null", "string"], "default": None},
         {"name": "path", "type": ["null", "string"], "default": None},
         {"name": "lang", "type": ["null", "string"], "default": None},
+        {"name": "language", "type": ["null", "string"], "default": None},
         {"name": "content", "type": ["null", "string"], "default": None},
         {"name": "size_bytes", "type": ["null", "long"], "default": None},
+        {"name": "rev", "type": ["null", "long"], "default": None},
     ],
 })
 

@@ -13,10 +13,12 @@ from cdc_core_spark.functions import avro_codec as A
 
 ROW = {"op": 4, "txid": 12345678901, "op_ts": 1700000000123, "event_seq": 42,
        "schema_version": "1.1", "repo": "r3", "path": "p17",
-       "lang": "purchase", "content": "c:17:42", "size_bytes": 7}
+       "lang": "purchase", "language": None, "content": "c:17:42",
+       "size_bytes": 7, "rev": 2147483690}
 ROW_NULLS = {"op": 5, "txid": -1, "op_ts": 9, "event_seq": 3,
              "schema_version": "1.0", "repo": "r0", "path": "p1",
-             "lang": None, "content": None, "size_bytes": None}
+             "lang": None, "language": None, "content": None,
+             "size_bytes": None, "rev": None}
 FIELDS = A._fields(A.ENVELOPE_AVRO_SCHEMA)
 
 
@@ -72,7 +74,8 @@ def test_jvm_encode_python_decode(spark):
         "op": 3, "txid": ROW["txid"], "op_ts": ROW["op_ts"], "event_seq": 42,
         "schema_version": "1.1", "repo": {"string": "r3"},
         "path": {"string": "p17"}, "lang": {"string": "purchase"},
-        "content": {"string": "c:17:42"}, "size_bytes": {"long": 7}})
+        "content": {"string": "c:17:42"}, "size_bytes": {"long": 7},
+        "language": None, "rev": {"long": 2147483690}})
     reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
     jdec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(sch, avro_json)
     rec = reader.read(None, jdec)
