@@ -99,42 +99,75 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
 
 
 def cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
-                       threshold: float) -> DataFrame:
-    """Exact all-pairs cosine similarity ≥ threshold (id_a < id_b).
+                       threshold: float, n_blocks: int = 8) -> DataFrame:
+    """Exact all-pairs cosine similarity ≥ threshold (id_a < id_b), fully
+    distributed — the block outer-product shape, no driver materialization.
 
-    One side of the n×n comparison is collected to a broadcast numpy matrix;
-    each Arrow batch of the other side does a single GEMM against it. Exact
-    by construction — this is the correctness baseline that
-    ``dedup.embedding_near_dupes`` (hyperplane-LSH bucketed) approximates;
-    at 10^9-vector scale use the LSH variant and rerank, the broadcast side
-    here is bounded by driver/executor memory.
+    1. Vectors are hashed into ``n_blocks`` row blocks; each block is packed
+       into ONE row carrying its normalized matrix as bytes (applyInPandas).
+    2. The tiny packed table (n_blocks rows) is self-joined on
+       ``block_a ≤ block_b`` — every unordered block pair once.
+    3. Each block pair runs a single numpy GEMM inside mapInPandas and emits
+       the thresholded (id_a < id_b) pairs.
+
+    Cost model at scale: data moved is O(n·n_blocks) (each block's matrix is
+    replicated once per partner block), compute is the unavoidable exact
+    O(n²·d/P) GEMM flops spread over block-pair tasks; per-task memory is
+    two blocks, bounded by choosing ``n_blocks ≈ n·d·8B / budget``. Exact by
+    construction — the correctness baseline that
+    ``dedup.embedding_near_dupes`` (hyperplane-LSH bucketed, subquadratic)
+    approximates; at 10^9 vectors use the LSH variant and rerank.
     """
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    m = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(ids)
-    ids, m = ids[order], m[order]
-    spark = df.sparkSession
-    b = spark.sparkContext.broadcast((ids, m))
     thr = float(threshold)
+    v = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    b = v.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int"))
 
-    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, mat = b.value
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame({"blk": [int(key[0])], "n": [len(ids)],
+                             "dim": [m.shape[1]], "ids": [ids.tobytes()],
+                             "mat": [m.tobytes()]})
+
+    # lazy localCheckpoint: both join sides reuse the packed blocks without
+    # recomputing the pack stage; blocks are freed with the result (cf.
+    # minhash_near_dupes rationale)
+    packed = (b.groupBy("_blk")
+              .applyInPandas(pack, "blk int, n int, dim int, ids binary, mat binary")
+              .localCheckpoint(eager=False))
+    joined = (packed.alias("a")
+              .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+              .select(F.col("a.blk").alias("blk_a"), F.col("b.blk").alias("blk_b"),
+                      F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+                      F.col("a.dim").alias("dim"),
+                      F.col("a.ids").alias("ids_a"), F.col("b.ids").alias("ids_b"),
+                      F.col("a.mat").alias("mat_a"), F.col("b.mat").alias("mat_b")))
+    # one GEMM per block pair → spread block pairs across tasks
+    joined = joined.repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-            sims = a @ mat.T
-            a_ids = pdf[id_col].to_numpy().astype(np.int64)
-            keep = (sims >= thr) & (a_ids[:, None] < all_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": all_ids[bj],
-                                "cosine": sims[ai, bj]})
+            for row in pdf.itertuples(index=False):
+                ia = np.frombuffer(row.ids_a, dtype=np.int64)
+                ib = np.frombuffer(row.ids_b, dtype=np.int64)
+                ma = np.frombuffer(row.mat_a, dtype=np.float64).reshape(row.na, row.dim)
+                mb = np.frombuffer(row.mat_b, dtype=np.float64).reshape(row.nb, row.dim)
+                sims = ma @ mb.T
+                # same block: each unordered pair appears in both triangle
+                # halves → keep the upper one; cross block: each pair appears
+                # exactly once → keep all, then normalize id order
+                keep = sims >= thr
+                if row.blk_a == row.blk_b:
+                    keep &= ia[:, None] < ib[None, :]
+                ai, bj = np.nonzero(keep)
+                left, right = ia[ai], ib[bj]
+                lo, hi = np.minimum(left, right), np.maximum(left, right)
+                yield pd.DataFrame({"id_a": lo, "id_b": hi,
+                                    "cosine": sims[ai, bj]})
 
-    return (df.select(id_col, vec_col)
-            .mapInPandas(pairs, schema="id_a long, id_b long, cosine double"))
+    return joined.mapInPandas(gemm, schema="id_a long, id_b long, cosine double")
 
 
 def lsh_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],

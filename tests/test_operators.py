@@ -89,6 +89,24 @@ def test_embedding_near_dupes(spark):
     assert pairs == {(0, 6)}
 
 
+def test_cosine_pairs_exact_matches_numpy(spark):
+    """Block-GEMM all-pairs must equal the numpy brute force exactly —
+    including within-block and cross-block pairs."""
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((60, 12))
+    df = spark.createDataFrame([(i, m[i].tolist()) for i in range(60)],
+                               "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           similarity.cosine_pairs_exact(df, "vec_id", "embedding", 0.2,
+                                         n_blocks=4).collect()}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    want = {(i, j): sims[i, j] for i in range(60) for j in range(i + 1, 60)
+            if sims[i, j] >= 0.2}
+    assert set(got) == set(want) and len(want) > 20
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(3)
     m = rng.standard_normal((50, 8))
