@@ -116,6 +116,57 @@ def validate_evolution(old: SchemaDef, new: SchemaDef) -> list[SchemaOp]:
     return ops
 
 
+# Spark DDL simpleString → the registry's type lattice (DataType.java:31-72);
+# decimal collapses to double and date to timestamp — the reference lattice
+# has neither (SURVEY §1.2: only float/double, TIMESTAMP_* time types)
+_SPARK_TO_LATTICE = {
+    "boolean": "boolean", "smallint": "short", "tinyint": "short",
+    "int": "int", "integer": "int", "bigint": "long",
+    "float": "float", "double": "double", "string": "string",
+    "binary": "binary", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "date": "timestamp",
+}
+
+
+def schema_from_struct(entity: str, struct, key_cols: list[str],
+                       major: int = 1, minor: int = 0) -> SchemaDef:
+    """Derive a versioned SchemaDef from a Spark StructType (the
+    SchemaHelper/DbEntitySchema generation shape). Key columns are forced
+    non-null regardless of source metadata — keys must be total in the
+    entity model (IKey, common/.../model/entity/IKey.java:26-42)."""
+    fields = []
+    for f in struct.fields:
+        t = f.dataType.simpleString()
+        lt = "double" if t.startswith("decimal") else _SPARK_TO_LATTICE.get(t)
+        if lt is None:
+            raise SchemaEvolutionError(
+                f"no lattice mapping for Spark type {t!r} (field {f.name})")
+        is_key = f.name in key_cols
+        fields.append({"name": f.name, "type": lt,
+                       "nullable": bool(f.nullable) and not is_key,
+                       **({"key": True} if is_key else {})})
+    missing = [k for k in key_cols if k not in {f["name"] for f in fields}]
+    if missing:
+        raise SchemaEvolutionError(f"key columns absent from source: {missing}")
+    return SchemaDef(entity=entity, major=major, minor=minor,
+                     fields=tuple(fields), aliases={})
+
+
+def from_jdbc(spark, url: str, table: str, key_cols: list[str],
+              entity: str | None = None, properties: dict | None = None,
+              major: int = 1, minor: int = 0) -> SchemaDef:
+    """Schema generation from JDBC metadata — the JdbcSchemaGenerator /
+    DbEntitySchema analog (entity/.../jdbc/JdbcSchemaGenerator.java,
+    DbEntitySchema.java): Spark resolves the table's schema with a zero-row
+    metadata query (no data is read), and the resulting StructType maps onto
+    the registry's type lattice as a registrable versioned SchemaDef."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return schema_from_struct(entity or table, reader.load().schema,
+                              key_cols, major, minor)
+
+
 class SchemaRegistry:
     """Driver-side registry cache; schemas are tiny and broadcast implicitly
     via the generated per-epoch projection expressions."""
@@ -124,6 +175,12 @@ class SchemaRegistry:
         self._by_ver: dict[tuple[str, str], SchemaDef] = {
             (d.entity, d.version): d for d in defs
         }
+
+    def register(self, sdef: SchemaDef) -> None:
+        """Add/overwrite one versioned schema (SchemaManager.create/update
+        analog — the distributed-lock concern collapses to the single
+        driver owning the loop, SURVEY §2.5)."""
+        self._by_ver[(sdef.entity, sdef.version)] = sdef
 
     @staticmethod
     def load(reg_dir: str) -> "SchemaRegistry":

@@ -1,0 +1,60 @@
+"""Time-bucketed journal writer — append change records to hour-bucketed
+audit paths (reference: JournalWriter ``yyyy/MM/dd/HH`` path formats,
+entity/src/main/java/io/zyient/cdc/entity/utils/JournalWriter.java:38-63,
+open/write/commit :86-104).
+
+Spark-first: the time bucket becomes four Hive partition columns
+(``_y=2024/_m=05/_d=17/_h=09``) rather than bare path segments — same
+physical layout intent (one directory per hour), but the k=v form lets
+Catalyst prune partitions on any predicate over the bucket columns, so an
+hour-range audit read touches only the matching directories.
+
+Atomicity: each append is a normal Spark parquet job (task-temp + commit
+protocol), the distributed analog of the reference's temp-file →
+``commit()`` publish (filesystem/.../Writer.java:43-127).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKET_COLS = ("_y", "_m", "_d", "_h")
+
+
+def _bucketed(events: DataFrame, ts_col: str) -> DataFrame:
+    t = F.timestamp_millis(F.col(ts_col).cast("bigint"))
+    return (events
+            .withColumn("_y", F.date_format(t, "yyyy"))
+            .withColumn("_m", F.date_format(t, "MM"))
+            .withColumn("_d", F.date_format(t, "dd"))
+            .withColumn("_h", F.date_format(t, "HH")))
+
+
+def write_journal(events: DataFrame, root: str, ts_col: str = "op_ts") -> None:
+    """Append events to the hour-bucketed audit layout. ``ts_col`` is epoch
+    millis (the envelope's op_ts)."""
+    (_bucketed(events, ts_col)
+     .write.mode("append").partitionBy(*_BUCKET_COLS).parquet(root))
+
+
+def read_journal(spark: SparkSession, root: str,
+                 start_ms: int | None = None,
+                 end_ms: int | None = None) -> DataFrame:
+    """Read the journal, partition-pruned to the requested time range: the
+    filter is expressed over the bucket PARTITION columns (lexicographic
+    compare of the zero-padded yyyyMMddHH string), so Catalyst prunes whole
+    hour directories before any file is opened."""
+    df = spark.read.parquet(root)
+    bucket = F.concat(*_BUCKET_COLS)
+
+    def fmt(ms: int) -> str:
+        import datetime as _dt
+        return _dt.datetime.fromtimestamp(ms / 1000,
+                                          _dt.timezone.utc).strftime("%Y%m%d%H")
+
+    if start_ms is not None:
+        df = df.filter(bucket >= fmt(start_ms))
+    if end_ms is not None:
+        df = df.filter(bucket <= fmt(end_ms))
+    return df.drop(*_BUCKET_COLS)

@@ -29,17 +29,68 @@ EVENT_DDL = ("op bigint, repo string, path string, commit string, lang string, "
              "checkpoint_epoch int")
 
 
-def stream_ingest(engine: CdcEngine, events_path: str, checkpoint_dir: str,
+def kafka_source_options(bootstrap_servers: str, topic: str,
+                         starting_offsets: str = "earliest",
+                         max_offsets_per_trigger: int | None = None,
+                         **extra: str) -> dict[str, str]:
+    """Kafka reader options mapping the reference consumer's contract
+    (BaseKafkaConsumer.nextBatch/seek, messaging/.../kafka/
+    BaseKafkaConsumer.java:222-248, :159-190):
+
+    * seek-to-committed on init → ``startingOffsets`` + Spark's checkpointed
+      offsets (the checkpoint IS the committed offset store);
+    * ``batchSize`` per poll → ``maxOffsetsPerTrigger``;
+    * at-least-once redelivery tolerated → ``failOnDataLoss=false`` (the
+      engine's committed-epoch check + idempotent merge absorb resends).
+    """
+    opts = {"kafka.bootstrap.servers": bootstrap_servers,
+            "subscribe": topic,
+            "startingOffsets": starting_offsets,
+            "failOnDataLoss": "false"}
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(extra)
+    return opts
+
+
+def build_stream_source(spark, source: str = "files",
+                        events_path: str | None = None,
+                        max_files_per_trigger: int = 1,
+                        kafka_options: dict[str, str] | None = None):
+    """Build the streaming envelope DataFrame for either source kind — the
+    foreachBatch body downstream is source-agnostic (the reference's
+    BaseKafkaConsumer / BaseChronicleConsumer duality collapses into this
+    option). ``kafka`` decodes the record value from the Avro wire format
+    (AvroChangeRecord.parse analog); requires the spark-sql-kafka connector
+    jar at runtime — absent from this container, so the branch is
+    unit-tested up to source resolution."""
+    if source == "files":
+        return (spark.readStream
+                .schema(EVENT_DDL)
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .option("basePath", events_path)
+                .parquet(events_path + "/*"))
+    if source == "kafka":
+        from cdc_core_spark.functions.avro_codec import from_avro_envelope
+        reader = spark.readStream.format("kafka")
+        for k, v in (kafka_options or {}).items():
+            reader = reader.option(k, v)
+        return from_avro_envelope(reader.load().select("value"))
+    raise ValueError(f"unknown stream source {source!r}")
+
+
+def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: str,
                   max_files_per_trigger: int = 1,
-                  available_now: bool = True) -> None:
-    """Tail the event-log directory as a file stream and apply each microbatch
+                  available_now: bool = True,
+                  source: str = "files",
+                  kafka_options: dict[str, str] | None = None) -> None:
+    """Tail the event stream (file source or Kafka) and apply each microbatch
     through the engine. ``availableNow`` drains the backlog and stops
     (test/backfill mode); disable it for a continuous tail."""
-    stream = (engine.spark.readStream
-              .schema(EVENT_DDL)
-              .option("maxFilesPerTrigger", max_files_per_trigger)
-              .option("basePath", events_path)
-              .parquet(events_path + "/*"))
+    stream = build_stream_source(engine.spark, source=source,
+                                 events_path=events_path,
+                                 max_files_per_trigger=max_files_per_trigger,
+                                 kafka_options=kafka_options)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         epoch = int(batch_id)

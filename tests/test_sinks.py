@@ -81,6 +81,62 @@ def test_insert_and_delete_jdbc(spark, tmp_path):
     assert set(_state(spark, url)) == {2}
 
 
+def test_journal_write_read_pruned(spark, tmp_path):
+    """Hour-bucketed audit layout (JournalWriter yyyy/MM/dd/HH analog):
+    write spreads rows across hour directories; a time-ranged read prunes
+    to only the matching partition directories."""
+    from cdc_core_spark.sinks import journal
+
+    root = str(tmp_path / "journal")
+    hour = 3_600_000
+    base = 1_700_000_000_000 - (1_700_000_000_000 % hour)  # hour-aligned
+    rows = [(i, base + i * hour // 2) for i in range(8)]   # 4 distinct hours
+    df = spark.createDataFrame(rows, "event_id long, op_ts long")
+    journal.write_journal(df, root)
+
+    import glob as g
+    hours = g.glob(f"{root}/_y=*/_m=*/_d=*/_h=*")
+    assert len(hours) == 4
+
+    back = journal.read_journal(spark, root)
+    assert back.count() == 8 and "_h" not in back.columns
+    one_hour = journal.read_journal(spark, root, start_ms=base + hour,
+                                    end_ms=base + hour)
+    assert sorted(r["event_id"] for r in one_hour.collect()) == [2, 3]
+    # partition pruning: the range predicate references only partition
+    # columns, so it must land in PartitionFilters (pruned before any file
+    # is opened), not in the post-scan data filters
+    plan = one_hour._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "_y" in pf.group(1), plan
+    # append mode: a second write adds rows without clobbering
+    journal.write_journal(df.limit(1), root)
+    assert journal.read_journal(spark, root).count() == 9
+
+
+def test_registry_from_jdbc_roundtrip(spark, tmp_path):
+    """JdbcSchemaGenerator analog: derive a versioned SchemaDef from Derby
+    table metadata and round-trip it through the registry."""
+    from cdc_core_spark import registry as R
+
+    url = _url(tmp_path, "dbschema")
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, True)], "id long, name string, score double, ok boolean")
+    df.write.jdbc(url, "entities", properties=PROPS)
+    sdef = R.from_jdbc(spark, url, "entities", key_cols=["id"],
+                       properties=PROPS, major=1, minor=0)
+    types = {f["name"]: f["type"] for f in sdef.fields}
+    assert types == {"id": "long", "name": "string",
+                     "score": "double", "ok": "boolean"}
+    kf = sdef.field_map()["id"]
+    assert kf.get("key") and not kf["nullable"]   # keys forced non-null
+    reg = R.SchemaRegistry([])
+    reg.register(sdef)
+    assert reg.get("entities", "1.0").key_cols() == ["id"]
+    assert reg.latest("entities") is sdef
+
+
 def test_upsert_composite_key(spark, tmp_path):
     url = _url(tmp_path, "db4")
     ddl = "repo string, path string, content string, deleted boolean"

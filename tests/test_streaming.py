@@ -89,3 +89,32 @@ def test_stream_restart_is_exactly_once(spark, t1, registry, tmp_path):
     assert len(eng.table.all_manifests()) == n_manifests
     state2 = eng.read_final_with_sha().toPandas()
     assert_final_equal(state2, state1)
+
+
+def test_kafka_source_options_contract():
+    from cdc_core_spark.streaming.stream import kafka_source_options
+
+    opts = kafka_source_options("broker:9092", "cdc.events",
+                                max_offsets_per_trigger=50000,
+                                **{"kafka.security.protocol": "SSL"})
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "cdc.events"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"          # engine absorbs resends
+    assert opts["maxOffsetsPerTrigger"] == "50000"    # batchSize analog
+    assert opts["kafka.security.protocol"] == "SSL"
+
+
+def test_kafka_branch_reaches_source_resolution(spark):
+    """No broker or spark-sql-kafka jar in this container: the kafka branch
+    must build the reader and fail at SOURCE RESOLUTION (proving the
+    plumbing is wired), not at our own code."""
+    import pytest
+    from cdc_core_spark.streaming.stream import (build_stream_source,
+                                                 kafka_source_options)
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        build_stream_source(spark, source="kafka",
+                            kafka_options=kafka_source_options("b:9092", "t"))
+    with pytest.raises(ValueError, match="unknown stream source"):
+        build_stream_source(spark, source="pulsar")
