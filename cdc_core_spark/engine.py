@@ -114,6 +114,13 @@ class CdcEngine:
     def _key_cols(self) -> list[str]:
         return self.table.latest().key_cols
 
+    def _sync_buckets(self) -> None:
+        """The table snapshot owns the bucket count (it can change via
+        compact(n_buckets=...)); resync so a fresh engine instance
+        constructed with a stale count never mis-buckets."""
+        if self.table.exists():
+            self.n_buckets = self.table.latest().n_buckets
+
     # ----------------------------------------------------------- initial load
     def initial_load(self, source_df: DataFrame, schema_version: str = "1.0") -> None:
         """Snapshot/full-load path (reference: MessageMode.Snapshot,
@@ -223,6 +230,7 @@ class CdcEngine:
         winner's ``_max_seq``/``_op_ts`` maxima per bucket are exactly the
         footer maxima of the staged columns."""
         t0 = time.monotonic()
+        self._sync_buckets()
         sdef = self._apply_schema_ops(events, epoch, schema_rows=schema_rows)
         key_cols = sdef.key_cols()
         payload_cols = [f["name"] for f in sdef.fields if f["name"] not in key_cols]
@@ -379,6 +387,7 @@ class CdcEngine:
             if source_df is None:
                 raise ValueError("table missing and no initial source_df given")
             self.initial_load(source_df, schema_version)
+        self._sync_buckets()
         events = self.spark.read.parquet(events_path)
         if epochs is None:
             epochs = _list_epochs(events_path) or sorted(
@@ -442,18 +451,30 @@ class CdcEngine:
         a duplicate redelivery older than the watermark could resurrect a row,
         so pick the watermark ≤ min uncommitted upstream offset, exactly the
         ReceiverOffset committed-watermark contract)."""
+        self._sync_buckets()
         df = (self.table.read(self.spark, with_internal_cols=True)
               .filter(~(F.col("_deleted") & (F.col("_op_ts") < F.lit(watermark_op_ts))))
               .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
         self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None, manifests=[])
 
-    def compact(self) -> None:
+    def compact(self, n_buckets: int | None = None) -> None:
         """Rewrite every bucket into one file set under the current schema —
         bounds small-file count and re-materializes alias/widen normalization
-        (the Iceberg rewrite_data_files analog)."""
+        (the Iceberg rewrite_data_files analog).
+
+        ``n_buckets`` RE-BUCKETS the table in the same atomic commit — the
+        growth knob for 100-TB scale (static bucket counts eventually
+        under-parallelize or over-fragment; re-bucket when average bucket
+        size drifts out of range). Results are invariant: bucketing is pure
+        key hashing, and subsequent engine instances pick the new count up
+        from the snapshot (_sync_buckets)."""
+        self._sync_buckets()
+        nb = n_buckets or self.n_buckets
         df = (self.table.read(self.spark, with_internal_cols=True)
-              .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
-        self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None, manifests=[])
+              .withColumn("_bucket", bucket_expr(self._key_cols(), nb)))
+        self.table.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
+                                n_buckets=nb)
+        self.n_buckets = nb
 
     # ------------------------------------------------------------------- reads
     def read_final(self) -> DataFrame:

@@ -86,10 +86,20 @@ class Snapshot:
 
 
 class SnapshotTable:
+    #: max file entries stored inline in the snapshot JSON; above this the
+    #: list is split into a sidecar manifest-list file (the Iceberg
+    #: snapshot→manifest-list→manifest shape, one level deep). Keeps the
+    #: per-commit metadata write O(1)-ish instead of O(total files) json in
+    #: one document at 10^6-file scale. Overridable per instance (tests) or
+    #: via CDC_INLINE_FILES_MAX.
+    INLINE_FILES_MAX = 4096
+
     def __init__(self, root: str):
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
+        self.inline_files_max = int(
+            os.environ.get("CDC_INLINE_FILES_MAX", self.INLINE_FILES_MAX))
 
     # ---------------- snapshot log ----------------
     @staticmethod
@@ -106,24 +116,46 @@ class SnapshotTable:
         t._publish(snap)
         return t
 
+    def _snapshot_paths(self) -> list[str]:
+        # strict v{digits}.json — excludes the v*-files.json manifest-list
+        # sidecars living in the same directory
+        import re
+        return sorted(p for p in glob.glob(os.path.join(self.log_dir, "v*.json"))
+                      if re.fullmatch(r"v\d+\.json", os.path.basename(p)))
+
     def exists(self) -> bool:
-        return bool(glob.glob(os.path.join(self.log_dir, "v*.json")))
+        return bool(self._snapshot_paths())
 
     def latest(self) -> Snapshot:
-        paths = sorted(glob.glob(os.path.join(self.log_dir, "v*.json")))
+        paths = self._snapshot_paths()
         if not paths:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
         with open(paths[-1]) as f:
             d = json.load(f)
+        files = d["files"]
+        if isinstance(files, dict):   # split-out manifest list (see _publish)
+            with open(os.path.join(self.log_dir, files["ref"])) as f:
+                d["files"] = json.load(f)
         return Snapshot(**d)
 
     def _publish(self, snap: Snapshot) -> None:
         path = os.path.join(self.log_dir, f"v{snap.version:012d}.json")
         if os.path.exists(path):
             raise FileExistsError(f"snapshot {snap.version} already committed")
+        doc = dict(snap.__dict__)
+        if len(snap.files) > self.inline_files_max:
+            # split the file list into a sidecar manifest-list document:
+            # sidecar first, snapshot rename last — a crash in between
+            # leaves an unreferenced sidecar, never a dangling ref
+            ref = f"v{snap.version:012d}-files.json"
+            fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap.files, f)
+            os.rename(tmp, os.path.join(self.log_dir, ref))
+            doc["files"] = {"ref": ref, "n": len(snap.files)}
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump(snap.__dict__, f)
+            json.dump(doc, f)
         os.rename(tmp, path)  # atomic publish
 
     # ---------------- read ----------------
@@ -184,7 +216,8 @@ class SnapshotTable:
                      new_fields: list[dict] | None = None,
                      new_aliases: dict | None = None,
                      props: dict | None = None,
-                     pre_partitioned: bool = False) -> Snapshot:
+                     pre_partitioned: bool = False,
+                     n_buckets: int | None = None) -> Snapshot:
         """Copy-on-write commit: stage new files for ``touched_buckets`` from
         ``df`` (must carry ``_bucket``), carry all other buckets forward by
         reference, publish atomically. ``pre_partitioned`` skips the
@@ -193,8 +226,19 @@ class SnapshotTable:
         list, or a zero-arg callable evaluated after the stage write and
         before the publish (same contract as ``commit_delta`` — lets callers
         derive manifest stats from ``df.observe`` metrics of the write job
-        instead of paying a separate counting scan)."""
+        instead of paying a separate counting scan).
+
+        ``n_buckets`` re-buckets the table: ``df`` must carry ``_bucket``
+        computed with the NEW count and ``touched_buckets`` must cover its
+        full range — every old file is dropped (old bucket ids are
+        meaningless under the new hashing). This is the growth knob for
+        10^10-key scale: start at 32 buckets, re-bucket to 1024 when bucket
+        file sizes outgrow the target, all in one atomic commit."""
         prev = self.latest()
+        rebucket = n_buckets is not None and n_buckets != prev.n_buckets
+        out_buckets = n_buckets if n_buckets is not None else prev.n_buckets
+        if rebucket and set(touched_buckets) != set(range(out_buckets)):
+            raise ValueError("re-bucketing must rewrite every new bucket")
         fields = new_fields or prev.fields
         aliases = new_aliases or prev.aliases
         schemas = dict(prev.schemas)
@@ -216,9 +260,9 @@ class SnapshotTable:
                     new_files.append({"path": os.path.relpath(p, self.root),
                                       "bucket": b, "schema_id": sid})
         touched = set(touched_buckets)
-        carried = [f for f in prev.files if f["bucket"] not in touched]
+        carried = [] if rebucket else [f for f in prev.files if f["bucket"] not in touched]
         manifest_rows = manifests() if callable(manifests) else manifests
-        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
+        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=out_buckets,
                         key_cols=prev.key_cols, fields=fields, aliases=aliases,
                         schemas=schemas, files=carried + new_files,
                         manifests=manifest_rows, parent=prev.version,
@@ -294,7 +338,7 @@ class SnapshotTable:
     # ---------------- lineage ----------------
     def all_manifests(self) -> list[dict]:
         rows = []
-        for p in sorted(glob.glob(os.path.join(self.log_dir, "v*.json"))):
+        for p in self._snapshot_paths():
             with open(p) as f:
                 d = json.load(f)
             rows.extend(d.get("manifests") or [])
@@ -302,7 +346,7 @@ class SnapshotTable:
 
     def committed_epochs(self) -> set[int]:
         eps = set()
-        for p in sorted(glob.glob(os.path.join(self.log_dir, "v*.json"))):
+        for p in self._snapshot_paths():
             with open(p) as f:
                 d = json.load(f)
             if d.get("epoch") is not None:

@@ -62,3 +62,60 @@ def test_old_snapshots_remain_readable(spark, t1, registry, tmp_path):
         snap0 = Snapshot(**json.load(f))
     rows_then = eng.table.read(spark, snap=snap0).count()
     assert rows_then == src.count()  # initial-load state still reconstructable
+
+
+def test_rebucket_preserves_state_and_future_epochs(spark, t1, registry, tmp_path):
+    """compact(n_buckets=N) re-buckets the table in one atomic commit: state
+    is invariant, the snapshot owns the new count, and a FRESH engine
+    instance constructed with a stale count resyncs and replays further
+    epochs correctly under the new bucketing."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    # replay all but the last two epochs, then re-bucket mid-stream
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src,
+               epochs=list(range(6)))
+    eng.compact(n_buckets=13)
+    assert eng.table.latest().n_buckets == 13
+    assert {f["bucket"] for f in eng.table.latest().files} <= set(range(13))
+
+    # a new engine with the OLD count must pick 13 up from the snapshot
+    eng2 = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    eng2.replay(f'{t1["dir"]}/change_events')
+    assert eng2.n_buckets == 13
+    assert_final_equal(eng2.read_final_with_sha().toPandas(), t1["expected"])
+
+
+def test_manifest_list_splits_out_of_snapshot(spark, tmp_path):
+    """Above inline_files_max the snapshot JSON stores a sidecar ref instead
+    of the inline file list (Iceberg manifest-list shape); reads, carries,
+    and lineage are unaffected."""
+    import json
+
+    from cdc_core_spark.lake import SnapshotTable, bucket_expr
+
+    fields = [{"name": "k", "type": "string", "nullable": False, "key": True},
+              {"name": "v", "type": "long", "nullable": True}]
+    t = SnapshotTable.create(str(tmp_path / "t"), fields, ["k"], n_buckets=4)
+    t.inline_files_max = 3
+    for i in range(3):
+        df = (spark.createDataFrame([(f"k{j}", i * 10 + j) for j in range(8)],
+                                    "k string, v long")
+              .withColumn("_op_ts", F.lit(i).cast("bigint"))
+              .withColumn("_event_seq", F.lit(i).cast("bigint"))
+              .withColumn("_deleted", F.lit(False))
+              .withColumn("_bucket", bucket_expr(["k"], 4)))
+        t.commit_delta(df, epoch=i, manifests=[
+            {"checkpoint_epoch": i, "partition_id": 0, "events_read": 8,
+             "events_applied": 8, "events_error": 0, "max_op_ts": i,
+             "max_event_seq": i, "wall_ms": 0}])
+    snap = t.latest()
+    assert len(snap.files) > 3
+    raw = json.load(open(sorted(glob.glob(
+        os.path.join(t.log_dir, "v*.json")))[-1]))
+    assert isinstance(raw["files"], dict) and raw["files"]["n"] == len(snap.files)
+    assert os.path.exists(os.path.join(t.log_dir, raw["files"]["ref"]))
+    # LWW fold over the resolved file list: epoch-2 values win
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {f"k{j}": 20 + j for j in range(8)}
+    assert t.committed_epochs() == {0, 1, 2}
+    assert len(t.all_manifests()) == 3
