@@ -859,10 +859,13 @@ def q_embedding_near_dupes(spark, sf_dir):
 
 
 def q_embedding_pairs_exact(spark, sf_dir):
-    """Exact all-pairs cosine ≥ 0.35 (GEMM-blocked, SURVEY §2 embedding-cosine
-    near-dup baseline)."""
+    """Exact all-pairs cosine ≥ 0.35 (block outer-product GEMM, no driver
+    materialization — SURVEY §2 embedding-cosine near-dup baseline).
+    n_blocks=4 is sized to this corpus (replication cost O(n·n_blocks) vs
+    per-task block memory; measured 1.0s vs 1.4s at 8 blocks, sf0.1)."""
     e = _t(spark, sf_dir, "embeddings")
-    return (similarity.cosine_pairs_exact(e, "vec_id", "embedding", 0.35)
+    return (similarity.cosine_pairs_exact(e, "vec_id", "embedding", 0.35,
+                                          n_blocks=4)
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
 
 

@@ -1,0 +1,98 @@
+"""S3 event-notification driven ingest — process files as their arrival
+notifications come in, never LIST the bucket.
+
+Reference: the S3 sync listener consumes SQS messages carrying S3 event
+notifications and syncs each referenced object
+(filesystem/.../sync/s3/process/S3EventListener.java, S3EventConsumer.java).
+
+Spark-first shape: the notification stream (SQS/Kafka/file-drop of the
+standard AWS S3 event JSON, a public format) is shredded with ``from_json``;
+each microbatch collects its (tiny) set of newly-created object paths on the
+driver and scans EXACTLY those files. At 100-TB bucket scale this is the
+entire value of notification-driven ingest — a LIST of 10^8 objects per
+batch is the anti-pattern, the notification batch is O(new files) — the same
+reason Spark's own Auto-Loader-style file notification mode exists.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the standard S3 event notification envelope (subset we consume) — field
+#: names per the published AWS event message structure
+S3_EVENT_SCHEMA = (
+    "Records array<struct<"
+    "eventName: string, eventTime: string, "
+    "s3: struct<bucket: struct<name: string>, "
+    "object: struct<key: string, size: bigint>>>>"
+)
+
+
+def parse_s3_events(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Shred raw notification JSON strings into one row per object event:
+    (bucket, key, size_bytes, event_name, event_time). Keeps only
+    ObjectCreated:* events (the listener's sync trigger); deletes and test
+    events are dropped."""
+    rec = F.explode(F.from_json(F.col(value_col), S3_EVENT_SCHEMA)["Records"])
+    out = (df.select(rec.alias("r"))
+           .select(F.col("r.s3.bucket.name").alias("bucket"),
+                   F.col("r.s3.object.key").alias("key"),
+                   F.col("r.s3.object.size").alias("size_bytes"),
+                   F.col("r.eventName").alias("event_name"),
+                   F.to_timestamp("r.eventTime").alias("event_time")))
+    return out.filter(F.col("event_name").startswith("ObjectCreated"))
+
+
+def _default_resolver(bucket: str, key: str) -> str:
+    return f"s3a://{bucket}/{key}"
+
+
+def notified_paths(notifications: DataFrame,
+                   resolver: Callable[[str, str], str] = _default_resolver,
+                   value_col: str = "value") -> list[str]:
+    """Driver-side path list for one notification batch — O(batch), the
+    deliberate exception to the no-collect rule: a batch of notifications is
+    thousands of rows, not the table."""
+    rows = (parse_s3_events(notifications, value_col)
+            .select("bucket", "key").distinct().collect())
+    return [resolver(r["bucket"], r["key"]) for r in rows]
+
+
+def s3_event_ingest(engine, notifications_path: str, checkpoint_dir: str,
+                    resolver: Callable[[str, str], str] = _default_resolver,
+                    schema: str | None = None,
+                    file_format: str = "parquet",
+                    available_now: bool = True) -> None:
+    """Notification-driven engine ingest: tail the notification feed (a text
+    stream of S3 event JSON — swap the file source for the SQS/Kafka feed in
+    deployment, the body is source-agnostic like stream_ingest), and per
+    microbatch scan ONLY the notified objects and apply them as an epoch.
+
+    Exactly-once composition is unchanged: Spark checkpoints the
+    notification offsets, redelivered batches hit the engine's
+    committed-epoch skip, and the epoch merge is idempotent."""
+    spark = engine.spark
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        epoch = int(batch_id)
+        if epoch in engine.table.committed_epochs():
+            return
+        paths = notified_paths(batch_df, resolver)
+        if not paths:
+            return
+        reader = spark.read.format(file_format)
+        if schema:
+            reader = reader.schema(schema)
+        engine.apply_epoch(reader.load(paths), epoch)
+
+    q = (spark.readStream.format("text").load(notifications_path)
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir))
+    q = (q.trigger(availableNow=True) if available_now
+         else q.trigger(processingTime="5 seconds"))
+    query = q.start()
+    if available_now:
+        query.awaitTermination()

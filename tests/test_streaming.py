@@ -118,3 +118,88 @@ def test_kafka_branch_reaches_source_resolution(spark):
                             kafka_options=kafka_source_options("b:9092", "t"))
     with pytest.raises(ValueError, match="unknown stream source"):
         build_stream_source(spark, source="pulsar")
+
+
+def test_parse_s3_events_filters_and_shreds(spark):
+    import json
+    from cdc_core_spark.sources.s3_events import parse_s3_events
+
+    doc = {"Records": [
+        {"eventName": "ObjectCreated:Put",
+         "eventTime": "2024-01-01T00:00:00.000Z",
+         "s3": {"bucket": {"name": "b1"},
+                "object": {"key": "in/a.parquet", "size": 123}}},
+        {"eventName": "ObjectRemoved:Delete",
+         "eventTime": "2024-01-01T00:00:01.000Z",
+         "s3": {"bucket": {"name": "b1"},
+                "object": {"key": "in/gone.parquet", "size": 1}}},
+    ]}
+    df = spark.createDataFrame([(json.dumps(doc),)], "value string")
+    got = parse_s3_events(df).collect()
+    assert len(got) == 1  # the delete event is dropped
+    assert (got[0]["bucket"], got[0]["key"], got[0]["size_bytes"]) == \
+        ("b1", "in/a.parquet", 123)
+
+
+def test_s3_event_ingest_converges(spark, tmp_path):
+    """Notification-driven ingest: the engine scans ONLY notified objects per
+    microbatch (no directory listing) and converges to the LWW state."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_core_spark.registry import SchemaRegistry
+    from cdc_core_spark.sources.s3_events import s3_event_ingest
+
+    reg = SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "repo", "type": "string", "nullable": False, "key": True},
+            {"name": "path", "type": "string", "nullable": False, "key": True},
+            {"name": "content", "type": "string", "nullable": True},
+        ]}])
+    eng = CdcEngine(spark, str(tmp_path / "state"), reg, n_buckets=4)
+    eng.initial_load(spark.createDataFrame(
+        [("r1", "p1", "c0")], "repo string, path string, content string"))
+
+    obj_dir = tmp_path / "objects"
+    obj_dir.mkdir()
+    sch = pa.schema([("op", pa.int64()), ("repo", pa.string()),
+                     ("path", pa.string()), ("content", pa.string()),
+                     ("op_ts", pa.int64()), ("event_seq", pa.int64()),
+                     ("schema_version", pa.string())])
+
+    def obj(name, rows):
+        cols = list(zip(*rows))
+        pq.write_table(pa.table(
+            {f.name: list(c) for f, c in zip(sch, cols)}, schema=sch),
+            str(obj_dir / name))
+
+    obj("ev1.parquet", [(3, "r1", "pA", "c1", 10, 1, "1.0"),
+                        (3, "r1", "pB", "cB", 11, 2, "1.0")])
+    obj("ev2.parquet", [(4, "r1", "pA", "c2", 20, 3, "1.0"),
+                        (5, "r1", "pB", None, 21, 4, "1.0")])
+
+    def notif(key):
+        return json.dumps({"Records": [
+            {"eventName": "ObjectCreated:Put",
+             "eventTime": "2024-01-01T00:00:00.000Z",
+             "s3": {"bucket": {"name": "b"},
+                    "object": {"key": key, "size": 1}}}]})
+
+    ndir = tmp_path / "notifs"
+    ndir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    resolver = lambda b, k: str(obj_dir / k)  # noqa: E731
+
+    # batch 1 arrives, then batch 2 — two stream drains share the checkpoint
+    (ndir / "n1.json").write_text(notif("ev1.parquet"))
+    s3_event_ingest(eng, str(ndir), ckpt, resolver=resolver)
+    assert {r["path"]: r["content"] for r in eng.read_final().collect()} == \
+        {"p1": "c0", "pA": "c1", "pB": "cB"}
+
+    (ndir / "n2.json").write_text(notif("ev2.parquet"))
+    s3_event_ingest(eng, str(ndir), ckpt, resolver=resolver)
+    assert {r["path"]: r["content"] for r in eng.read_final().collect()} == \
+        {"p1": "c0", "pA": "c2"}
