@@ -473,6 +473,57 @@ def q_datastore_writeback(spark, sf_dir):
                        F.sha2("content", 256).alias("content_sha"))
 
 
+def q_journal_roundtrip(spark, sf_dir):
+    """Hour-bucketed journal writer gate (JournalWriter ``yyyy/MM/dd/HH``
+    audit paths, entity/.../utils/JournalWriter.java:38-104): valid adapted
+    events are appended into the audit layout, then a 3-day range read —
+    partition-pruned on the hour-bucket columns — is aggregated per repo.
+    The oracle filters the raw stream on the same hour buckets."""
+    import shutil
+    from cdc_core_spark.sinks import journal
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/cdc_journal_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ad = _adapt_events(spark, sf_dir).filter(F.col("op").isin(3, 4, 5))
+    journal.write_journal(
+        ad.select("op", "repo", "path", "op_ts", "event_seq"), root)
+    start = 1704240000000   # 2024-01-03T00Z (bucket '2024010300')
+    end = 1704495600000     # 2024-01-05T23Z (bucket '2024010523', inclusive)
+    j = journal.read_journal(spark, root, start_ms=start, end_ms=end)
+    return (j.groupBy("repo")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_seq").alias("min_seq"),
+                 F.max("event_seq").alias("max_seq")))
+
+
+def q_schema_from_jdbc(spark, sf_dir):
+    """Schema-generation-from-JDBC gate (JdbcSchemaGenerator / DbEntitySchema
+    analog, entity/.../jdbc/JdbcSchemaGenerator.java): nation → embedded
+    Derby → SchemaDef derived from the database's own metadata (zero-row
+    schema query) → registered and read back; emitted as (col, type,
+    nullable, key) rows against a constant oracle."""
+    import shutil
+    from cdc_core_spark import registry as R
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    db = f"/tmp/cdc_schema_jdbc_{tag}"
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    _t(spark, sf_dir, "nation").write.jdbc(url, "nation", mode="overwrite",
+                                           properties=props)
+    sdef = R.from_jdbc(spark, url, "nation", key_cols=["n_nationkey"],
+                       properties=props)
+    reg = R.SchemaRegistry([])
+    reg.register(sdef)
+    got = reg.get("nation", "1.0")
+    rows = [(f["name"], f["type"], bool(f["nullable"]), bool(f.get("key", False)))
+            for f in got.fields]
+    return spark.createDataFrame(
+        rows, "col_name string, col_type string, nullable boolean, is_key boolean")
+
+
 # ---------------------------------------------------------------------------
 # relational operators (scan/filter/join/agg/sort/limit/setop/rollup)
 # ---------------------------------------------------------------------------
@@ -904,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_manifests": q_cdc_engine_manifests,
         "datastore_writeback": q_datastore_writeback,
         "avro_envelope_roundtrip": q_avro_envelope_roundtrip,
+        "journal_roundtrip": q_journal_roundtrip,
+        "schema_from_jdbc": q_schema_from_jdbc,
         "cdc_running_window": q_cdc_running_window,
         "tumbling_window": q_tumbling_window,
         "session_window": q_session_window,
@@ -1177,6 +1230,22 @@ def oracle_sql() -> dict[str, str]:
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
         "datastore_writeback": _WRITEBACK_SQL,
         "avro_envelope_roundtrip": _ENGINE_REPLAY_SQL,
+        "journal_roundtrip": """
+            SELECT 'r' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                   count(*) AS n_events, min(event_id) AS min_seq,
+                   max(event_id) AS max_seq
+            FROM events
+            WHERE event_id % 101 != 0   -- malformed ops never reach the journal
+              AND strftime(ts, '%Y%m%d%H') BETWEEN '2024010300' AND '2024010523'
+            GROUP BY 1
+        """,
+        "schema_from_jdbc": """
+            SELECT * FROM (VALUES
+                ('n_nationkey', 'int',    false, true),
+                ('n_name',      'string', true,  false),
+                ('n_regionkey', 'int',    true,  false)
+            ) AS t(col_name, col_type, "nullable", is_key)
+        """,
         "cdc_engine_manifests": """
             SELECT event_id % 2 AS checkpoint_epoch,
                    count(*) FILTER (WHERE event_id % 101 != 0) AS events_read,

@@ -321,6 +321,63 @@ class SnapshotTable:
             raise
         return snap
 
+    def commit_delta_grouped(self, df: DataFrame, epochs: list[int],
+                             manifests,
+                             pre_partitioned: bool = False) -> Snapshot:
+        """GROUP-COMMIT merge-on-read: stage the winners of SEVERAL epochs in
+        ONE write job — partitioned ``checkpoint_epoch=<e>/_bucket=<b>`` so
+        every epoch keeps its own delta layer — and publish a single atomic
+        snapshot covering the whole group.
+
+        Why: each Spark job carries a constant planning/scheduling cost that
+        doesn't parallelize; replaying a deep backlog of small epochs
+        one-job-per-epoch pays it per epoch (measured ~1.2s/epoch at
+        local[4] on the 20M-event fixture — the dominant scaling-efficiency
+        loss). Grouping DDL-free epoch runs into one job amortizes it, the
+        same way the reference consumer acks a whole poll batch at once
+        (``receiver.commit()`` per batch, not per message,
+        MessageProcessor.java:195-214).
+
+        Atomicity/resume: the group commits as one snapshot; a crash before
+        publish leaves every epoch of the group uncommitted and the rerun
+        re-applies the group idempotently. ``committed_epochs`` reports all
+        epochs via the per-epoch manifest rows. ``df`` must carry a
+        ``checkpoint_epoch`` column restricted to ``epochs``."""
+        prev = self.latest()
+        sid = _sid_for(prev, prev.fields)
+        schemas = dict(prev.schemas)
+        if sid not in schemas:
+            schemas[sid] = prev.fields
+        commit_id = uuid.uuid4().hex[:12]
+        stage_rel = os.path.join("data", f"delta-{commit_id}")
+        stage_abs = os.path.join(self.root, stage_rel)
+        staged = df if pre_partitioned else df.repartition(
+            max(prev.n_buckets // 2, 1) * max(len(epochs), 1),
+            "checkpoint_epoch", "_bucket")
+        (staged.write.partitionBy("checkpoint_epoch", "_bucket")
+         .mode("overwrite").parquet(stage_abs))
+        new_files: list[dict] = []
+        for edir in glob.glob(os.path.join(stage_abs, "checkpoint_epoch=*")):
+            e = int(os.path.basename(edir).split("=")[1])
+            for bdir in glob.glob(os.path.join(edir, "_bucket=*")):
+                b = int(os.path.basename(bdir).split("=")[1])
+                for p in glob.glob(os.path.join(bdir, "*.parquet")):
+                    new_files.append({"path": os.path.relpath(p, self.root),
+                                      "bucket": b, "schema_id": sid,
+                                      "kind": "delta", "epoch": e})
+        manifest_rows = manifests(new_files) if callable(manifests) else manifests
+        snap = Snapshot(version=prev.version + 1, epoch=epochs[-1] if epochs else None,
+                        n_buckets=prev.n_buckets,
+                        key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
+                        schemas=schemas, files=prev.files + new_files,
+                        manifests=manifest_rows, parent=prev.version, props=prev.props)
+        try:
+            self._publish(snap)
+        except FileExistsError:
+            shutil.rmtree(stage_abs, ignore_errors=True)
+            raise
+        return snap
+
     def commit_metadata(self, new_fields: list[dict], new_aliases: dict,
                         epoch: int | None = None,
                         props: dict | None = None) -> Snapshot:
@@ -351,6 +408,11 @@ class SnapshotTable:
                 d = json.load(f)
             if d.get("epoch") is not None:
                 eps.add(d["epoch"])
+            # a group commit covers several epochs in one snapshot — every
+            # epoch with a manifest row in the published snapshot is committed
+            for m in d.get("manifests") or []:
+                if m.get("checkpoint_epoch", -1) >= 0:
+                    eps.add(m["checkpoint_epoch"])
         return eps
 
 

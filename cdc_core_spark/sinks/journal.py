@@ -46,7 +46,12 @@ def read_journal(spark: SparkSession, root: str,
     compare of the zero-padded yyyyMMddHH string), so Catalyst prunes whole
     hour directories before any file is opened."""
     df = spark.read.parquet(root)
-    bucket = F.concat(*_BUCKET_COLS)
+    # partition discovery type-infers "_m=01" to int 1 — re-pad to the
+    # zero-padded string form before the lexicographic range compare
+    # (still pure partition-column expressions, so pruning holds)
+    widths = {"_y": 4, "_m": 2, "_d": 2, "_h": 2}
+    bucket = F.concat(*[F.lpad(F.col(c).cast("string"), widths[c], "0")
+                        for c in _BUCKET_COLS])
 
     def fmt(ms: int) -> str:
         import datetime as _dt

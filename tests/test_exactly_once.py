@@ -101,3 +101,31 @@ def test_delete_tombstone_blocks_late_duplicate(spark, registry, tmp_path):
     eng.apply_epoch(spark.createDataFrame([ins], ddl), 2)
     rows = eng.read_final().collect()
     assert len(rows) == 1 and rows[0]["content"] == "body2"
+
+
+def test_group_commit_equivalence(spark, t1, registry, tmp_path):
+    """Group-commit (several epochs per job+snapshot) must be bit-identical
+    to the one-job-per-epoch path: same converged state, same per-(epoch,
+    bucket) manifest values, same committed-epoch set — with fewer
+    snapshots published."""
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    a = CdcEngine(spark, str(tmp_path / "a"), registry, n_buckets=8)
+    a.replay(f'{t1["dir"]}/change_events', source_df=src, group_commit=False)
+    b = CdcEngine(spark, str(tmp_path / "b"), registry, n_buckets=8)
+    b.replay(f'{t1["dir"]}/change_events', source_df=src, group_commit=True)
+
+    assert_final_equal(b.read_final_with_sha().toPandas(), t1["expected"])
+    cols = ["checkpoint_epoch", "partition_id", "events_read",
+            "events_applied", "events_error", "max_op_ts", "max_event_seq"]
+    ma = (a.manifests_df().toPandas()[cols]
+          .sort_values(cols).reset_index(drop=True))
+    mb = (b.manifests_df().toPandas()[cols]
+          .sort_values(cols).reset_index(drop=True))
+    assert ma.equals(mb)
+    assert a.table.committed_epochs() == b.table.committed_epochs()
+    assert len(b.table._snapshot_paths()) < len(a.table._snapshot_paths())
+
+    # resume semantics: rerunning the grouped replay is a full no-op
+    v_before = b.table.latest().version
+    b.replay(f'{t1["dir"]}/change_events')
+    assert b.table.latest().version == v_before
