@@ -412,8 +412,20 @@ class CdcEngine:
                         "max_event_seq": max_seq.get((ep, b))}
                     for (ep, b) in applied if ep == e
                 }
-                out.extend(self._manifest_rows(e, stats,
-                                               err_by_epoch.get(e, {}), t0))
+                rows = self._manifest_rows(e, stats, err_by_epoch.get(e, {}), t0)
+                if not rows:
+                    # an EMPTY epoch inside a group still needs a committed
+                    # record (the single-epoch path marks it via the
+                    # snapshot's epoch field; here only the last epoch gets
+                    # that) — emit a zero marker row, partition_id=-1 like
+                    # the initial-load convention, so committed_epochs()
+                    # sees it and resume stays a no-op
+                    rows = [{"checkpoint_epoch": e, "partition_id": -1,
+                             "events_read": 0, "events_applied": 0,
+                             "events_error": 0, "max_op_ts": -1,
+                             "max_event_seq": -1,
+                             "wall_ms": int((time.monotonic() - t0) * 1000)}]
+                out.extend(rows)
             return out
 
         snap = self.table.commit_delta_grouped(delta, epochs,

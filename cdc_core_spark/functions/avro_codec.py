@@ -150,7 +150,12 @@ def encode_record(fields: list[tuple[str, str, bool]], row: dict) -> bytes:
     for name, t, nullable in fields:
         v = row.get(name)
         if nullable:
-            if v is None or (isinstance(v, float) and pd.isna(v)):
+            # NaN means MISSING only for non-double fields (pandas uses NaN
+            # as the null sentinel for ints/strings); a genuine double NaN
+            # is a legal Avro value and must round-trip as NaN, not null
+            missing = v is None or (isinstance(v, float) and pd.isna(v)
+                                    and t != "double")
+            if missing:
                 _write_long(buf, 0)     # union branch 0 = null
                 continue
             _write_long(buf, 1)         # union branch 1 = value

@@ -38,26 +38,30 @@ class Q:
     params: dict = field(default_factory=dict)
 
     def bound_where(self) -> str | None:
-        """Bind named params into the predicate text. Word-boundary regex,
-        longest name first — `:p` must never corrupt `:p2` — and string
-        values are SQL-escaped (' → '') so a quote in a value can't break
-        or inject into the expression handed to Catalyst."""
+        """Bind named params into the predicate text in ONE regex pass —
+        word-boundary alternation, longest name first so `:p` never corrupts
+        `:p2`, and a single pass so a `:token` inside an already-substituted
+        string VALUE can never be rewritten by a later parameter. String
+        values are SQL-escaped (' → '') so a quote in a value can't break or
+        inject into the expression handed to Catalyst."""
         if self.where is None:
             return None
+        if not self.params:
+            return self.where
         import re
-        w = self.where
-        for k in sorted(self.params, key=len, reverse=True):
-            v = self.params[k]
+
+        def lit(v) -> str:
             if v is None:
-                lit = "NULL"
-            elif isinstance(v, bool):
-                lit = "true" if v else "false"
-            elif isinstance(v, str):
-                lit = "'" + v.replace("'", "''") + "'"
-            else:
-                lit = repr(v)
-            w = re.sub(rf":{re.escape(k)}\b", lambda _m, lit=lit: lit, w)
-        return w
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return repr(v)
+
+        names = sorted(self.params, key=len, reverse=True)
+        pat = re.compile(":(" + "|".join(re.escape(k) for k in names) + r")\b")
+        return pat.sub(lambda m: lit(self.params[m.group(1)]), self.where)
 
 
 def search(df: DataFrame, q: Q, max_results: int | None = None) -> DataFrame:

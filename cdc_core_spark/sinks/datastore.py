@@ -81,11 +81,17 @@ def _table_exists(spark, url: str, properties: dict | None, table: str) -> bool:
             props.setProperty(k, str(v))
     conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
-        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
-        try:
-            return bool(rs.next())
-        finally:
-            rs.close()
+        md = conn.getMetaData()
+        # unquoted identifiers case-fold per database (Derby/Oracle upper,
+        # Postgres/MySQL lower) — probe every folding of the name
+        for cand in dict.fromkeys((table, table.upper(), table.lower())):
+            rs = md.getTables(None, None, cand, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
     finally:
         conn.close()
 

@@ -23,7 +23,12 @@ _BUCKET_COLS = ("_y", "_m", "_d", "_h")
 
 
 def _bucketed(events: DataFrame, ts_col: str) -> DataFrame:
-    t = F.timestamp_millis(F.col(ts_col).cast("bigint"))
+    # convert the instant to UTC wall time (TIMESTAMP_NTZ) before formatting:
+    # date_format renders in the SESSION timezone, which would shear the
+    # bucket boundaries away from read_journal's UTC-computed range keys on
+    # any session not running UTC
+    t = F.convert_timezone(None, F.lit("UTC"),
+                           F.timestamp_millis(F.col(ts_col).cast("bigint")))
     return (events
             .withColumn("_y", F.date_format(t, "yyyy"))
             .withColumn("_m", F.date_format(t, "MM"))

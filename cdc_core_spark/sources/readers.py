@@ -137,7 +137,8 @@ def write_excel_multi(path: str,
           'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
           + overrides + "</Types>")
     sheet_decls = "".join(
-        f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>'
+        f'<sheet name="{escape(name, {chr(34): "&quot;"})}" sheetId="{i}" '
+        f'r:id="rId{i}"/>'
         for i, (name, _c, _r) in enumerate(sheets, start=1))
     wb = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
           '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '

@@ -38,8 +38,10 @@ def parse_s3_events(df: DataFrame, value_col: str = "value") -> DataFrame:
     events are dropped."""
     rec = F.explode(F.from_json(F.col(value_col), S3_EVENT_SCHEMA)["Records"])
     out = (df.select(rec.alias("r"))
+           # S3 notifications URL-encode object keys (space → '+', %xx):
+           # decode so 'in/red flower.parquet' resolves to the real object
            .select(F.col("r.s3.bucket.name").alias("bucket"),
-                   F.col("r.s3.object.key").alias("key"),
+                   F.url_decode(F.col("r.s3.object.key")).alias("key"),
                    F.col("r.s3.object.size").alias("size_bytes"),
                    F.col("r.eventName").alias("event_name"),
                    F.to_timestamp("r.eventTime").alias("event_time")))

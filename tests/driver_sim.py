@@ -40,9 +40,14 @@ def canon(df: pd.DataFrame) -> tuple[str, list[str], int]:
                 "cannot sort these; gate queries must emit scalars only")
         if isinstance(v, (bytes, bytearray)):
             return v.hex()
-        if isinstance(v, (int,)) or hasattr(v, "item"):  # numpy scalar ints
-            return f"i:{int(v)}" if not isinstance(v, float) else f"f:{v:.6g}"
-        return str(v)
+        import numpy as np
+        if isinstance(v, (bool, np.bool_)):
+            return f"b:{bool(v)}"
+        if isinstance(v, np.floating):   # float32/float64 — NEVER truncate
+            return f"f:{float(v):.6g}"
+        if isinstance(v, (int, np.integer)):
+            return f"i:{int(v)}"
+        return str(v)  # timestamps/datetime64/decimals render as text
 
     rows = sorted(
         ["|".join(cell(v) for v in rec) for rec in df.itertuples(index=False, name=None)]

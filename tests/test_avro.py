@@ -103,3 +103,20 @@ def test_unsupported_union_rejected():
         {"name": "a", "type": ["string", "long"]}]})
     with pytest.raises(ValueError, match="unions"):
         A._fields(bad)
+
+
+def test_double_nan_roundtrips_as_nan():
+    """A genuine NaN in a nullable double field is a legal Avro value and
+    must NOT collapse to the null union branch."""
+    import math
+
+    sch = json.dumps({"type": "record", "name": "S", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": ["null", "double"], "default": None}]})
+    fields = A._fields(sch)
+    out = A.decode_record(fields, A.encode_record(
+        fields, {"id": 1, "score": float("nan")}))
+    assert out["id"] == 1 and math.isnan(out["score"])
+    out2 = A.decode_record(fields, A.encode_record(
+        fields, {"id": 2, "score": None}))
+    assert out2["score"] is None

@@ -129,3 +129,36 @@ def test_group_commit_equivalence(spark, t1, registry, tmp_path):
     v_before = b.table.latest().version
     b.replay(f'{t1["dir"]}/change_events')
     assert b.table.latest().version == v_before
+
+
+def test_group_commit_records_empty_epoch(spark, registry, t1, tmp_path):
+    """An epoch with zero events inside a group must still be recorded as
+    committed (zero marker manifest row), so resume stays a no-op."""
+    from cdc_core_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "repo", "type": "string", "nullable": False, "key": True},
+            {"name": "path", "type": "string", "nullable": False, "key": True},
+            {"name": "content", "type": "string", "nullable": True},
+        ]}])
+    ddl = ("op int, repo string, path string, content string, "
+           "op_ts long, event_seq long, schema_version string, "
+           "checkpoint_epoch int")
+    rows = [(3, "r1", "pA", "c1", 10, 1, "1.0", 0),
+            (4, "r1", "pA", "c2", 20, 2, "1.0", 2)]   # nothing in epoch 1
+    evdir = str(tmp_path / "ev")
+    (spark.createDataFrame(rows, ddl)
+     .write.partitionBy("checkpoint_epoch").parquet(evdir))
+    src = spark.createDataFrame([("r1", "p0", "c0")],
+                                "repo string, path string, content string")
+    eng = CdcEngine(spark, str(tmp_path / "s"), reg, n_buckets=4)
+    # epoch 1 is named but has no partition/rows -> empty epoch in the group
+    eng.replay(evdir, source_df=src, epochs=[0, 1, 2])
+    assert eng.table.committed_epochs() == {0, 1, 2}
+    v = eng.table.latest().version
+    eng.replay(evdir, epochs=[0, 1, 2])   # resume: full no-op
+    assert eng.table.latest().version == v
+    assert {r["path"]: r["content"] for r in eng.read_final().collect()} == \
+        {"p0": "c0", "pA": "c2"}

@@ -66,3 +66,10 @@ def test_cursor_pages_cover_exactly_once(spark):
     expected = {r["o_orderkey"] for r in df.filter("o_totalprice > 50000").collect()}
     assert len(seen) == len(expected)          # no dup, no loss
     assert set(seen) == expected
+
+
+def test_bound_where_token_inside_value_not_rebound():
+    # single-pass substitution: a ':token' inside an earlier-substituted
+    # string VALUE must never be rewritten by a later parameter
+    q = Q(where="n = :name AND i = :id", params={"name": "uses :id", "id": 7})
+    assert q.bound_where() == "n = 'uses :id' AND i = 7"

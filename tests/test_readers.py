@@ -141,3 +141,9 @@ def test_read_excel_sparse_interior_cells(spark, tmp_path):
     got = readers.read_excel(spark, str(p)).collect()
     assert got[0]["c"] == "z" and got[0]["b"] is None
     assert got[1]["b"] == "m" and got[1]["c"] is None
+
+
+def test_excel_sheet_name_with_specials(spark, tmp_path):
+    p = tmp_path / "amp.xlsx"
+    readers.write_excel_multi(str(p), [('P&L "Q1"', ["v"], [(5,)])])
+    assert readers.read_excel(spark, str(p), sheet='P&L "Q1"').collect()[0]["v"] == 5

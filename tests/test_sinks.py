@@ -153,3 +153,24 @@ def test_upsert_composite_key(spark, tmp_path):
     back = readers.read_jdbc(spark, url, "target", properties=PROPS)
     got = {(r["repo"], r["path"]): r["content"] for r in back.collect()}
     assert got == {("r1", "p1"): "c1b", ("r2", "p1"): "c3"}
+
+
+def test_journal_buckets_are_utc_under_any_session_tz(spark, tmp_path):
+    """Bucketing must be UTC regardless of spark.sql.session.timeZone, or
+    write-side buckets shear away from read_journal's UTC range keys."""
+    from cdc_core_spark.sinks import journal
+
+    root = str(tmp_path / "jtz")
+    # 2024-01-03T02:00:00Z — in America/New_York this is Jan 2, 21:00
+    ts = 1704247200000
+    df = spark.createDataFrame([(1, ts)], "event_id long, op_ts long")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        journal.write_journal(df, root)
+        got = journal.read_journal(spark, root, start_ms=ts, end_ms=ts).collect()
+        assert [r["event_id"] for r in got] == [1]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    import glob as g
+    assert g.glob(f"{root}/_y=2024/_m=01/_d=03/_h=02")  # UTC bucket, not local

@@ -203,3 +203,17 @@ def test_s3_event_ingest_converges(spark, tmp_path):
     s3_event_ingest(eng, str(ndir), ckpt, resolver=resolver)
     assert {r["path"]: r["content"] for r in eng.read_final().collect()} == \
         {"p1": "c0", "pA": "c2"}
+
+
+def test_parse_s3_events_url_decodes_keys(spark):
+    import json
+    from cdc_core_spark.sources.s3_events import parse_s3_events
+
+    doc = {"Records": [
+        {"eventName": "ObjectCreated:Put",
+         "eventTime": "2024-01-01T00:00:00.000Z",
+         "s3": {"bucket": {"name": "b"},
+                "object": {"key": "in/red+flower%2B1.parquet", "size": 1}}}]}
+    df = spark.createDataFrame([(json.dumps(doc),)], "value string")
+    # AWS URL-encodes keys: '+' is a space, %2B is a literal plus
+    assert parse_s3_events(df).collect()[0]["key"] == "in/red flower+1.parquet"
