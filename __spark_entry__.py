@@ -854,6 +854,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERING: exact n-gram Jaccard pairs → distributed
+    connected components (min-label propagation) → one (doc, cluster_id,
+    is_canonical) row per document. The step a dedup pipeline runs after
+    pair generation — keep is_canonical to retain one doc per duplicate
+    cluster. Deterministic, so the oracle computes the same components via
+    a recursive transitive-closure CTE."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -989,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1353,6 +1365,40 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
                     JOIN sizes sb ON co.doc_b = sb.doc_id
             WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks
+            ), sizes AS (SELECT doc_id, len(g) AS n FROM grams),
+            inv AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            co AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), edges AS (
+              SELECT doc_a, doc_b FROM co
+              JOIN sizes sa ON co.doc_a = sa.doc_id
+              JOIN sizes sb ON co.doc_b = sb.doc_id
+              WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+            ), sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM edges
+              UNION SELECT doc_b, doc_a FROM edges
+            ), reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT d.doc_id AS doc,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id
+                       AS is_canonical
+            FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id
         """,
         "text_stats": f"""
             SELECT doc_id,

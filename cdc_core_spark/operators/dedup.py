@@ -198,6 +198,66 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     return est.filter(F.col("est_jaccard") >= threshold).select("doc_a", "doc_b", "est_jaccard")
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         node_col: str = "doc",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Connected components over the near-duplicate pair graph → one
+    ``(doc, cluster_id)`` row per node, ``cluster_id`` = min node id of the
+    component. This is the step after pair generation in a dedup pipeline:
+    components are duplicate CLUSTERS, and `keep doc == cluster_id` retains
+    one canonical doc per cluster.
+
+    Distributed min-label propagation: each round joins labels across the
+    symmetrized edge set and keeps the per-node minimum; stop when no label
+    changed (driver checks a one-row count per round). Rounds needed =
+    component diameter — near-dup clusters are dense/clique-like (every
+    member collides with the canonical via the same shingles), so diameters
+    are tiny and the loop converges in 2-3 rounds regardless of corpus
+    size; each round is one join + one groupBy shuffle, all JVM-side.
+    ``localCheckpoint`` truncates the iterative lineage so plans don't grow
+    unboundedly. (For adversarial long-chain graphs the alternating
+    small-star/large-star contraction gives O(log n) rounds — unnecessary
+    for dedup-shaped graphs; documented as the 10^9-node escalation path.)
+    """
+    sym = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+           .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                     F.col(a_col).alias("dst"))))
+    labels = nodes.select(F.col(node_col).alias("node"),
+                          F.col(node_col).alias("label")).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        # neighbor labels: for each edge dst, the src's current label
+        nbr = (sym.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, "node", "left")
+                      .select("node", F.least("label", F.coalesce("nbr_label", "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=False))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3, threshold: float = 0.5,
+                   max_postings: int | None = None) -> DataFrame:
+    """End-to-end duplicate clustering: exact n-gram Jaccard pairs ≥
+    threshold → connected components → ``(doc, cluster_id, is_canonical)``.
+    Deterministic (exact Jaccard edges), so it carries a SQL oracle via a
+    recursive-closure CTE."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                                threshold=threshold, max_postings=max_postings)
+    nodes = df.select(F.col(id_col).alias("doc"))
+    comp = connected_components(pairs, nodes)
+    return comp.withColumn("is_canonical", F.col("doc") == F.col("cluster_id"))
+
+
 def _simhash_fold_fn(hashes: pd.Series) -> pd.Series:
     """Arrow-vectorized SimHash bit-fold: per row, sum ±1 per bit over token
     hashes, sign → 64-bit fingerprint. numpy inner loop, no per-row Python

@@ -189,3 +189,28 @@ def test_multimodal_plumbing(spark):
     # real decoder is stubbed
     with pytest.raises(Exception):
         multimodal.real_decode(b"zz")
+
+
+def test_dedup_clusters(docs):
+    """CC over the jaccard pair graph: {1,2,3,7} form one cluster with
+    canonical 1; 4,5,6 are singletons."""
+    out = {r["doc"]: (r["cluster_id"], r["is_canonical"]) for r in
+           dedup.dedup_clusters(docs, "doc_id", "text",
+                                n=3, threshold=0.3).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[3] == (1, False) and out[7] == (1, False)
+    assert out[4] == (4, True) and out[5] == (5, True) and out[6] == (6, True)
+
+
+def test_connected_components_chain(spark):
+    """A long chain exercises multi-round propagation to a fixpoint."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21)],
+        "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in list(range(10)) + [20, 21, 30]],
+                                  "doc long")
+    got = {r["doc"]: r["cluster_id"] for r in
+           dedup.connected_components(edges, nodes).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[20] == got[21] == 20
+    assert got[30] == 30
