@@ -65,27 +65,34 @@ def _footer_stats(path: str, max_cols: tuple[str, ...]) -> tuple[int, int | None
     return (md.num_rows, *maxima)
 
 
-def valid_event_pred():
+def valid_event_pred(key_cols: list[str] = ("repo", "path"),
+                     content_col: str | None = "content"):
     """Quarantine predicate (reference DLQ: MessageProcessor.java:216-225):
-    data op code, non-null key, DELETE must not carry content.
+    data op code, non-null KEY columns (schema-driven, not hardcoded — the
+    engine serves any registered entity), DELETE must not carry content.
 
     Null-safe by construction: a null op makes the raw conjunction NULL,
     which `filter(pred)` drops but `filter(~pred)` ALSO drops — the counting
     and quarantine paths would disagree. coalesce(False) pins null-op rows
     to invalid on every consumer."""
-    return F.coalesce(
-        F.col("op").isin(*DATA_OPS)
-        & F.col("repo").isNotNull() & F.col("path").isNotNull()
-        & ~((F.col("op") == OP_DELETE) & F.col("content").isNotNull()),
-        F.lit(False))
+    pred = F.col("op").isin(*DATA_OPS)
+    for k in key_cols:
+        pred = pred & F.col(k).isNotNull()
+    if content_col is not None:
+        pred = pred & ~((F.col("op") == OP_DELETE)
+                        & F.col(content_col).isNotNull())
+    return F.coalesce(pred, F.lit(False))
 
 
-def _error_reason():
+def _error_reason(key_cols: list[str] = ("repo", "path")):
     """DLQ reason tag, null-safe on op (shared by both quarantine writers)."""
+    null_key = F.lit(False)
+    for k in key_cols:
+        null_key = null_key | F.col(k).isNull()
     return (
         F.when(~F.coalesce(F.col("op").isin(*DATA_OPS), F.lit(False)),
                F.lit("invalid_op"))
-        .when(F.col("repo").isNull() | F.col("path").isNull(), F.lit("null_key"))
+        .when(null_key, F.lit("null_key"))
         .otherwise(F.lit("delete_with_content"))
     )
 
@@ -121,6 +128,14 @@ class CdcEngine:
         if self.table.exists():
             self.n_buckets = self.table.latest().n_buckets
 
+
+    def _pred_args(self, events: DataFrame) -> tuple[list[str], str | None]:
+        """(key_cols, content_col) for the validity predicate — key columns
+        from the table (evolution can never change them), content rule only
+        when the event stream carries a content column."""
+        key_cols = self._key_cols()
+        return key_cols, ("content" if "content" in events.columns else None)
+
     # ----------------------------------------------------------- initial load
     def initial_load(self, source_df: DataFrame, schema_version: str = "1.0") -> None:
         """Snapshot/full-load path (reference: MessageMode.Snapshot,
@@ -128,10 +143,20 @@ class CdcEngine:
         Initial rows get version (-1, -1) so every real event out-versions them."""
         sdef = self.registry.get(self.entity, schema_version)
         fields = [dict(f) for f in sdef.fields]
-        self.table = SnapshotTable.create(
-            self.table.root, fields=fields, key_cols=sdef.key_cols(),
-            n_buckets=self.n_buckets, aliases=dict(sdef.aliases),
-            props={"schema_version": schema_version})
+        if not self.table.exists():
+            self.table = SnapshotTable.create(
+                self.table.root, fields=fields, key_cols=sdef.key_cols(),
+                n_buckets=self.n_buckets, aliases=dict(sdef.aliases),
+                props={"schema_version": schema_version})
+        elif self.table.latest().props.get("initial_loaded"):
+            raise FileExistsError(
+                f"table at {self.table.root} is already initial-loaded")
+        # else: crash-rerun — the schema-only v0 snapshot was published but
+        # the data commit never landed; fall through and redo the load. The
+        # "initial_loaded" flag only rides the DATA commit below, so replay()
+        # can tell a half-created table from a loaded one (a crash between
+        # create() and commit would otherwise silently skip the initial load
+        # on resume and lose every never-updated base row).
         cols = []
         present = set(source_df.columns)
         for f in fields:
@@ -155,7 +180,9 @@ class CdcEngine:
                      "max_event_seq": -1, "wall_ms": 0}]
 
         self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None,
-                                manifests=manifest)
+                                manifests=manifest,
+                                props={"schema_version": schema_version,
+                                       "initial_loaded": True})
 
     # -------------------------------------------------------- schema evolution
     def _apply_schema_ops(self, events: DataFrame, epoch: int,
@@ -175,9 +202,12 @@ class CdcEngine:
             if (new.major, new.minor) <= (cur.major, cur.minor):
                 continue  # replayed DDL — idempotent skip
             validate_evolution(cur, new)
+            # merge, don't replace: props also carries the initial_loaded
+            # marker (and any future table-level flags)
             self.table.commit_metadata(
                 [dict(f) for f in new.fields], dict(new.aliases), epoch=None,
-                props={"schema_version": new.version})
+                props={**self.table.latest().props,
+                       "schema_version": new.version})
             cur = new
         return cur
 
@@ -240,15 +270,16 @@ class CdcEngine:
         payload_cols = [f["name"] for f in sdef.fields if f["name"] not in key_cols]
 
         data = events.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
-        vpred = valid_event_pred()
+        kc, cc = self._pred_args(events)
+        vpred = valid_event_pred(kc, cc)
         valid = data.filter(vpred)
 
         if err_stats is None:
-            # standalone path: one aggregation job for malformed lineage
-            # (null-safe bucket so null-key malformed rows still get counted)
-            nb = F.pmod(
-                F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
-                F.lit(self.n_buckets)).cast("int")
+            # standalone path: one aggregation job for malformed lineage.
+            # bucket_expr is already total on null keys (xxhash64 skips null
+            # inputs), and any coalesce-to-sentinel would TYPE-COERCE
+            # non-string keys and disagree with the write-side bucket ids
+            nb = bucket_expr(key_cols, self.n_buckets)
             err_stats = {
                 r["_bucket"]: r["n"] for r in
                 (data.filter(~vpred).withColumn("_bucket", nb)
@@ -380,7 +411,8 @@ class CdcEngine:
         payload_cols = [f["name"] for f in sdef.fields if f["name"] not in key_cols]
 
         data = events.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
-        valid = data.filter(valid_event_pred())
+        kc, cc = self._pred_args(events)
+        valid = data.filter(valid_event_pred(kc, cc))
         ev = self._normalize_events(valid, sdef, extra_cols=("checkpoint_epoch",))
         winners = lww_reduce(ev, ["checkpoint_epoch"] + key_cols,
                              payload_cols + ["op"], salt=self.salt,
@@ -453,7 +485,8 @@ class CdcEngine:
         """DLQ: original event + reason, per-epoch overwrite (idempotent rerun).
         Reference: error messages re-tagged mode=Error with correlation id
         (MessageProcessor.sendError, BaseKafkaProducer keyed send)."""
-        out = bad.withColumn("error_reason", _error_reason())
+        out = bad.withColumn("error_reason",
+                             _error_reason(self._pred_args(bad)[0]))
         (out.write.mode("overwrite")
             .parquet(os.path.join(self.errors_dir, f"checkpoint_epoch={epoch}")))
 
@@ -470,9 +503,12 @@ class CdcEngine:
         10^10-event scale this is the knob that trades write amplification
         against read fold depth). Compaction is itself a plain snapshot
         commit, so a crash mid-compaction is invisible to correctness."""
-        if not self.table.exists():
+        if (not self.table.exists()
+                or not self.table.latest().props.get("initial_loaded")):
             if source_df is None:
-                raise ValueError("table missing and no initial source_df given")
+                raise ValueError(
+                    "table missing or initial load incomplete, and no "
+                    "initial source_df given")
             self.initial_load(source_df, schema_version)
         self._sync_buckets()
         events = self.spark.read.parquet(events_path)
@@ -501,10 +537,11 @@ class CdcEngine:
         # clobbering other epochs' DLQ. With these in hand each MOR epoch
         # costs exactly ONE Spark job (see apply_epoch read_stats path).
         key_cols = self._key_cols()
-        vpred = valid_event_pred()
-        nb = F.pmod(
-            F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols]),
-            F.lit(self.n_buckets)).cast("int")
+        kc, cc = self._pred_args(events)
+        vpred = valid_event_pred(kc, cc)
+        # bucket_expr is total on null keys (xxhash64 skips nulls); a
+        # coalesce-to-string sentinel would mis-bucket non-string keys
+        nb = bucket_expr(key_cols, self.n_buckets)
         data = scope.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
         stat_rows = (data.withColumn("_bucket", nb).withColumn("_ok", vpred)
                      .groupBy("checkpoint_epoch", "_bucket", "_ok")
@@ -518,7 +555,7 @@ class CdcEngine:
             n_err += 0 if r["_ok"] else r["n"]
         if n_err:
             bad = data.filter(~vpred)
-            (bad.withColumn("error_reason", _error_reason())
+            (bad.withColumn("error_reason", _error_reason(kc))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("checkpoint_epoch").parquet(self.errors_dir))
@@ -605,4 +642,9 @@ class CdcEngine:
         return self.spark.createDataFrame(rows, schema=ddl)
 
     def errors_df(self) -> DataFrame:
+        """DLQ contents; an all-clean run never writes the directory, so
+        return an empty frame instead of raising PATH_NOT_FOUND."""
+        if not os.path.isdir(self.errors_dir):
+            return self.spark.createDataFrame(
+                [], schema="checkpoint_epoch int, error_reason string")
         return self.spark.read.parquet(self.errors_dir)

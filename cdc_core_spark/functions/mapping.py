@@ -51,6 +51,13 @@ def compile_mapping(df: DataFrame, spec: list[dict],
             node[parts[-1]] = F.lit(ent["const"])
         else:
             node[parts[-1]] = F.expr(ent["expr"])
+            # columns consumed by the expression are mapped, not "unmapped
+            # extras" — word-boundary match against known source columns
+            # (heuristic: a quoted literal containing a column name would
+            # also match, which only over-excludes)
+            import re
+            used_sources |= {c for c in df.columns
+                             if re.search(rf"\b{re.escape(c)}\b", ent["expr"])}
 
     def build(node) -> Column:
         if isinstance(node, Column):
@@ -89,21 +96,35 @@ def apply_rules(df: DataFrame, rules: list[Rule],
       the quarantine frame (EntityValidationError upsert semantics,
       PersistencePipeline.java:80-93);
     * transformation rules write their target field (RuleType.Transformation).
+
+    CHAIN ORDER is honored exactly as RulesExecutor runs it (sequentially,
+    RulesExecutor.java:63): a validation placed after a transformation sees
+    the transformed value, a filter after a transformation filters on it.
+    Each validation verdict is materialized as a boolean column at its chain
+    position, so a later transformation overwriting a referenced column
+    cannot retroactively change an earlier verdict — and the whole chain is
+    still ONE static Catalyst plan (a linear Project/Filter stack).
     """
-    for r in rules:
+    verdicts: list[tuple[str, str]] = []
+    for i, r in enumerate(rules):
         if r.kind == "filter":
             df = df.filter(~F.coalesce(F.expr(r.predicate), F.lit(False)))
-    errs = F.array(*[
-        F.when(~F.coalesce(F.expr(r.predicate), F.lit(False)),
-               F.lit(r.error or r.predicate))
-        for r in rules if r.kind == "validation"
-    ])
-    df = df.withColumn(errors_col, F.filter(errs, lambda x: x.isNotNull())
-                       if [r for r in rules if r.kind == "validation"]
-                       else F.array().cast("array<string>"))
-    for r in rules:
-        if r.kind == "transformation":
+        elif r.kind == "validation":
+            flag = f"_rule_ok_{i}"
+            df = df.withColumn(flag,
+                               F.coalesce(F.expr(r.predicate), F.lit(False)))
+            verdicts.append((flag, r.error or r.predicate))
+        elif r.kind == "transformation":
             df = df.withColumn(r.target, F.expr(r.expr))
+        else:
+            raise ValueError(f"unknown rule kind {r.kind!r}")
+    if verdicts:
+        errs = F.array(*[F.when(~F.col(flag), F.lit(tag))
+                         for flag, tag in verdicts])
+        df = (df.withColumn(errors_col, F.filter(errs, lambda x: x.isNotNull()))
+              .drop(*[flag for flag, _ in verdicts]))
+    else:
+        df = df.withColumn(errors_col, F.array().cast("array<string>"))
     good = df.filter(F.size(errors_col) == 0).drop(errors_col)
     bad = df.filter(F.size(errors_col) > 0)
     return good, bad

@@ -102,8 +102,14 @@ def lww_reduce_in_partition(df: DataFrame, key_cols: list[str]) -> DataFrame:
             if len(pdf) == 0:
                 continue
             both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
-            both = both.sort_values(["_op_ts", "_event_seq"], kind="stable")
-            acc = both.groupby(key_cols, as_index=False, sort=False).tail(1)
+            # na_position='first' + dropna=False: pandas sorts NaN LAST and
+            # drops null group keys by default — either would silently make
+            # this fold diverge from Spark's max_by (null version loses,
+            # null keys form their own group) on the other merge paths
+            both = both.sort_values(["_op_ts", "_event_seq"], kind="stable",
+                                    na_position="first")
+            acc = (both.groupby(key_cols, as_index=False, sort=False,
+                                dropna=False).tail(1))
         if acc is not None:
             yield acc[cols]
 

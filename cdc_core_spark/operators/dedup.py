@@ -271,7 +271,11 @@ def _simhash_fold_fn(hashes: pd.Series) -> pd.Series:
         a = np.asarray(h, dtype=np.int64).astype(np.uint64)
         bits = ((a[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
-        out[i] = np.int64((v > 0).astype(np.uint64) @ (np.uint64(1) << shifts))
+        # wrap the uint64 fingerprint to signed via Python int arithmetic:
+        # np.int64(uint64-scalar) wraps on numpy 1.x but RAISES OverflowError
+        # on numpy >= 2.0 whenever bit 63 is set
+        val = int((v > 0).astype(np.uint64) @ (np.uint64(1) << shifts))
+        out[i] = val - (1 << 64) if val >= (1 << 63) else val
     return pd.Series(out)
 
 

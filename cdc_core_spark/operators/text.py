@@ -29,8 +29,12 @@ def _c(col) -> Column:
 
 
 def token_count_ws(col) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(_c(col)), r"\s+"))
+    """Whitespace token count. Empty/whitespace-only input counts 0 —
+    split('') yields [''] (size 1), which would diverge from the \\S+
+    oracle form and wave empty docs through min-token filters."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
 
 
 def token_count_bpe(col) -> Column:

@@ -162,3 +162,26 @@ def test_group_commit_records_empty_epoch(spark, registry, t1, tmp_path):
     assert eng.table.latest().version == v
     assert {r["path"]: r["content"] for r in eng.read_final().collect()} == \
         {"p0": "c0", "pA": "c2"}
+
+
+def test_crash_between_create_and_initial_data_commit(spark, t1, registry, tmp_path):
+    """A crash after the schema-only v0 snapshot but before the initial data
+    commit must NOT be mistaken for a loaded table on resume — replay() redoes
+    the initial load (base rows would otherwise be silently lost)."""
+    from cdc_core_spark.lake import SnapshotTable
+    from cdc_core_spark import synth
+
+    root = str(tmp_path / "e")
+    docs = synth.registry_docs()[0]
+    # simulate the crash: only the v0 snapshot exists, no data commit
+    SnapshotTable.create(root + "/target", fields=docs["fields"],
+                         key_cols=["repo", "path"], n_buckets=8,
+                         props={"schema_version": "1.0"})
+    eng = CdcEngine(spark, root, registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    assert_final_equal(eng.read_final_with_sha().toPandas(), t1["expected"])
+    # and a COMPLETE table refuses a second initial_load
+    import pytest
+    with pytest.raises(FileExistsError):
+        eng.initial_load(src)

@@ -85,3 +85,31 @@ def test_sha256_checksum(spark):
     r = spark.createDataFrame([("abc",)], "s string").select(
         T.sha256_checksum("s").alias("h")).collect()[0]
     assert r["h"] == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_rules_chain_order_transform_then_validate(spark):
+    """RulesExecutor runs the chain in order: a validation AFTER a
+    transformation must see the transformed value."""
+    from cdc_core_spark.functions.mapping import Rule, apply_rules
+
+    df = spark.createDataFrame([(1, "5"), (2, "-3")], "id int, raw string")
+    rules = [
+        Rule("transformation", target="amt", expr="cast(raw as int)"),
+        Rule("validation", predicate="amt > 0", error="nonpos"),
+        Rule("transformation", target="amt", expr="amt * 100"),
+    ]
+    good, bad = apply_rules(df, rules)
+    assert [r["id"] for r in good.collect()] == [1]
+    assert good.collect()[0]["amt"] == 500      # later transform applied
+    brow = bad.collect()[0]
+    assert brow["id"] == 2 and brow["_errors"] == ["nonpos"]
+
+
+def test_keep_unmapped_excludes_expr_sources(spark):
+    from cdc_core_spark.functions.mapping import compile_mapping
+
+    df = spark.createDataFrame([(1, 2, "x")], "a int, b int, note string")
+    out = compile_mapping(df, [{"target": "total", "expr": "a + b"}],
+                          keep_unmapped_as="props").collect()[0]
+    assert out["total"] == 3
+    assert dict(out["props"]) == {"note": "x"}  # a/b consumed, not extras

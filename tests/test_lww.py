@@ -56,3 +56,21 @@ def test_salted_equals_unsalted(spark):
     base = _winners(df)
     for salt in (1, 2, 8, 64):
         assert _winners(df, salt=salt) == base, f"salt={salt} changed results"
+
+
+def test_in_partition_fold_matches_maxby_on_nulls(spark):
+    """cow-arrow's pandas fold must agree with Spark max_by semantics: a
+    null version LOSES (nulls-first sort) and null-key rows survive as
+    their own group (dropna=False)."""
+    from cdc_core_spark.lww import lww_reduce, lww_reduce_in_partition
+
+    ddl = ("k string, payload string, _op_ts long, _event_seq long, "
+           "_deleted boolean")
+    rows = [("a", "old", 5, 1, False), ("a", "nullver", None, None, False),
+            (None, "nullkey", 7, 2, False)]
+    df = spark.createDataFrame(rows, ddl).repartition(1)
+    folded = {r["k"]: r["payload"]
+              for r in lww_reduce_in_partition(df, ["k"]).collect()}
+    viaagg = {r["k"]: r["payload"]
+              for r in lww_reduce(df, ["k"], ["payload", "_deleted"]).collect()}
+    assert folded == viaagg == {"a": "old", None: "nullkey"}

@@ -214,3 +214,11 @@ def test_connected_components_chain(spark):
     assert all(got[i] == 0 for i in range(10))
     assert got[20] == got[21] == 20
     assert got[30] == 30
+
+
+def test_token_count_ws_empty_is_zero(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one two")],
+                               "id int, t string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", text.token_count_ws("t").alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
