@@ -108,8 +108,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
              .join(sizes.withColumnRenamed("doc", "doc_b")
                         .withColumnRenamed("n_grams", "nb"), "doc_b"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (out.withColumn("jaccard", F.round(jac, 6))
-               .filter(F.col("jaccard") >= threshold)
+    # threshold on the UNROUNDED ratio (round only the emitted value): the
+    # SQL oracle thresholds unrounded, and a boundary pair admitted by
+    # rounding would propagate through connected components into whole
+    # merged clusters
+    return (out.filter(jac >= threshold)
+               .withColumn("jaccard", F.round(jac, 6))
                .select("doc_a", "doc_b", "jaccard"))
 
 

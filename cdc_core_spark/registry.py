@@ -160,10 +160,9 @@ def from_jdbc(spark, url: str, table: str, key_cols: list[str],
     DbEntitySchema.java): Spark resolves the table's schema with a zero-row
     metadata query (no data is read), and the resulting StructType maps onto
     the registry's type lattice as a registrable versioned SchemaDef."""
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
-    return schema_from_struct(entity or table, reader.load().schema,
+    from cdc_core_spark.sources.readers import read_jdbc
+    return schema_from_struct(entity or table,
+                              read_jdbc(spark, url, table, properties).schema,
                               key_cols, major, minor)
 
 

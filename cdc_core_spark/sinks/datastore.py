@@ -42,9 +42,8 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
-def _exec_jdbc(spark, url: str, properties: dict | None, statements: list[str],
-               ignore_errors: tuple[str, ...] = ()) -> None:
-    """Run driver-side DDL/DML on one JDBC connection via the py4j gateway."""
+def _connect(spark, url: str, properties: dict | None):
+    """Open one driver-side JDBC connection via the py4j gateway."""
     jvm = spark._jvm
     driver = (properties or {}).get("driver")
     if driver:
@@ -54,16 +53,18 @@ def _exec_jdbc(spark, url: str, properties: dict | None, statements: list[str],
     for k, v in (properties or {}).items():
         if k != "driver":
             props.setProperty(k, str(v))
-    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _exec_jdbc(spark, url: str, properties: dict | None,
+               statements: list[str]) -> None:
+    """Run driver-side DDL/DML on one JDBC connection."""
+    conn = _connect(spark, url, properties)
     try:
         st = conn.createStatement()
         try:
             for sql in statements:
-                try:
-                    st.executeUpdate(sql)
-                except Exception as e:  # noqa: BLE001 — py4j wraps SQLException
-                    if not any(tag in str(e) for tag in ignore_errors):
-                        raise
+                st.executeUpdate(sql)
         finally:
             st.close()
     finally:
@@ -71,21 +72,22 @@ def _exec_jdbc(spark, url: str, properties: dict | None, statements: list[str],
 
 
 def _table_exists(spark, url: str, properties: dict | None, table: str) -> bool:
-    jvm = spark._jvm
-    driver = (properties or {}).get("driver")
-    if driver:
-        jvm.java.lang.Class.forName(driver)
-    props = jvm.java.util.Properties()
-    for k, v in (properties or {}).items():
-        if k != "driver":
-            props.setProperty(k, str(v))
-    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    conn = _connect(spark, url, properties)
     try:
         md = conn.getMetaData()
+        # getTables patterns treat '_'/'%' as LIKE wildcards — escape them
+        # with the driver's search-string escape so 'repo_state' can't match
+        # 'repoXstate' and skip the CREATE
+        esc = md.getSearchStringEscape()
+
+        def pat(name: str) -> str:
+            return (name.replace(esc, esc + esc)
+                    .replace("_", esc + "_").replace("%", esc + "%"))
+
         # unquoted identifiers case-fold per database (Derby/Oracle upper,
         # Postgres/MySQL lower) — probe every folding of the name
         for cand in dict.fromkeys((table, table.upper(), table.lower())):
-            rs = md.getTables(None, None, cand, None)
+            rs = md.getTables(None, None, pat(cand), None)
             try:
                 if rs.next():
                     return True

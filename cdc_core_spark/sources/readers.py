@@ -243,16 +243,15 @@ def _parse_xlsx(path: str, sheet: str | int = 0) -> list[list]:
         root = ET.fromstring(z.read(_resolve_sheet_part(z, sheet)))
         out: list[list] = []
         for row in root.iter(f"{NS}row"):
-            vals: list = []
+            # index cells by their r="B2" column reference: real writers
+            # (Excel/POI) omit blank cells, and cells may legally appear
+            # out of ascending order — positional appends would attribute
+            # values to the wrong columns in either case
+            cells: dict[int, object] = {}
             for c in row.iter(f"{NS}c"):
-                # honor the r="B2" cell reference: real writers (Excel/POI)
-                # omit blank cells, so positional reading would silently
-                # shift later values left — pad the gap with None instead
                 ci = _cell_col_index(c.get("r"))
                 if ci is None:
-                    ci = len(vals)
-                while len(vals) < ci:
-                    vals.append(None)
+                    ci = max(cells, default=-1) + 1
                 t = c.get("t")
                 if t == "inlineStr":
                     val = "".join(x.text or "" for x in c.iter(f"{NS}t"))
@@ -265,8 +264,9 @@ def _parse_xlsx(path: str, sheet: str | int = 0) -> list[list]:
                     else:
                         num = float(v.text)
                         val = int(num) if num.is_integer() else num
-                vals.append(val)
-            out.append(vals)
+                cells[ci] = val
+            width = max(cells, default=-1) + 1
+            out.append([cells.get(i) for i in range(width)])
         return out
 
 

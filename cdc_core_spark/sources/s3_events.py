@@ -67,7 +67,7 @@ def s3_event_ingest(engine, notifications_path: str, checkpoint_dir: str,
                     resolver: Callable[[str, str], str] = _default_resolver,
                     schema: str | None = None,
                     file_format: str = "parquet",
-                    available_now: bool = True) -> None:
+                    available_now: bool = True):
     """Notification-driven engine ingest: tail the notification feed (a text
     stream of S3 event JSON — swap the file source for the SQS/Kafka feed in
     deployment, the body is source-agnostic like stream_ingest), and per
@@ -98,3 +98,4 @@ def s3_event_ingest(engine, notifications_path: str, checkpoint_dir: str,
     query = q.start()
     if available_now:
         query.awaitTermination()
+    return query  # continuous mode: caller owns stop()/awaitTermination()

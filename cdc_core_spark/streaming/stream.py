@@ -65,6 +65,8 @@ def build_stream_source(spark, source: str = "files",
     jar at runtime — absent from this container, so the branch is
     unit-tested up to source resolution."""
     if source == "files":
+        if events_path is None:
+            raise ValueError("events_path is required for the files source")
         return (spark.readStream
                 .schema(EVENT_DDL)
                 .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -83,7 +85,7 @@ def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: st
                   max_files_per_trigger: int = 1,
                   available_now: bool = True,
                   source: str = "files",
-                  kafka_options: dict[str, str] | None = None) -> None:
+                  kafka_options: dict[str, str] | None = None):
     """Tail the event stream (file source or Kafka) and apply each microbatch
     through the engine. ``availableNow`` drains the backlog and stops
     (test/backfill mode); disable it for a continuous tail."""
@@ -107,6 +109,7 @@ def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: st
     query = q.start()
     if available_now:
         query.awaitTermination()
+    return query  # continuous mode: caller owns stop()/awaitTermination()
 
 
 def keyed_read_state_stream(spark: SparkSession, events_path: str,

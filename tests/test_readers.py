@@ -147,3 +147,22 @@ def test_excel_sheet_name_with_specials(spark, tmp_path):
     p = tmp_path / "amp.xlsx"
     readers.write_excel_multi(str(p), [('P&L "Q1"', ["v"], [(5,)])])
     assert readers.read_excel(spark, str(p), sheet='P&L "Q1"').collect()[0]["v"] == 5
+
+
+def test_parse_xlsx_out_of_order_cell_refs(tmp_path):
+    """Cells listed out of ascending r= order must land in their referenced
+    columns, not be appended positionally."""
+    import zipfile
+    p = tmp_path / "ooo.xlsx"
+    readers.write_excel_minimal(str(p), ["a", "b", "c"], [(1, 2, 3)])
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+             '<row r="1"><c r="C1"><v>30</v></c><c r="A1"><v>10</v></c></row>'
+             "</sheetData></worksheet>")
+    with zipfile.ZipFile(p) as zin:
+        items = {n: zin.read(n) for n in zin.namelist()}
+    items["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zout:
+        for n, data in items.items():
+            zout.writestr(n, data)
+    assert readers._parse_xlsx(str(p)) == [[10, None, 30]]
