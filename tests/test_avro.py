@@ -120,3 +120,32 @@ def test_double_nan_roundtrips_as_nan():
     out2 = A.decode_record(fields, A.encode_record(
         fields, {"id": 2, "score": None}))
     assert out2["score"] is None
+
+
+def test_codec_roundtrip_property():
+    """Property-based: any envelope row round-trips through the binary
+    codec bit-exactly (hypothesis drives the value space)."""
+    from hypothesis import given, settings, strategies as st
+
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    ints = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    txt = st.text(max_size=60)
+
+    row_st = st.fixed_dictionaries({
+        "op": ints, "txid": longs, "op_ts": longs, "event_seq": longs,
+        "schema_version": txt,
+        "repo": st.one_of(st.none(), txt),
+        "path": st.one_of(st.none(), txt),
+        "lang": st.one_of(st.none(), txt),
+        "language": st.one_of(st.none(), txt),
+        "content": st.one_of(st.none(), txt),
+        "size_bytes": st.one_of(st.none(), longs),
+        "rev": st.one_of(st.none(), longs),
+    })
+
+    @given(row_st)
+    @settings(max_examples=200, deadline=None)
+    def check(row):
+        assert A.decode_record(FIELDS, A.encode_record(FIELDS, row)) == row
+
+    check()

@@ -114,3 +114,39 @@ def test_manifest_lineage(spark, t1, registry, tmp_path):
     assert data_mf["events_read"].sum() == n_valid
     assert (data_mf["wall_ms"] >= 0).all()
     assert set(data_mf["checkpoint_epoch"].unique()) == set(range(8))
+
+
+def test_mor_epoch_is_one_spark_job(spark, t1, registry, tmp_path):
+    """PERF CONTRACT: with pre-computed stats, a merge-on-read epoch costs
+    exactly ONE Spark job (the staged delta write; manifests come from
+    parquet footers). Guards the engine's headline scaling property against
+    regressions that sneak extra jobs into the epoch loop."""
+    from pyspark.sql import functions as F
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.initial_load(src)
+    events = spark.read.parquet(f'{t1["dir"]}/change_events')
+    batch = events.filter(F.col("checkpoint_epoch") == 0)
+    kc = eng._key_cols()
+    from cdc_core_spark.engine import valid_event_pred
+    from cdc_core_spark.lake import bucket_expr
+    stats = (batch.filter(valid_event_pred(kc))
+             .withColumn("_b", bucket_expr(kc, 8))
+             .groupBy("_b").count().collect())
+    read_stats = {r["_b"]: r["count"] for r in stats}
+
+    sc = spark.sparkContext
+    # AQE splits one action into a job per shuffle stage; count ACTIONS by
+    # disabling it for the window (the contract is one action per epoch)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("one_job_epoch", "epoch apply", False)
+    try:
+        eng.apply_epoch(batch, 0, err_stats={}, schema_rows=[],
+                        read_stats=read_stats)
+        jobs = sc.statusTracker().getJobIdsForGroup("one_job_epoch")
+    finally:
+        sc.setJobGroup(None, None, False)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert len(jobs) == 1, f"epoch took {len(jobs)} jobs: {jobs}"
