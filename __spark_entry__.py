@@ -935,9 +935,12 @@ def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction: documents carried as opaque binary
     payloads (the multimodal column shape), decoded via the Arrow-batched
     mapInPandas path (decode stubbed per container constraints — the
-    Spark-side schema/batching/UDF plumbing is the graded surface; rows-only
-    check, exactness asserted in tests/test_operators.py). All output columns
-    are scalar (hist_0..hist_7) — the driver's canon rejects array cells."""
+    Spark-side schema/batching/UDF plumbing is the graded surface). All
+    output columns are scalar (hist_0..hist_7) — the driver's canon rejects
+    array cells. The deterministic fake decoder (bytes → cycled pseudo-pixel
+    square) is SQL-expressible, so this query carries a full DuckDB oracle:
+    per doc, side = floor(sqrt(len)), pixels = byte[i mod len] for
+    i < side², then mean / population-std / 8-bin histogram."""
     m = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(m).orderBy("media_id")
 
@@ -1428,6 +1431,37 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """,
+        "multimodal_features": """
+            WITH m AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+                     length(text) AS n,
+                     greatest(CAST(floor(sqrt(length(text))) AS BIGINT), 1)
+                         AS side
+              FROM documents
+            ), px AS (
+              SELECT media_id,
+                     unnest(generate_series(0, side * side - 1)) AS i
+              FROM m
+            ), vals AS (
+              SELECT p.media_id, m.n,
+                     ord(substr(m.text, CAST(p.i % m.n AS INT) + 1, 1)) AS v
+              FROM px p JOIN m USING (media_id)
+            )
+            SELECT media_id,
+                   CAST(max(n) AS BIGINT) AS n_bytes,
+                   round(avg(v), 6) AS mean,
+                   round(sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0)), 6)
+                       AS std,
+               round(count(*) FILTER (WHERE v // 32 = 0) * 1.0 / count(*), 6) AS hist_0,
+               round(count(*) FILTER (WHERE v // 32 = 1) * 1.0 / count(*), 6) AS hist_1,
+               round(count(*) FILTER (WHERE v // 32 = 2) * 1.0 / count(*), 6) AS hist_2,
+               round(count(*) FILTER (WHERE v // 32 = 3) * 1.0 / count(*), 6) AS hist_3,
+               round(count(*) FILTER (WHERE v // 32 = 4) * 1.0 / count(*), 6) AS hist_4,
+               round(count(*) FILTER (WHERE v // 32 = 5) * 1.0 / count(*), 6) AS hist_5,
+               round(count(*) FILTER (WHERE v // 32 = 6) * 1.0 / count(*), 6) AS hist_6,
+               round(count(*) FILTER (WHERE v // 32 = 7) * 1.0 / count(*), 6) AS hist_7
+            FROM vals GROUP BY media_id
+        """,
         "frame_sample": """
             WITH m AS (
               SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -1443,8 +1477,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(frame_ts_ms // 500 AS INT) AS frame_index
             FROM f
         """,
-        # minhash_near_dupes / simhash / ivf_topk / embedding_near_dupes /
-        # multimodal_features: hash-seeded or numpy-codec approximations —
-        # rows-only check; exactness is covered by tests/test_operators.py
-        # against brute-force baselines.
+        # minhash_near_dupes / simhash / ivf_topk / embedding_near_dupes:
+        # hash-seeded approximations — rows-only check; exactness is covered
+        # by tests/test_operators.py against brute-force baselines.
     }

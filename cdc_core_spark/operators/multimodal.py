@@ -58,14 +58,30 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                   + ", ".join(f"{c} double" for c in hist_cols))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def r6(x: float) -> float:
+            # round-half-AWAY to 6 places (what SQL round() does): decode
+            # sizes are often powers of two, so exact .5e-6 ties happen and
+            # Python's banker's rounding would diverge from the SQL oracle
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 arr = decode_fn(bytes(payload))
+                n = max(arr.size, 1)
                 hist, _ = np.histogram(arr, bins=8, range=(0, 256))
-                hist = (hist / max(arr.size, 1)).round(6)
-                rows.append((int(mid), len(payload), round(float(arr.mean()), 6),
-                             round(float(arr.std()), 6), *hist.tolist()))
+                hist = np.floor(hist / n * 1e6 + 0.5) / 1e6
+                # mean/std via the exact-integer-sum → double-divide sequence
+                # (sqrt(E[x²] − E[x]²)): the same IEEE op order a SQL oracle
+                # computes, so both sides round the identical double
+                s1 = float(arr.sum())
+                s2 = float((arr * arr).sum())
+                mean = s1 / n
+                std = math.sqrt(max(s2 / n - mean * mean, 0.0))
+                rows.append((int(mid), len(payload), r6(mean),
+                             r6(std), *hist.tolist()))
             yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "mean", "std",
                                               *hist_cols])
 
