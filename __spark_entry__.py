@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cdc_core_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+from cdc_core_spark.operators import (dedup, multimodal, sampling,  # noqa: E402
+                                      similarity, text)
 from cdc_core_spark.functions import transforms as T  # noqa: E402
 from cdc_core_spark.sources import readers  # noqa: E402
 
@@ -865,6 +866,26 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+def q_consistent_split(spark, sf_dir):
+    """Deterministic content-stable train/holdout split (md5(id:salt) ->
+    permille bucket): the same doc lands on the same side across runs,
+    cluster sizes, and corpus versions - the contamination-safety property
+    random sampling lacks. md5 chosen over xxhash64 precisely so any SQL
+    engine (here: the DuckDB oracle) can recompute and audit the
+    assignment."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.consistent_split(d, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact k-per-stratum deterministic sample: rank docs inside each lang
+    stratum by salted hash (id tiebreak), keep the top 3 - the reproducible
+    alternative to sampleBy's per-row randomness."""
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.stratified_sample_exact(d, "lang", "doc_id", k=3)
+            .select("lang", "doc_id"))
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1004,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "consistent_split": q_consistent_split,
+        "stratified_sample": q_stratified_sample,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1461,6 +1484,20 @@ def oracle_sql() -> dict[str, str]:
                round(count(*) FILTER (WHERE v // 32 = 6) * 1.0 / count(*), 6) AS hist_6,
                round(count(*) FILTER (WHERE v // 32 = 7) * 1.0 / count(*), 6) AS hist_7
             FROM vals GROUP BY media_id
+        """,
+        "consistent_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 12)) AS UBIGINT) % 1000 AS BIGINT) < 20
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strata-v1'), 1, 12)) AS UBIGINT), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 3
         """,
         "frame_sample": """
             WITH m AS (

@@ -222,3 +222,39 @@ def test_token_count_ws_empty_is_zero(spark):
     got = {r["id"]: r["n"] for r in
            df.select("id", text.token_count_ws("t").alias("n")).collect()}
     assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_consistent_split_deterministic_and_salted(spark):
+    from cdc_core_spark.operators import sampling
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in
+         sampling.consistent_split(df, "doc_id", holdout_permille=100).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         sampling.consistent_split(df, "doc_id", holdout_permille=100).collect()}
+    assert a == b                                  # stable across runs
+    n_hold = sum(1 for v in a.values() if v == "holdout")
+    assert 350 < n_hold < 650                      # ~10% of 5000
+    c = {r["doc_id"]: r["split"] for r in
+         sampling.consistent_split(df, "doc_id", holdout_permille=100,
+                                   salt="other").collect()}
+    assert c != a                                  # salt re-draws
+    # content-stability: a SUBSET gets identical assignments
+    sub = {r["doc_id"]: r["split"] for r in
+           sampling.consistent_split(df.filter("doc_id < 1000"), "doc_id",
+                                     holdout_permille=100).collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_stratified_sample_exact_k(spark):
+    from cdc_core_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(40)] + [(100, "tiny")],
+        "doc_id long, stratum string")
+    out = sampling.stratified_sample_exact(df, "stratum", "doc_id", k=4)
+    counts = {r["stratum"]: r["n"] for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 4, "s1": 4, "s2": 4, "tiny": 1}
+    again = sampling.stratified_sample_exact(df, "stratum", "doc_id", k=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
