@@ -48,13 +48,7 @@ HEADLINE_QUERIES = [
 
 def ensure_fixture(scale: str) -> str:
     from cdc_core_spark import synth
-    d = os.path.join(CACHE, scale)
-    marker = os.path.join(d, "_DONE")
-    if not os.path.exists(marker):
-        shutil.rmtree(d, ignore_errors=True)
-        synth.write_fixture(d, scale)
-        open(marker, "w").write("ok")
-    return d
+    return synth.ensure_fixture(CACHE, scale)  # fingerprinted cache marker
 
 
 def bench_replay(spark, fxdir: str) -> dict:

@@ -76,3 +76,13 @@ def expected_quarantine_count(change_events: pd.DataFrame) -> int:
     routing, not errors."""
     ev = change_events[~change_events["op"].isin([0, 1, 2])]
     return int((~is_valid_event(ev)).sum())
+
+
+def state_crc(final_df) -> int:
+    """CRC of the converged state (one value over repo|path|content_sha256
+    rows) — the cross-harness invariant the verify recipe and the scaling
+    runs both quote; keeping the expression in one place keeps them
+    comparable."""
+    return int(final_df.selectExpr(
+        "sum(crc32(concat_ws('|', repo, path, content_sha256))) AS c"
+    ).first()["c"])

@@ -29,7 +29,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -106,8 +106,6 @@ class Fixture:
     scale: Scale
     source_repos: pd.DataFrame
     change_events: pd.DataFrame          # includes dups + malformed + schema ops
-    clean_events: pd.DataFrame = field(repr=False, default=None)  # data ops, no dup/malformed
-    malformed_idx: np.ndarray = None
 
 
 def _make_keys(sc: Scale, rng: np.random.Generator):
@@ -227,11 +225,15 @@ def generate(scale: str | Scale = "t1") -> Fixture:
     wide = (df["checkpoint_epoch"] >= 6) & (rng.random(n) < 0.10)
     df.loc[wide, "rev"] = df.loc[wide, "rev"] + 2**31
 
-    # payload
+    # payload — content only for non-deletes (DELETE content is None by
+    # contract; hashing it first just to mask it wastes ~18% of gen time)
     is_del = df["op"] == OP_DELETE
     df["commit"] = commit_of(df["repo"], df["path"], df["rev"])
-    content = content_of(df["repo"], df["path"], df["rev"], sc.repeat)
-    df["content"] = content.where(~is_del, None)
+    nd = ~is_del
+    content = pd.Series(None, index=df.index, dtype=object)
+    content.loc[nd] = content_of(df.loc[nd, "repo"], df.loc[nd, "path"],
+                                 df.loc[nd, "rev"], sc.repeat)
+    df["content"] = content
     # size_bytes only carried under schema >= 1.1
     has_size = df["schema_version"].isin(["1.1", "2.0", "2.1"]) & ~is_del
     df["size_bytes"] = pd.array(
@@ -269,7 +271,6 @@ def generate(scale: str | Scale = "t1") -> Fixture:
     # out-of-orderness vs event_seq survives (the LWW tie-break fixture).
     full = full.sort_values(["checkpoint_epoch", "event_seq"], kind="stable").reset_index(drop=True)
     full["event_seq"] = np.arange(1, len(full) + 1, dtype=np.int64)
-    clean = full[full["op"].isin(DATA_OPS)].reset_index(drop=True)
 
     # ---- at-least-once duplicates (~3%, same or next epoch) ----------------
     m = len(full)
@@ -305,8 +306,44 @@ def generate(scale: str | Scale = "t1") -> Fixture:
     events["txid"] = events["txid"].astype(np.int64)
     events["size_bytes"] = pd.array(events["size_bytes"], dtype="Int64")
 
-    return Fixture(scale=sc, source_repos=source_repos, change_events=events,
-                   clean_events=clean, malformed_idx=bad_idx)
+    return Fixture(scale=sc, source_repos=source_repos, change_events=events)
+
+
+def generator_fingerprint() -> str:
+    """sha256 of this module's source. Fixture-cache markers embed it, so any
+    edit to the generator invalidates stale caches instead of silently
+    benchmarking (or verifying against) data the current code no longer
+    produces. Loader-based so it also works when shipped inside a
+    --py-files zip."""
+    loader = globals().get("__loader__")
+    try:
+        text = loader.get_source(__name__)
+    except Exception:  # noqa: BLE001 — plain-file fallback
+        text = None
+    if text is None:
+        with open(__file__) as f:
+            text = f.read()
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
+def ensure_fixture(cache_root: str, scale: str) -> str:
+    """Materialize (or reuse) the parquet fixture for ``scale`` under
+    ``cache_root`` — the single shared implementation for bench.py, the
+    scaling harness, and the verify driver."""
+    import shutil
+    d = os.path.join(cache_root, scale)
+    marker = os.path.join(d, "_DONE")
+    want = generator_fingerprint()
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read().strip()
+    if have != want:
+        shutil.rmtree(d, ignore_errors=True)
+        write_fixture(d, scale)
+        with open(marker, "w") as f:
+            f.write(want)
+    return d
 
 
 # ---------------------------------------------------------------------------

@@ -21,16 +21,19 @@ CACHE = "/tmp/cdc_bench_cache"
 
 
 def ensure_fixture(scale: str) -> str:
-    import shutil
-
     from cdc_core_spark import synth
-    d = os.path.join(CACHE, scale)
-    marker = os.path.join(d, "_DONE")
-    if not os.path.exists(marker):
-        shutil.rmtree(d, ignore_errors=True)
-        synth.write_fixture(d, scale)
-        open(marker, "w").write("ok")
-    return d
+    return synth.ensure_fixture(CACHE, scale)  # fingerprinted cache marker
+
+
+def warm_page_cache(d: str) -> None:
+    """Read every fixture byte once so BOTH runs start page-cache-warm —
+    otherwise the first (low-parallelism) run pays the disk I/O and the
+    scaling-efficiency ratio is flattered."""
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
 
 
 def run_at(cores: int, fixture: str, pyz: str) -> dict:
@@ -74,6 +77,7 @@ def main() -> None:
         os.remove(pyz)
     subprocess.run(["zip", "-qr", pyz, "cdc_core_spark"], cwd=REPO, check=True)
 
+    warm_page_cache(fixture)
     lo = run_at(n_lo, fixture, pyz)
     hi = run_at(n_hi, fixture, pyz)
     assert lo["state_crc"] == hi["state_crc"], "parallelism changed the result!"

@@ -49,8 +49,8 @@ def main() -> None:
 
     mf = eng.manifests_df().toPandas()
     applied = int(mf[mf.checkpoint_epoch >= 0]["events_read"].sum())
-    crc = eng.read_final_with_sha().selectExpr(
-        "sum(crc32(concat_ws('|', repo, path, content_sha256))) AS c").first()["c"]
+    from cdc_core_spark.oracle import state_crc
+    crc = state_crc(eng.read_final_with_sha())
     out = {"cores": cores, "events": n_events, "events_applied": applied,
            "sec": round(wall, 3), "events_per_sec": round(applied / wall, 1),
            "final_rows": n_final, "state_crc": int(crc)}

@@ -1,5 +1,5 @@
 """Verify driver: synthesize t1 fixture -> CdcEngine.replay -> RESULT line."""
-import os, sys, shutil
+import os, sys
 from pyspark.sql import SparkSession, functions as F
 
 state_root = sys.argv[1]
@@ -14,11 +14,7 @@ from cdc_core_spark import synth
 from cdc_core_spark.engine import CdcEngine
 from cdc_core_spark.registry import SchemaRegistry
 
-fx = "/tmp/v/fixture_t1"
-if not os.path.exists(os.path.join(fx, "_DONE")):
-    shutil.rmtree(fx, ignore_errors=True)
-    synth.write_fixture(fx, "t1")
-    open(os.path.join(fx, "_DONE"), "w").write("ok")
+fx = synth.ensure_fixture("/tmp/v/fixtures", "t1")  # fingerprinted cache
 
 reg = SchemaRegistry.from_docs(synth.registry_docs())
 eng = CdcEngine(spark, state_root, reg, n_buckets=16)
@@ -27,7 +23,8 @@ eng.replay(os.path.join(fx, "change_events"), source_df=src, epochs=epochs)
 
 final = eng.read_final_with_sha()
 rows = final.count()
-crc = final.selectExpr("sum(crc32(concat_ws('|', repo, path, content_sha256))) AS c").first()["c"]
+from cdc_core_spark.oracle import state_crc
+crc = state_crc(final)
 lang_col = "language" if "language" in final.columns else "lang"
 langs = final.select(lang_col).distinct().count()
 max_rev = final.selectExpr("max(rev) AS m").first()["m"]
@@ -35,8 +32,14 @@ mf = eng.manifests_df()
 manifest_rows = mf.count()
 errors = mf.selectExpr("sum(events_error) AS e").first()["e"]
 eps = sorted(eng.table.committed_epochs())
+# contiguous -> compact [a..b]; gaps or empty -> explicit list (a gap must
+# never masquerade as a full range)
+if eps and eps == list(range(eps[0], eps[-1] + 1)):
+    eps_str = f"[{eps[0]}..{eps[-1]}]"
+else:
+    eps_str = str(eps)
 ver = eng.table.latest().props["schema_version"]
 print(f"RESULT rows={rows} state_crc={crc} langs={langs} max_rev={max_rev} "
       f"manifest_rows={manifest_rows} errors={errors} "
-      f"epochs_committed=[{eps[0]}..{eps[-1]}] schema_version={ver}")
+      f"epochs_committed={eps_str} schema_version={ver}")
 spark.stop()

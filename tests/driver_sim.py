@@ -73,6 +73,11 @@ def main() -> None:
 
     qmap = entry.queries()
     omap = entry.oracle_sql()
+    unknown = only - set(qmap)
+    if unknown:
+        # a typo'd filter must not print ALL OK having verified nothing
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_fail = 0
     for name, fn in qmap.items():
         if only and name not in only:
