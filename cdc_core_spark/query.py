@@ -92,8 +92,70 @@ def find_by_key(df: DataFrame, key: dict) -> DataFrame:
     return df.filter(cond)
 
 
+class KeysetCursor:
+    """Seek-method paging — the scale-correct cursor.
+
+    Page N+1 filters ``(sort_col, tiebreak) > (last seen)`` instead of
+    using OFFSET: the seek predicate pushes into the scan, so every page
+    costs O(page) while offset paging re-computes and discards N·page rows
+    per page (O(N²) over a full scroll). This is the stateless distributed
+    equivalent of the reference's server-side scrolled cursor
+    (HibernateCursor / Cursor.nextPage, persistence/.../Cursor.java:32-46);
+    the plain ``Cursor`` below keeps the offset semantics for parity.
+
+    Supports one sort column (asc/desc) plus a unique ascending tiebreak —
+    the shape UI scrolling and export jobs actually use.
+    """
+
+    def __init__(self, df: DataFrame, q: Q, page_size: int = 1000,
+                 tiebreak: str = "id"):
+        if len(q.sort) > 1:
+            raise ValueError("KeysetCursor supports one sort column + tiebreak")
+        self._sort_col, d = q.sort[0] if q.sort else (tiebreak, "asc")
+        self._desc = d.lower().startswith("d")
+        self._tiebreak = tiebreak
+        base = df
+        bw = q.bound_where()
+        if bw:
+            base = base.filter(F.expr(bw))
+        order = [F.col(self._sort_col).desc() if self._desc
+                 else F.col(self._sort_col).asc()]
+        if tiebreak != self._sort_col:
+            order.append(F.col(tiebreak).asc())
+        self._base = base.orderBy(*order)
+        self._page_size = page_size
+        self._last = None          # (sort_value, tiebreak_value)
+
+    def _seek_pred(self):
+        s, t = self._last
+        sc, tc = F.col(self._sort_col), F.col(self._tiebreak)
+        ahead = (sc < F.lit(s)) if self._desc else (sc > F.lit(s))
+        if self._tiebreak == self._sort_col:
+            return ahead
+        return ahead | ((sc == F.lit(s)) & (tc > F.lit(t)))
+
+    def next_page(self) -> list:
+        df = self._base
+        if self._last is not None:
+            df = df.filter(self._seek_pred())
+        rows = df.limit(self._page_size).collect()
+        if rows:
+            last = rows[-1]
+            self._last = (last[self._sort_col], last[self._tiebreak])
+        return rows
+
+    def __iter__(self):
+        while True:
+            rows = self.next_page()
+            if not rows:
+                return
+            yield rows
+
+
 class Cursor:
-    """Paged scroll over a search result (Cursor.nextPage analog).
+    """OFFSET-paged scroll over a search result (Cursor.nextPage analog) —
+    kept for reference parity; prefer ``KeysetCursor`` at scale (see its
+    docstring for the cost asymmetry).
 
     Requires a total order: if ``q.sort`` doesn't already end in a unique
     column, pass ``tiebreak`` to make paging deterministic.

@@ -73,3 +73,33 @@ def test_bound_where_token_inside_value_not_rebound():
     # string VALUE must never be rewritten by a later parameter
     q = Q(where="n = :name AND i = :id", params={"name": "uses :id", "id": 7})
     assert q.bound_where() == "n = 'uses :id' AND i = 7"
+
+
+def test_keyset_cursor_matches_offset_cursor(spark):
+    """Seek paging must cover exactly the same rows in the same order as the
+    offset cursor, and its seek predicate must reach the scan (pushdown)."""
+    from cdc_core_spark.query import KeysetCursor
+
+    df = _orders(spark)
+    q = Q(where="o_totalprice > 50000", sort=[("o_totalprice", "desc")])
+    ks = KeysetCursor(df, q, page_size=97, tiebreak="o_orderkey")
+    seen = [r["o_orderkey"] for page in ks for r in page]
+    off = Cursor(df, q, page_size=97, tiebreak="o_orderkey")
+    expected = [r["o_orderkey"] for page in off for r in page]
+    assert seen == expected and len(seen) == len(set(seen))
+
+    ks2 = KeysetCursor(df, q, page_size=97, tiebreak="o_orderkey")
+    ks2.next_page()
+    plan = (ks2._base.filter(ks2._seek_pred())
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:300]
+
+
+def test_keyset_cursor_ascending_same_col_tiebreak(spark):
+    from cdc_core_spark.query import KeysetCursor
+
+    df = _orders(spark)
+    q = Q(sort=[("o_orderkey", "asc")])
+    ks = KeysetCursor(df, q, page_size=500, tiebreak="o_orderkey")
+    seen = [r["o_orderkey"] for page in ks for r in page]
+    assert seen == sorted(seen) and len(seen) == df.count()
