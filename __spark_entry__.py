@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cdc_core_spark.operators import (dedup, multimodal, sampling,  # noqa: E402
-                                      similarity, text)
+from cdc_core_spark.operators import (chunking, dedup, multimodal,  # noqa: E402
+                                      sampling, similarity, text)
 from cdc_core_spark.functions import transforms as T  # noqa: E402
 from cdc_core_spark.sources import readers  # noqa: E402
 
@@ -886,6 +886,24 @@ def q_stratified_sample(spark, sf_dir):
             .select("lang", "doc_id"))
 
 
+def q_chunk_text(spark, sf_dir):
+    """Document chunking (training-prep last mile): fixed 200-char windows
+    with 40-char overlap, one row per chunk - explode(sequence) + substring
+    built-ins only, recomputed verbatim by the DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return chunking.chunk_text(d, "doc_id", "text", chunk_chars=200, overlap=40)
+
+
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing: per-language greedy quota packing of docs into
+    ~2000-char packs (running-sum window + integer division; oversized docs
+    stand alone). Per-stratum windows keep the sort bounded at scale AND
+    match what training pipelines want (no cross-language packs)."""
+    d = _t(spark, sf_dir, "documents")
+    return chunking.pack_documents(d, "lang", "doc_id", "n_chars",
+                                   target_tokens=2000)
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1027,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "consistent_split": q_consistent_split,
         "stratified_sample": q_stratified_sample,
+        "chunk_text": q_chunk_text,
+        "pack_documents": q_pack_documents,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1498,6 +1518,36 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strata-v1'), 1, 12)) AS UBIGINT), doc_id) AS rk
               FROM documents)
             WHERE rk <= 3
+        """,
+        "chunk_text": """
+            SELECT doc_id, CAST(i AS INT) AS chunk_index,
+                   substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(0,
+                             CAST(floor((greatest(length(text), 1) - 1) / 160.0)
+                                  AS BIGINT))) AS i
+                  FROM documents)
+        """,
+        "pack_documents": """
+            WITH d AS (SELECT lang, doc_id,
+                              CAST(n_chars AS BIGINT) AS n_chars
+                       FROM documents),
+            w AS (SELECT lang, doc_id, n_chars,
+                         n_chars >= 2000 AS big,
+                         sum(CASE WHEN n_chars >= 2000 THEN 0
+                                  ELSE n_chars END)
+                             OVER (PARTITION BY lang ORDER BY doc_id) AS scum,
+                         sum(CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY lang ORDER BY doc_id) AS brank
+                  FROM d),
+            r AS (SELECT lang, doc_id, n_chars,
+                         CASE WHEN big THEN -brank
+                              ELSE (scum - n_chars) // 2000 END AS raw
+                  FROM w)
+            SELECT lang, doc_id, n_chars,
+                   CAST(dense_rank() OVER (PARTITION BY lang ORDER BY raw) - 1
+                        AS BIGINT) AS pack_id
+            FROM r
         """,
         "frame_sample": """
             WITH m AS (

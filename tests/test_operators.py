@@ -258,3 +258,40 @@ def test_stratified_sample_exact_k(spark):
     assert counts == {"s0": 4, "s1": 4, "s2": 4, "tiny": 1}
     again = sampling.stratified_sample_exact(df, "stratum", "doc_id", k=4)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_chunk_text_windows(spark):
+    from cdc_core_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")], "doc_id long, text string")
+    out = chunking.chunk_text(df, "doc_id", "text", chunk_chars=4, overlap=1)
+    got = {(r["doc_id"], r["chunk_index"]): r["chunk"] for r in out.collect()}
+    # step=3: windows at 0,3,6,9 for len 10
+    assert got[(1, 0)] == "abcd" and got[(1, 1)] == "defg"
+    assert got[(1, 2)] == "ghij" and got[(1, 3)] == "j"
+    assert got[(2, 0)] == "xy" and got[(3, 0)] == ""
+    # overlap: consecutive windows share `overlap` chars
+    assert got[(1, 0)][-1] == got[(1, 1)][0]
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        chunking.chunk_text(df, "doc_id", "text", chunk_chars=4, overlap=4)
+
+
+def test_pack_documents_quota_and_oversize(spark):
+    from cdc_core_spark.operators import chunking
+
+    rows = [("en", 1, 800), ("en", 2, 900), ("en", 3, 700), ("en", 4, 5000),
+            ("en", 5, 100), ("fr", 6, 100), ("fr", 7, 100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, toks long")
+    out = chunking.pack_documents(df, "lang", "doc_id", "toks",
+                                  target_tokens=2000)
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    # quota packing assigns each doc by its START position in the small-doc
+    # stream: starts 0/800/1700 → all under quota 2000 → docs 1,2,3 share a
+    # pack; doc 5 starts at 2400 → next pack; oversized doc 4 stands alone
+    assert got[1] == got[2] == got[3] != got[5]
+    assert got[4] not in (got[1], got[5])          # oversized is alone
+    en_packs = {got[i] for i in (1, 2, 3, 4, 5)}
+    assert en_packs == set(range(len(en_packs)))   # dense from 0 per stratum
+    assert got[6] == got[7] == 0                   # fr packs independently
