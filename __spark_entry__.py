@@ -886,6 +886,17 @@ def q_stratified_sample(spark, sf_dir):
             .select("lang", "doc_id"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the classic n-gram leak scrub): flag any
+    training doc sharing a distinct 5-gram with the pretend benchmark set
+    (doc_id % 50 == 0). The eval gram set is tiny -> broadcast semi-join,
+    one pass over the corpus, no train-side shuffle. Oracle recomputes the
+    same inverted-index overlap in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    return dedup.decontaminate(d, ev, "doc_id", "text", n=5, min_overlap=1)
+
+
 def q_chunk_text(spark, sf_dir):
     """Document chunking (training-prep last mile): fixed 200-char windows
     with 40-char overlap, one row per chunk - explode(sequence) + substring
@@ -1045,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "consistent_split": q_consistent_split,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "chunk_text": q_chunk_text,
         "pack_documents": q_pack_documents,
         "text_stats": q_text_stats,
@@ -1518,6 +1530,26 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strata-v1'), 1, 12)) AS UBIGINT), doc_id) AS rk
               FROM documents)
             WHERE rk <= 3
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 4, 1)),
+                i -> array_to_string(t[i:i+4], ' '))) AS g
+              FROM toks
+            ), ev AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+            ), tr AS (
+              SELECT doc_id AS doc, unnest(g) AS gram FROM grams
+            ), hits AS (
+              SELECT doc, count(*) AS n FROM tr JOIN ev USING (gram) GROUP BY doc
+            )
+            SELECT g.doc_id AS doc,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc
         """,
         "chunk_text": """
             SELECT doc_id, CAST(i AS INT) AS chunk_index,

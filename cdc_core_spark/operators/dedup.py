@@ -202,6 +202,40 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     return est.filter(F.col("est_jaccard") >= threshold).select("doc_a", "doc_b", "est_jaccard")
 
 
+def decontaminate(train: DataFrame, evalset: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 13, min_overlap: int = 1,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ ``min_overlap``
+    distinct word n-grams with ANY eval-set document (the classic 13-gram
+    rule used to scrub eval leakage from web-scale corpora).
+
+    Shape at 100 TB: the eval side is tiny (benchmarks are thousands of
+    docs), so its distinct gram set broadcasts and the check is a broadcast
+    semi-join against the exploded train grams — one pass over the corpus,
+    no shuffle of train data at all. Set ``broadcast_eval=False`` for an
+    unusually large eval side (falls back to a shuffle join).
+
+    Returns (id, n_contaminated_grams, contaminated) — one row per train
+    doc, so the caller filters ``~contaminated`` to scrub."""
+    ev_grams = (evalset.select(F.explode(ngrams(text_col, n)).alias("gram"))
+                .distinct())
+    if broadcast_eval:
+        ev_grams = F.broadcast(ev_grams)
+    tr = train.select(F.col(id_col).alias("doc"),
+                      F.explode(ngrams(text_col, n)).alias("gram"))
+    hits = (tr.join(ev_grams, "gram")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_grams")))
+    return (train.select(F.col(id_col).alias("doc"))
+            .join(hits, "doc", "left")
+            .select("doc",
+                    F.coalesce("n_contaminated_grams", F.lit(0))
+                     .alias("n_contaminated_grams"))
+            .withColumn("contaminated",
+                        F.col("n_contaminated_grams") >= min_overlap))
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          node_col: str = "doc",
                          a_col: str = "doc_a", b_col: str = "doc_b",

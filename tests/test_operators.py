@@ -295,3 +295,21 @@ def test_pack_documents_quota_and_oversize(spark):
     en_packs = {got[i] for i in (1, 2, 3, 4, 5)}
     assert en_packs == set(range(len(en_packs)))   # dense from 0 per stratum
     assert got[6] == got[7] == 0                   # fr packs independently
+
+
+def test_decontaminate_flags_overlap(docs):
+    """Eval = doc 3 (near dup of 1): docs 1,2,3,7 share 3-grams with it and
+    flag; unrelated docs pass clean. Plan uses a broadcast join."""
+    ev = docs.filter("doc_id = 3")
+    out = dedup.decontaminate(docs, ev, "doc_id", "text", n=3, min_overlap=1)
+    got = {r["doc"]: r["contaminated"] for r in out.collect()}
+    assert got[3] and got[1] and got[2] and got[7]   # self + near dups
+    assert not got[4] and not got[5] and not got[6]
+    assert out.count() == docs.count()               # one row per train doc
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # min_overlap raises the bar: demand more shared grams than doc 7 has
+    strict = {r["doc"]: r["contaminated"] for r in
+              dedup.decontaminate(docs, ev, "doc_id", "text", n=3,
+                                  min_overlap=100).collect()}
+    assert not any(strict.values())
