@@ -141,6 +141,12 @@ class CdcEngine:
         """Snapshot/full-load path (reference: MessageMode.Snapshot,
         EntityReadState SNAPSHOT gate, entity/.../model/EntityReadState.java:53-55).
         Initial rows get version (-1, -1) so every real event out-versions them."""
+        # resync the bucket count BEFORE computing _bucket: on the crash-rerun
+        # branch (table exists, data commit never landed) the half-created
+        # table's snapshot owns n_buckets — a fresh engine constructed with a
+        # different count would otherwise hash rows with one count and commit
+        # against the other, mis-bucketing every base row
+        self._sync_buckets()
         sdef = self.registry.get(self.entity, schema_version)
         fields = [dict(f) for f in sdef.fields]
         if not self.table.exists():
@@ -641,10 +647,16 @@ class CdcEngine:
                "max_event_seq bigint, wall_ms bigint")
         return self.spark.createDataFrame(rows, schema=ddl)
 
-    def errors_df(self) -> DataFrame:
-        """DLQ contents; an all-clean run never writes the directory, so
-        return an empty frame instead of raising PATH_NOT_FOUND."""
+    def errors_df(self, empty_schema: str | None = None) -> DataFrame:
+        """DLQ contents. A populated DLQ carries ALL original event columns
+        plus (checkpoint_epoch, error_reason); an all-clean run never writes
+        the directory, so the empty frame carries ONLY the minimal
+        ``checkpoint_epoch int, error_reason string`` contract — callers
+        selecting event columns must either guard on those two, or pass
+        ``empty_schema`` (the event DDL, e.g. ``streaming.stream.EVENT_DDL``)
+        so both paths stay column-compatible."""
         if not os.path.isdir(self.errors_dir):
-            return self.spark.createDataFrame(
-                [], schema="checkpoint_epoch int, error_reason string")
+            base = "checkpoint_epoch int, error_reason string"
+            schema = f"{empty_schema}, {base}" if empty_schema else base
+            return self.spark.createDataFrame([], schema=schema)
         return self.spark.read.parquet(self.errors_dir)

@@ -100,6 +100,9 @@ class SnapshotTable:
         self.data_dir = os.path.join(root, "data")
         self.inline_files_max = int(
             os.environ.get("CDC_INLINE_FILES_MAX", self.INLINE_FILES_MAX))
+        # committed-epochs cache: (snapshot basenames tuple, epoch set);
+        # see committed_epochs() for the invalidation contract
+        self._epochs_cache: tuple[tuple[str, ...], set[int]] | None = None
 
     # ---------------- snapshot log ----------------
     @staticmethod
@@ -157,6 +160,14 @@ class SnapshotTable:
         with os.fdopen(fd, "w") as f:
             json.dump(doc, f)
         os.rename(tmp, path)  # atomic publish
+        if self._epochs_cache is not None:
+            # fold our own commit into the cache incrementally — the hot
+            # streaming path never re-reads the snapshot log
+            key, eps = self._epochs_cache
+            eps = set(eps)
+            self._fold_epochs({"epoch": snap.epoch, "manifests": snap.manifests},
+                              eps)
+            self._epochs_cache = (key + (os.path.basename(path),), eps)
 
     # ---------------- read ----------------
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
@@ -401,19 +412,39 @@ class SnapshotTable:
             rows.extend(d.get("manifests") or [])
         return rows
 
+    def _load_snapshot_doc(self, path: str) -> dict:
+        """Single choke point for snapshot-JSON reads (tests count calls
+        through it to assert the committed-epochs cache really caches)."""
+        with open(path) as f:
+            return json.load(f)
+
+    @staticmethod
+    def _fold_epochs(doc: dict, eps: set[int]) -> None:
+        if doc.get("epoch") is not None:
+            eps.add(doc["epoch"])
+        # a group commit covers several epochs in one snapshot — every
+        # epoch with a manifest row in the published snapshot is committed
+        for m in doc.get("manifests") or []:
+            if m.get("checkpoint_epoch", -1) >= 0:
+                eps.add(m["checkpoint_epoch"])
+
     def committed_epochs(self) -> set[int]:
-        eps = set()
+        """Committed-epoch set for the exactly-once skip, CACHED: a long
+        streaming run calls this once per microbatch, and re-reading every
+        snapshot JSON is O(snapshots) driver work per batch — a 10^5-epoch
+        backlog would spend more time re-parsing the log than merging. The
+        cache is keyed on the snapshot file list, so an EXTERNAL writer
+        publishing a snapshot (new file appears) invalidates it, and our own
+        ``_publish`` folds the new snapshot in incrementally (zero re-reads
+        on the hot path)."""
+        key = tuple(os.path.basename(p) for p in self._snapshot_paths())
+        if self._epochs_cache is not None and self._epochs_cache[0] == key:
+            return set(self._epochs_cache[1])
+        eps: set[int] = set()
         for p in self._snapshot_paths():
-            with open(p) as f:
-                d = json.load(f)
-            if d.get("epoch") is not None:
-                eps.add(d["epoch"])
-            # a group commit covers several epochs in one snapshot — every
-            # epoch with a manifest row in the published snapshot is committed
-            for m in d.get("manifests") or []:
-                if m.get("checkpoint_epoch", -1) >= 0:
-                    eps.add(m["checkpoint_epoch"])
-        return eps
+            self._fold_epochs(self._load_snapshot_doc(p), eps)
+        self._epochs_cache = (key, eps)
+        return set(eps)
 
 
 def _sid_for(prev: Snapshot, fields: list[dict]) -> str:

@@ -257,12 +257,21 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     unboundedly. (For adversarial long-chain graphs the alternating
     small-star/large-star contraction gives O(log n) rounds — unnecessary
     for dedup-shaped graphs; documented as the 10^9-node escalation path.)
+
+    CONTRACT: rounds needed = component diameter, so ``max_iters`` bounds
+    the longest chain this call can label correctly. If the loop exhausts
+    ``max_iters`` before a fixpoint (no label changed), the labels are
+    PARTIAL — returning them silently would hand downstream ``is_canonical``
+    several "canonical" docs per true cluster — so this raises RuntimeError
+    instead. Callers with genuinely long-chain graphs should raise
+    ``max_iters`` or switch to star contraction.
     """
     sym = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
            .unionByName(pairs.select(F.col(b_col).alias("src"),
                                      F.col(a_col).alias("dst"))))
     labels = nodes.select(F.col(node_col).alias("node"),
                           F.col(node_col).alias("label")).localCheckpoint(eager=False)
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: for each edge dst, the src's current label
         nbr = (sym.join(labels.withColumnRenamed("node", "src"), "src")
@@ -277,7 +286,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                    .filter(F.col("n.label") != F.col("o.label")).limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} rounds (component diameter exceeds the bound); "
+            "partial labels would mislabel clusters — raise max_iters or "
+            "use star contraction for long-chain graphs")
     return labels.select(F.col("node").alias(node_col),
                          F.col("label").alias("cluster_id"))
 

@@ -105,6 +105,14 @@ class KeysetCursor:
 
     Supports one sort column (asc/desc) plus a unique ascending tiebreak —
     the shape UI scrolling and export jobs actually use.
+
+    NULL sort values are handled: Spark orders nulls FIRST under asc and
+    LAST under desc, so the seek predicate runs in two phases — while the
+    cursor is inside the null segment it seeks on the tiebreak alone
+    (``isNull() AND tiebreak > last``), and across the segment boundary it
+    includes the other segment wholesale. A naive ``col > lit(None)``
+    comparison would evaluate to NULL and silently drop every remaining
+    page. The tiebreak column itself must be non-null unique.
     """
 
     def __init__(self, df: DataFrame, q: Q, page_size: int = 1000,
@@ -129,10 +137,28 @@ class KeysetCursor:
     def _seek_pred(self):
         s, t = self._last
         sc, tc = F.col(self._sort_col), F.col(self._tiebreak)
-        ahead = (sc < F.lit(s)) if self._desc else (sc > F.lit(s))
         if self._tiebreak == self._sort_col:
-            return ahead
-        return ahead | ((sc == F.lit(s)) & (tc > F.lit(t)))
+            if s is None:
+                raise ValueError(
+                    "KeysetCursor tiebreak column contains NULLs — the "
+                    "tiebreak must be a non-null unique column")
+            return (sc < F.lit(s)) if self._desc else (sc > F.lit(s))
+        if t is None:
+            raise ValueError(
+                "KeysetCursor tiebreak column contains NULLs — the "
+                "tiebreak must be a non-null unique column")
+        tie_ahead = tc > F.lit(t)
+        if s is None:
+            # inside the null segment: seek on the tiebreak alone; under asc
+            # (nulls first) every non-null row is still ahead, under desc
+            # (nulls last) only later nulls remain
+            in_null = sc.isNull() & tie_ahead
+            return in_null if self._desc else (in_null | sc.isNotNull())
+        ahead = (sc < F.lit(s)) if self._desc else (sc > F.lit(s))
+        pred = ahead | ((sc == F.lit(s)) & tie_ahead)
+        if self._desc:
+            pred = pred | sc.isNull()  # desc: the null segment is still ahead
+        return pred
 
     def next_page(self) -> list:
         df = self._base

@@ -226,6 +226,9 @@ def _resolve_sheet_part(z, sheet: str | int) -> str:
     parts = sorted(
         (n for n in names if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
         key=lambda n: int(_re.search(r"sheet(\d+)\.xml$", n).group(1)))
+    if not 0 <= sheet < len(parts):
+        raise ValueError(f"sheet index {sheet} out of range "
+                         f"({len(parts)} sheets)")
     return parts[sheet]
 
 

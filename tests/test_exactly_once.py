@@ -185,3 +185,72 @@ def test_crash_between_create_and_initial_data_commit(spark, t1, registry, tmp_p
     import pytest
     with pytest.raises(FileExistsError):
         eng.initial_load(src)
+
+
+def test_crash_rerun_initial_load_syncs_bucket_count(spark, t1, registry, tmp_path):
+    """Crash-rerun initial_load with a DIFFERENT constructor n_buckets than
+    the half-created table's snapshot: the engine must resync to the
+    snapshot's count before computing _bucket, or base rows get hashed with
+    one count and committed against the other (mis-bucketed → point lookups
+    and merges read the wrong file group)."""
+    from cdc_core_spark.lake import SnapshotTable
+    from cdc_core_spark import synth
+
+    root = str(tmp_path / "e")
+    docs = synth.registry_docs()[0]
+    SnapshotTable.create(root + "/target", fields=docs["fields"],
+                         key_cols=["repo", "path"], n_buckets=8,
+                         props={"schema_version": "1.0"})
+    # fresh engine constructed with a stale/mismatched bucket count
+    eng = CdcEngine(spark, root, registry, n_buckets=3)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.initial_load(src, "1.0")
+    assert eng.n_buckets == 8
+    # every row must live in the file group its key hashes to under the
+    # SNAPSHOT's count (bucket id rides the file metadata, not a column)
+    from cdc_core_spark.lake import bucket_expr
+    total = 0
+    for b in range(8):
+        part = eng.table.read(spark, buckets=[b])
+        bad = part.filter(bucket_expr(["repo", "path"], 8) != F.lit(b)).count()
+        assert bad == 0
+        total += part.count()
+    assert total == src.count()
+
+
+def test_committed_epochs_cached_one_log_read_per_run(spark, t1, registry, tmp_path):
+    """The streaming exactly-once skip calls committed_epochs() once per
+    microbatch; the snapshot log must be parsed ONCE per run, with our own
+    commits folded in incrementally (counting stub on the JSON-read choke
+    point), and an external writer's snapshot must invalidate the cache."""
+    eng = _replay_all(spark, t1, registry, str(tmp_path / "e"))
+    table = eng.table
+    calls = {"n": 0}
+    orig = type(table)._load_snapshot_doc
+
+    def counting(self, path):
+        calls["n"] += 1
+        return orig(self, path)
+
+    table._epochs_cache = None  # cold start (replay itself warmed it)
+    type(table)._load_snapshot_doc = counting
+    try:
+        first = table.committed_epochs()
+        n_after_first = calls["n"]
+        assert n_after_first > 0
+        for _ in range(50):  # 50 "microbatches"
+            assert table.committed_epochs() == first
+        assert calls["n"] == n_after_first  # zero re-reads on the hot path
+        # our own commit folds in incrementally — still no re-read
+        eng.compact()
+        assert table.committed_epochs() == first
+        assert calls["n"] == n_after_first
+        # external writer (second handle on the same log) → invalidate
+        from cdc_core_spark.lake import SnapshotTable
+        other = SnapshotTable(table.root)
+        other.commit_metadata(table.latest().fields, table.latest().aliases,
+                              props={"external": True})
+        assert table.committed_epochs() == first
+        assert calls["n"] > n_after_first
+    finally:
+        type(table)._load_snapshot_doc = orig

@@ -313,3 +313,20 @@ def test_decontaminate_flags_overlap(docs):
               dedup.decontaminate(docs, ev, "doc_id", "text", n=3,
                                   min_overlap=100).collect()}
     assert not any(strict.values())
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iters rounds must RAISE, not return silently
+    partial labels (partial labels would let is_canonical keep several docs
+    per true cluster)."""
+    import pytest
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "doc long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, nodes, max_iters=2)
+    # and with enough rounds the same chain labels correctly
+    got = {r["doc"]: r["cluster_id"]
+           for r in dedup.connected_components(edges, nodes,
+                                               max_iters=20).collect()}
+    assert set(got.values()) == {0}

@@ -103,3 +103,36 @@ def test_keyset_cursor_ascending_same_col_tiebreak(spark):
     ks = KeysetCursor(df, q, page_size=500, tiebreak="o_orderkey")
     seen = [r["o_orderkey"] for page in ks for r in page]
     assert seen == sorted(seen) and len(seen) == df.count()
+
+
+def test_keyset_cursor_null_sort_values_asc_and_desc(spark):
+    """NULL sort values must not truncate the scroll: Spark orders nulls
+    FIRST under asc and LAST under desc, and a naive `col > lit(None)` seek
+    would go NULL for every row and silently end the scroll after the null
+    segment (asc: on page one)."""
+    from cdc_core_spark.query import KeysetCursor
+
+    rows = [(i, None if i % 3 == 0 else float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, score double")
+
+    for direction in ("asc", "desc"):
+        ks = KeysetCursor(df, Q(sort=[("score", direction)]),
+                          page_size=7, tiebreak="id")
+        pages = [[(r["score"], r["id"]) for r in page] for page in ks]
+        seen = [x for page in pages for x in page]
+        assert len(seen) == 100 and len({i for _, i in seen}) == 100
+        # order must match a single global sort with the same null placement
+        key = (lambda x: (x[0] is not None, x[0], x[1])) if direction == "asc" \
+            else (lambda x: (x[0] is None, -(x[0] or 0.0), x[1]))
+        assert seen == sorted(seen, key=key)
+
+
+def test_keyset_cursor_null_tiebreak_rejected(spark):
+    from cdc_core_spark.query import KeysetCursor
+    import pytest
+
+    df = spark.createDataFrame([(None, 1.0), (2, 2.0)], "id int, score double")
+    ks = KeysetCursor(df, Q(sort=[("id", "asc")]), page_size=1, tiebreak="id")
+    with pytest.raises(ValueError, match="non-null unique"):
+        ks.next_page()
+        ks.next_page()

@@ -166,3 +166,20 @@ def test_parse_xlsx_out_of_order_cell_refs(tmp_path):
         for n, data in items.items():
             zout.writestr(n, data)
     assert readers._parse_xlsx(str(p)) == [[10, None, 30]]
+
+
+def test_xlsx_no_workbook_fallback_index_out_of_range(tmp_path):
+    # the no-workbook.xml numeric fallback must raise the same descriptive
+    # ValueError as the workbook path, not a bare IndexError
+    import zipfile
+    p = tmp_path / "nw.xlsx"
+    readers.write_excel_minimal(str(p), ["a"], [(1,)])
+    with zipfile.ZipFile(p) as zin:
+        items = {n: zin.read(n) for n in zin.namelist()
+                 if n not in ("xl/workbook.xml", "xl/_rels/workbook.xml.rels")}
+    with zipfile.ZipFile(p, "w") as zout:
+        for n, data in items.items():
+            zout.writestr(n, data)
+    assert readers._parse_xlsx(str(p), sheet=0)  # fallback still resolves
+    with pytest.raises(ValueError, match="out of range"):
+        readers._parse_xlsx(str(p), sheet=5)

@@ -150,3 +150,17 @@ def test_mor_epoch_is_one_spark_job(spark, t1, registry, tmp_path):
         sc.setJobGroup(None, None, False)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     assert len(jobs) == 1, f"epoch took {len(jobs)} jobs: {jobs}"
+
+
+def test_errors_df_clean_run_schema(spark, t1, registry, tmp_path):
+    """Clean run: errors_df() returns the documented minimal schema, and
+    passing the event DDL keeps both paths column-compatible."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=4)
+    empty = eng.errors_df()
+    assert empty.columns == ["checkpoint_epoch", "error_reason"]
+    assert empty.count() == 0
+    ddl = "op bigint, repo string, path string"
+    wide = eng.errors_df(empty_schema=ddl)
+    assert wide.columns == ["op", "repo", "path",
+                            "checkpoint_epoch", "error_reason"]
+    assert wide.select("repo", "error_reason").count() == 0
