@@ -53,10 +53,39 @@ def kafka_source_options(bootstrap_servers: str, topic: str,
     return opts
 
 
+def queue_source_options(queue_url: str, connector_format: str,
+                         batch_size: int | None = None,
+                         visibility_timeout_s: int | None = None,
+                         wait_time_s: int | None = None,
+                         region: str | None = None,
+                         **extra: str) -> dict[str, str]:
+    """Generic message-queue receiver settings — interface parity with the
+    reference's SQS / EventHub receivers (messaging/.../aws/
+    AwsSQSMessageReceiverSettings.java: queue url + batchSize +
+    visibilityTimeout + receive wait; the EventHub settings carry the same
+    shape under different names). Spark ships no queue source, so the
+    connector is named explicitly (``connector_format`` = the DataSourceV2
+    short name of whichever connector jar the deployment carries, e.g. an
+    SQS or EventHubs spark connector) and the canonical settings map onto
+    its option keys; connector-specific extras pass through verbatim."""
+    opts: dict[str, str] = {"format": connector_format, "queueUrl": queue_url}
+    if batch_size is not None:
+        opts["maxBatchSize"] = str(batch_size)          # batchSize analog
+    if visibility_timeout_s is not None:
+        opts["visibilityTimeout"] = str(visibility_timeout_s)
+    if wait_time_s is not None:
+        opts["waitTimeSeconds"] = str(wait_time_s)
+    if region is not None:
+        opts["region"] = region
+    opts.update(extra)
+    return opts
+
+
 def build_stream_source(spark, source: str = "files",
                         events_path: str | None = None,
                         max_files_per_trigger: int = 1,
-                        kafka_options: dict[str, str] | None = None):
+                        kafka_options: dict[str, str] | None = None,
+                        queue_options: dict[str, str] | None = None):
     """Build the streaming envelope DataFrame for either source kind — the
     foreachBatch body downstream is source-agnostic (the reference's
     BaseKafkaConsumer / BaseChronicleConsumer duality collapses into this
@@ -77,6 +106,24 @@ def build_stream_source(spark, source: str = "files",
         reader = spark.readStream.format("kafka")
         for k, v in (kafka_options or {}).items():
             reader = reader.option(k, v)
+        return from_avro_envelope(reader.load().select("value"))
+    if source == "queue":
+        # SQS/EventHub-style receiver (see queue_source_options): resolve
+        # the named connector, hand it the receiver settings, decode the
+        # Avro-enveloped message body — identical downstream contract to
+        # the kafka branch (the reference's receiver plurality collapses
+        # into this option, as BaseKafkaConsumer/BaseSQSConsumer share
+        # MessageReceiver). No queue connector jar ships in this container,
+        # so the branch is unit-tested up to source resolution.
+        from cdc_core_spark.functions.avro_codec import from_avro_envelope
+        if not queue_options or "format" not in queue_options:
+            raise ValueError(
+                "queue source requires queue_options with a 'format' "
+                "connector name (see queue_source_options)")
+        reader = spark.readStream.format(queue_options["format"])
+        for k, v in queue_options.items():
+            if k != "format":
+                reader = reader.option(k, v)
         return from_avro_envelope(reader.load().select("value"))
     raise ValueError(f"unknown stream source {source!r}")
 

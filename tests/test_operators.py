@@ -330,3 +330,66 @@ def test_connected_components_raises_on_nonconvergence(spark):
            for r in dedup.connected_components(edges, nodes,
                                                max_iters=20).collect()}
     assert set(got.values()) == {0}
+
+
+# ------------------------------------------------------------- text search
+
+def test_text_search_index_and_modes(spark):
+    from cdc_core_spark.operators import textsearch as ts
+
+    rows = [(1, "spark merge table merge merge"),
+            (2, "table scan spark"),
+            (3, "vector stream window"),
+            (4, "MERGE! Spark's table")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = ts.build_text_index(df, "doc_id", "text")
+    # tf is per (term, doc): doc 1 has merge×3
+    tf = {(r["term"], r["doc"]): r["tf"] for r in idx.collect()}
+    assert tf[("merge", 1)] == 3 and tf[("spark", 2)] == 1
+
+    any_hits = ts.search_text(idx, ["merge", "spark"], mode="any").collect()
+    got = [(r["doc"], r["n_terms_matched"], r["score"]) for r in any_hits]
+    # doc1: merge 3 + spark 1 = 4; doc4: merge 1 + (spark's → "spark s") …
+    assert got[0][0] == 1 and got[0][2] == 4
+    assert {g[0] for g in got} >= {1, 2, 4}
+
+    all_hits = ts.search_text(idx, ["merge", "spark"], mode="all").collect()
+    assert all(r["n_terms_matched"] == 2 for r in all_hits)
+    assert {r["doc"] for r in all_hits} == {1, 4}
+
+    # deterministic tiebreak: equal scores order by doc asc
+    tie = ts.search_documents(df, "doc_id", "text", ["table"], mode="any")
+    docs = [r["doc"] for r in tie.collect()]
+    assert docs == sorted(docs, key=lambda d: (-tf.get(("table", d), 0), d))
+
+    import pytest
+    with pytest.raises(ValueError, match="at least one"):
+        ts.search_text(idx, ["  "])
+    with pytest.raises(ValueError, match="mode"):
+        ts.search_text(idx, ["x"], mode="phrase")
+
+
+def test_ivf_stored_partition_pruning(spark, tmp_path):
+    """ivf_write's cell-partitioned layout must turn nprobe into partition
+    pruning (PartitionFilters on the scan), with results identical to the
+    in-plan IVF join."""
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    q = [float(x) for x in vecs[0]]
+    path = str(tmp_path / "ivf")
+    cents = similarity.ivf_write(df, "vec_id", "embedding", path, n_cells=8)
+
+    stored = similarity.ivf_topk_stored(spark, path, "vec_id", "embedding",
+                                        q, k=10, nprobe=3)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower())
+
+    inplan = similarity.ivf_topk(df, "vec_id", "embedding", q, k=10,
+                                 n_cells=8, nprobe=3, centroids=cents)
+    assert [r["vec_id"] for r in stored.collect()] == \
+           [r["vec_id"] for r in inplan.collect()]

@@ -174,3 +174,71 @@ def test_journal_buckets_are_utc_under_any_session_tz(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", prev)
     import glob as g
     assert g.glob(f"{root}/_y=2024/_m=01/_d=03/_h=02")  # UTC bucket, not local
+
+
+# ---------------------------------------------------------------- docstore
+
+def _doc_rows(spark):
+    return spark.createDataFrame(
+        [("r1", "a.py", "python", "body-a"),
+         ("r1", "b.py", "python", "body-b"),
+         ("r2", "c.go", "go", "body-c")],
+        "repo string, path string, lang string, content string")
+
+
+def test_docstore_upsert_replace_and_delete(spark, tmp_path):
+    """replaceOne semantics (MongoDbDataStore.java:243, :267): matched docs
+    are replaced WHOLE, new keys insert, tombstones remove."""
+    from cdc_core_spark.sinks import docstore
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "docs")
+    docstore.upsert_documents(_doc_rows(spark), root, ["repo", "path"])
+    got = docstore.read_documents(spark, root)
+    assert got.count() == 3 and set(got.columns) == {"repo", "path", "doc"}
+
+    # replace one whole doc (lang dropped from payload → must NOT survive
+    # from the old doc: whole-document replace, not column merge),
+    # insert a new key, tombstone another
+    batch = spark.createDataFrame(
+        [("r1", "a.py", "body-a2", False),
+         ("r3", "d.rs", "body-d", False),
+         ("r1", "b.py", None, True)],
+        "repo string, path string, content string, deleted boolean")
+    docstore.upsert_documents(batch, root, ["repo", "path"],
+                              deleted_col="deleted")
+    state = docstore.shred_documents(
+        docstore.read_documents(spark, root),
+        "lang string, content string")
+    rows = {(r["repo"], r["path"]): (r["lang"], r["content"])
+            for r in state.collect()}
+    assert rows == {("r1", "a.py"): (None, "body-a2"),   # replaced whole
+                    ("r2", "c.go"): ("go", "body-c"),    # untouched
+                    ("r3", "d.rs"): (None, "body-d")}    # inserted
+    # point read
+    one = docstore.find_document(spark, root, {"repo": "r2", "path": "c.go"})
+    assert one.count() == 1
+    # keyed bulk delete
+    docstore.delete_documents(
+        spark, root, ["repo", "path"],
+        spark.createDataFrame([("r2", "c.go")], "repo string, path string"))
+    assert docstore.read_documents(spark, root).count() == 2
+
+
+def test_docstore_upsert_idempotent_and_crash_invisible(spark, tmp_path):
+    from cdc_core_spark.sinks import docstore
+    import os
+
+    root = str(tmp_path / "docs")
+    docstore.upsert_documents(_doc_rows(spark), root, ["repo", "path"])
+    before = sorted(map(tuple, docstore.read_documents(spark, root).collect()))
+    # same winner set re-applied (at-least-once replay) → identical state
+    docstore.upsert_documents(_doc_rows(spark), root, ["repo", "path"])
+    after = sorted(map(tuple, docstore.read_documents(spark, root).collect()))
+    assert after == before
+    # crash: a staged version without its _COMMIT marker must be invisible
+    import glob
+    vs = sorted(glob.glob(os.path.join(root, "v*")))
+    os.remove(os.path.join(vs[-1], "_COMMIT"))
+    got = sorted(map(tuple, docstore.read_documents(spark, root).collect()))
+    assert got == before  # fell back to the previous committed version

@@ -217,3 +217,34 @@ def test_parse_s3_events_url_decodes_keys(spark):
     df = spark.createDataFrame([(json.dumps(doc),)], "value string")
     # AWS URL-encodes keys: '+' is a space, %2B is a literal plus
     assert parse_s3_events(df).collect()[0]["key"] == "in/red flower+1.parquet"
+
+
+def test_queue_source_options_contract():
+    from cdc_core_spark.streaming.stream import queue_source_options
+
+    opts = queue_source_options(
+        "https://sqs.eu-1.example/q/cdc", connector_format="sqs",
+        batch_size=500, visibility_timeout_s=60, wait_time_s=10,
+        region="eu-1", **{"sqsEndpoint": "http://localstack:4566"})
+    assert opts["format"] == "sqs"
+    assert opts["queueUrl"] == "https://sqs.eu-1.example/q/cdc"
+    assert opts["maxBatchSize"] == "500"        # batchSize analog
+    assert opts["visibilityTimeout"] == "60"
+    assert opts["waitTimeSeconds"] == "10"
+    assert opts["region"] == "eu-1"
+    assert opts["sqsEndpoint"] == "http://localstack:4566"
+
+
+def test_queue_branch_reaches_source_resolution(spark):
+    """No queue connector jar in this container: the queue branch must build
+    the reader from the receiver settings and fail at SOURCE RESOLUTION,
+    not in our own code; missing/invalid options fail fast."""
+    import pytest
+    from cdc_core_spark.streaming.stream import (build_stream_source,
+                                                 queue_source_options)
+
+    opts = queue_source_options("https://q/u", connector_format="sqs-connector")
+    with pytest.raises(Exception, match="(?i)sqs-connector|DATA_SOURCE"):
+        build_stream_source(spark, source="queue", queue_options=opts)
+    with pytest.raises(ValueError, match="queue_options"):
+        build_stream_source(spark, source="queue")
