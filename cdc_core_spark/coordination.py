@@ -1,0 +1,166 @@
+"""Run-loop coordination: liveness heartbeats + a single-writer lease.
+
+Reference surface (core module):
+* ``Heartbeat`` model ``{name, module, state, error, timestamp}`` —
+  core/.../model/Heartbeat.java:26-33, emitted by HeartbeatThread.java:23
+  and persisted through BaseStateManager.heartbeat
+  (core/.../state/BaseStateManager.java:417-452);
+* ``DistributedLock`` — a ZooKeeper Curator ``InterProcessMutex`` with a
+  lock timeout (core/.../DistributedLock.java:42-182).
+
+Spark-first scope note: the reference needs the ZK mutex for CORRECTNESS
+(many JVMs mutate shared stores row-at-a-time). Here the snapshot log's
+atomic compare-and-swap publish (``lake.SnapshotTable._publish`` raising on
+an existing version file) is already the correctness arbiter — two drivers
+can never both commit the same snapshot version. The lease below is
+therefore an EFFICIENCY device (a second driver fails fast instead of
+computing a doomed commit) plus an ops surface (who owns the table, since
+when), which is exactly what remains of leader election once commits are
+CAS-atomic. On a POSIX/NFS/object-store-with-preconditions filesystem the
+atomic primitive is ``O_CREAT | O_EXCL``; swapping in a ZK recipe keeps the
+same API.
+
+Heartbeats are one tiny driver-side JSON write per epoch group — noise even
+at 10^10-event scale (epochs are seconds to minutes of cluster work each).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import tempfile
+import time
+
+
+def _atomic_write_json(path: str, doc: dict) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(doc, f)
+    os.rename(tmp, path)
+
+
+# --------------------------------------------------------------- heartbeat
+
+def write_heartbeat(root: str, name: str, state: str,
+                    epoch: int | None = None,
+                    error: str | None = None) -> dict:
+    """Publish a liveness record (Heartbeat.java model: name/state/error/
+    timestamp, plus the instance identity ModuleInstance carries). One file
+    per instance name, atomically replaced."""
+    doc = {"name": name, "state": state, "epoch": epoch, "error": error,
+           "pid": os.getpid(), "host": socket.gethostname(),
+           "timestamp_ms": int(time.time() * 1000)}
+    _atomic_write_json(os.path.join(root, "_heartbeat", f"{name}.json"), doc)
+    return doc
+
+
+def read_heartbeat(root: str, name: str) -> dict | None:
+    p = os.path.join(root, "_heartbeat", f"{name}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def is_stale(hb: dict | None, ttl_ms: int, now_ms: int | None = None) -> bool:
+    """A missing or past-TTL heartbeat marks a dead/hung instance — the
+    HeartbeatThread-cadence liveness check monitors run against."""
+    if hb is None:
+        return True
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    return now - int(hb.get("timestamp_ms", 0)) > ttl_ms
+
+
+# ------------------------------------------------------------ writer lease
+
+class LockHeldError(RuntimeError):
+    def __init__(self, path: str, holder: dict):
+        super().__init__(f"lease at {path} held by {holder.get('owner')} "
+                         f"(pid {holder.get('pid')} on {holder.get('host')}, "
+                         f"age {holder.get('_age_ms')}ms)")
+        self.holder = holder
+
+
+class ProcessLock:
+    """Single-writer lease over a table root (DistributedLock analog).
+
+    ``O_CREAT | O_EXCL`` makes lock-file creation atomic; the file carries
+    owner identity and a TTL so a crashed holder's lease can be broken
+    (``steal_stale=True``) once it stops renewing — the same liveness-based
+    takeover a ZK ephemeral node gives, without requiring a coordinator.
+    Correctness does NOT depend on this lock (see module docstring): the
+    snapshot CAS still rejects a double-commit even if two holders race a
+    stolen lease.
+    """
+
+    def __init__(self, root: str, owner: str = "cdc-engine",
+                 ttl_ms: int = 15 * 60 * 1000, steal_stale: bool = True):
+        self.path = os.path.join(root, "_lock.json")
+        self.owner = owner
+        self.ttl_ms = ttl_ms
+        self.steal_stale = steal_stale
+        self._held = False
+
+    def _holder(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None  # racing release/steal — treat as free
+
+    def acquire(self) -> "ProcessLock":
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        for attempt in (0, 1):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                holder = self._holder()
+                now = int(time.time() * 1000)
+                age = now - int((holder or {}).get("acquired_ms", 0))
+                if holder is None or (self.steal_stale and age > self.ttl_ms):
+                    # crashed holder: break the stale lease, retry the
+                    # atomic create once (a concurrent stealer may win it)
+                    try:
+                        os.remove(self.path)
+                    except FileNotFoundError:
+                        pass
+                    if attempt == 0:
+                        continue
+                if holder is not None:
+                    holder["_age_ms"] = age
+                raise LockHeldError(self.path, holder or {})
+            with os.fdopen(fd, "w") as f:
+                json.dump({"owner": self.owner, "pid": os.getpid(),
+                           "host": socket.gethostname(),
+                           "acquired_ms": int(time.time() * 1000),
+                           "ttl_ms": self.ttl_ms}, f)
+            self._held = True
+            return self
+        raise LockHeldError(self.path, self._holder() or {})
+
+    def renew(self) -> None:
+        """Re-stamp the lease inside long runs so a live holder never looks
+        stale (the ephemeral-node keepalive analog)."""
+        if self._held:
+            _atomic_write_json(self.path, {
+                "owner": self.owner, "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "acquired_ms": int(time.time() * 1000),
+                "ttl_ms": self.ttl_ms})
+
+    def release(self) -> None:
+        if self._held:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+            self._held = False
+
+    def __enter__(self) -> "ProcessLock":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()

@@ -500,7 +500,7 @@ class CdcEngine:
     def replay(self, events_path: str, source_df: DataFrame | None = None,
                schema_version: str = "1.0", epochs: list[int] | None = None,
                compact_every: int | None = None,
-               group_commit: bool = True) -> None:
+               group_commit: bool = True, lease: bool = True) -> None:
         """Resume-from-checkpoint replay loop. Skips epochs whose manifests are
         already committed (the ReceiverOffset committed-split analog).
 
@@ -508,7 +508,39 @@ class CdcEngine:
         epochs (and read cost stays bounded by base + ≤N delta layers — at
         10^10-event scale this is the knob that trades write amplification
         against read fold depth). Compaction is itself a plain snapshot
-        commit, so a crash mid-compaction is invisible to correctness."""
+        commit, so a crash mid-compaction is invisible to correctness.
+
+        ``lease`` guards the run with the single-writer lease and emits
+        per-group liveness heartbeats (coordination.py — DistributedLock /
+        HeartbeatThread analogs); a second driver on the same table fails
+        fast with LockHeldError instead of computing doomed commits. The
+        snapshot CAS remains the correctness arbiter either way."""
+        from cdc_core_spark import coordination as coord
+        if lease:
+            lock = coord.ProcessLock(self.root, owner=self.entity).acquire()
+            try:
+                self._replay_locked(events_path, source_df, schema_version,
+                                    epochs, compact_every, group_commit,
+                                    beat=lambda st, ep=None, err=None:
+                                    (coord.write_heartbeat(self.root,
+                                                           self.entity, st,
+                                                           epoch=ep, error=err),
+                                     lock.renew()))
+            except Exception as ex:
+                coord.write_heartbeat(self.root, self.entity, "failed",
+                                      error=repr(ex))
+                raise
+            finally:
+                lock.release()
+        else:
+            self._replay_locked(events_path, source_df, schema_version,
+                                epochs, compact_every, group_commit,
+                                beat=lambda st, ep=None, err=None: None)
+
+    def _replay_locked(self, events_path: str, source_df: DataFrame | None,
+                       schema_version: str, epochs: list[int] | None,
+                       compact_every: int | None, group_commit: bool,
+                       beat) -> None:
         if (not self.table.exists()
                 or not self.table.latest().props.get("initial_loaded")):
             if source_df is None:
@@ -525,7 +557,9 @@ class CdcEngine:
         done = self.table.committed_epochs()
         todo = [e for e in epochs if e not in done]
         if not todo:
+            beat("idle")
             return
+        beat("running")
         scope = events.filter(F.col("checkpoint_epoch").isin(todo))
 
         # One scan for ALL in-band DDL events of the run (vs one per epoch)
@@ -596,8 +630,10 @@ class CdcEngine:
                 self.apply_epoch_group(batch, g, err_by_epoch, read_by_epoch,
                                        schema_rows=schema_by_epoch[g[0]])
             prev_applied, applied = applied, applied + len(g)
+            beat("running", ep=g[-1])
             if compact_every and applied // compact_every > prev_applied // compact_every:
                 self.compact()
+        beat("idle", ep=todo[-1])
 
     # ------------------------------------------------------------- maintenance
     def expire_tombstones(self, watermark_op_ts: int) -> None:

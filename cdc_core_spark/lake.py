@@ -25,6 +25,41 @@ Snapshots also embed the per-partition commit **manifests**
 ``(checkpoint_epoch, partition_id, events_read, events_applied, events_error,
 max_op_ts, max_event_seq, wall_ms)`` — the exactly-once ledger (reference:
 read/committed offset split, messaging/.../ReceiverOffset.java:30-61).
+
+**Iceberg API audit** — the production answer at 100 TB is Iceberg; the
+public surface here is deliberately Iceberg-shaped so the swap is mechanical
+(each call maps onto ONE Iceberg operation, same commit granularity):
+
+=====================  ==========================================  =========
+SnapshotTable call     Iceberg operation                           notes
+=====================  ==========================================  =========
+``create``             ``Catalog.createTable`` + bucket partition  bucketing
+                       spec ``bucket(N, repo, path)``              identical
+``commit_delta``       ``Transaction.newAppend().appendFile(...)`` MOR delta
+                       + snapshot-summary props for the manifest   = Iceberg
+                       rows                                        v2 MOR
+``commit_delta_``      one ``Transaction`` appending all epochs'   same
+``grouped``            files with merged summary props             atomicity
+``commit_merge``       ``newRewrite()/RewriteFiles`` (replace      CoW merge
+                       touched-bucket files, carry rest)
+``commit_metadata``    ``updateSchema().addColumn/renameColumn/``  metadata-
+                       ``updateColumn`` (widen)                    only, same
+``read``               ``IcebergGenerics/scan`` via Spark's        MOR fold →
+                       catalog read; the LWW fold maps to          equality
+                       equality-delete semantics                   deletes
+``compact``            ``rewriteDataFiles`` (+ new partition       re-bucket
+(``n_buckets=``)       spec via ``updateSpec`` — Iceberg evolves   = spec
+                       specs without rewriting history)            evolution
+``committed_epochs``   snapshot-summary scan (``table.snapshots``  cached the
+                       with ``wap.id``-style epoch props)          same way
+``expire_tombstones``  ``expireSnapshots`` + a delete-file         |
+                       rewrite                                     |
+=====================  ==========================================  =========
+
+Nothing in the engine calls a primitive Iceberg lacks; the only behavioral
+delta is that Iceberg's manifests track column stats per file (we keep
+footer-derived stats in commit manifests instead), which only makes scan
+pruning better after the swap.
 """
 
 from __future__ import annotations
