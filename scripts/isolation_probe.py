@@ -1,0 +1,116 @@
+"""Process-isolation probe: attribute N→4N scaling loss to host contention
+vs engine serialization.
+
+Runs (a) one solo ``local[1]`` replay and (b) 4 CONCURRENT but fully
+INDEPENDENT ``local[1]`` replays (separate JVMs, separate state dirs, same
+fixture). Independent processes share ZERO engine state, so their aggregate
+throughput relative to 4× solo is a pure measurement of host-level
+contention (memory bandwidth, cache, scheduler); the single ``local[4]``
+run's throughput relative to that aggregate is then the engine-attributable
+N→4N efficiency.
+
+    python scripts/isolation_probe.py [scale] [local4_events_per_sec]
+
+With no explicit ``local4_events_per_sec`` (or 0), the probe measures the
+single-JVM ``local[4]`` run ITSELF, immediately after the concurrent batch —
+all three measurements land in the same host window, which matters because
+this shared sandbox's sustainable throughput drifts ±10% across minutes
+(observed local[1] range 81-90k ev/s over one hour) and cross-window
+pairings make the efficiency ratio meaningless.
+
+Prints a JSON block to merge into BENCH_SCALING.json's
+``process_isolation_probe`` section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_scaling import CACHE, REPO, ensure_fixture, warm_page_cache  # noqa: F401
+import run_scaling
+
+
+def main() -> None:
+    scale = sys.argv[1] if len(sys.argv) > 1 else "scale"
+    local4 = float(sys.argv[2]) if len(sys.argv) > 2 else None
+
+    fixture = ensure_fixture(scale)
+    pyz = "/tmp/cdc_core_spark_pkg.zip"
+    subprocess.run(["zip", "-qr", pyz, "cdc_core_spark"], cwd=REPO, check=True)
+    warm_page_cache(fixture)
+
+    solo = run_scaling.run_at(1, fixture, pyz)
+
+    # 4 concurrent independent local[1] runs, separate state dirs
+    procs = []
+    for i in range(4):
+        state = f"/tmp/cdc_iso_run_{i}"
+        shutil.rmtree(state, ignore_errors=True)
+        procs.append(subprocess.Popen(_cmd_for(1, fixture, pyz, state),
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.DEVNULL, text=True))
+    rates, crcs = [], []
+    for p in procs:
+        out, _ = p.communicate(timeout=3600)
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                rates.append(r["events_per_sec"])
+                crcs.append(r["state_crc"])
+    assert len(rates) == 4, f"only {len(rates)} concurrent runs returned"
+    assert all(c == solo["state_crc"] for c in crcs)
+
+    agg = sum(rates)
+    out = {
+        "what": ("4 concurrent but fully INDEPENDENT local[1] spark-submit "
+                 "processes (separate JVMs, separate state dirs, same "
+                 "fixture) vs one solo local[1] - isolates host-level "
+                 "contention from engine serialization, since independent "
+                 "processes share no engine state at all"),
+        "solo_local1_events_per_sec": solo["events_per_sec"],
+        "concurrent4_local1_events_per_sec": sorted(rates, reverse=True),
+        "concurrent4_aggregate_events_per_sec": round(agg, 1),
+        "host_parallel_cap_efficiency": round(agg / (4 * solo["events_per_sec"]), 3),
+        "state_crc_identical_across_all_runs": True,
+    }
+    if not local4:
+        # same-window local[4]: measured immediately after the concurrent
+        # batch so solo / concurrent-aggregate / local[4] share one host state
+        l4 = run_scaling.run_at(4, fixture, pyz)
+        assert l4["state_crc"] == solo["state_crc"]
+        local4 = l4["events_per_sec"]
+        out["same_window"] = True
+        out["raw_efficiency_same_window"] = round(
+            local4 / (4 * solo["events_per_sec"]), 3)
+    out["single_jvm_local4_events_per_sec"] = local4
+    out["engine_attributable_efficiency"] = round(local4 / agg, 3)
+    print("PROBE " + json.dumps(out))
+
+
+def _cmd_for(cores: int, fixture: str, pyz: str, state: str) -> list[str]:
+    """run_scaling.run_at's spark-submit argv with an overridable state dir."""
+    return [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", "24g",
+        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.sql.files.maxPartitionBytes=8m",
+        "--conf", "spark.sql.files.openCostInBytes=1m",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", pyz,
+        os.path.join(REPO, "scripts", "scaling_driver.py"), fixture, state,
+    ]
+
+
+if __name__ == "__main__":
+    main()
