@@ -9,66 +9,60 @@ Reference surface (persistence module):
 * keyed delete — MongoDbDataStore.java:289-309.
 
 No document database ships in this container, so the store is a keyed
-parquet table of ``(key_cols..., doc: string<json>)`` rows with atomic
-versioned commits — the same staged + set-based shape as the RDBMS sink
-(``sinks/datastore.py``), with the MERGE statement replaced by an anti-join
-union (the lakehouse form of set-based upsert):
+table of ``(key_cols..., doc: string<json>)`` rows on ``lake.SnapshotTable``
+— which supplies the three properties a document sink needs at scale:
 
-1. **Serialize** — payload columns fold into ONE JSON ``doc`` per row
-   (``to_json(struct(...))``, JVM-side). Replace semantics come for free:
-   the new doc is the whole document.
-2. **Merge** — ``existing ANTI-JOIN incoming-keys  UNION  incoming`` (minus
-   tombstones): one shuffle, no driver materialization, arbitrarily wide
-   batches. With a real document DB the same frame streams through a
-   foreachPartition bulk-write of replaceOne ops — the call shape is kept
-   identical so the swap is mechanical.
-3. **Publish** — the new state lands in a fresh ``v{N}`` directory and
-   becomes visible only when its ``_COMMIT`` marker renames in (same
-   crash-invisibility contract as ``lake.SnapshotTable``).
+1. **Bucket-pruned upserts.** A batch only rewrites the hash buckets its
+   keys land in (``existing-touched ANTI-JOIN incoming  UNION  incoming``,
+   committed via ``commit_merge(touched_buckets)``); untouched buckets are
+   carried forward by reference. Cost is O(touched buckets), NOT O(table) —
+   the property that makes keyed upserts viable against a 100-TB doc table.
+   Replace semantics come free: the new doc is the whole document.
+2. **Atomic versioned publish** — the snapshot CAS; a crash mid-write is
+   invisible (unreferenced orphan files, never a torn state).
+3. **Keyed point reads prune to one bucket** (``find_document``) — the
+   same file-group pruning a document DB gets from its primary index.
 
-Idempotent under at-least-once replay: re-upserting the same winner set
-reproduces the identical final state (replace is absorbing).
+With a real document DB the same per-key-unique winner frame streams
+through a foreachPartition bulk write of replaceOne ops — the call shape
+is kept identical so the swap is mechanical. Idempotent under
+at-least-once replay: re-upserting the same winner set reproduces the
+identical final state (replace is absorbing).
 """
 
 from __future__ import annotations
 
-import glob
-import os
-import re
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_core_spark.lake import SnapshotTable, bucket_expr
 
-def _versions(root: str) -> list[int]:
-    """Committed versions only — a data directory without its _COMMIT marker
-    is an in-flight or crashed write and stays invisible."""
+# reverse of lake.sql_type for deriving SnapshotTable field docs from a
+# DataFrame schema (doc-store keys are scalars by contract)
+_FROM_SPARK = {"bigint": "long", "int": "int", "smallint": "short",
+               "string": "string", "boolean": "boolean", "double": "double",
+               "float": "float", "timestamp": "timestamp", "binary": "binary"}
+
+
+def _key_fields(df: DataFrame, key_cols: list[str]) -> list[dict]:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out = []
-    for p in glob.glob(os.path.join(root, "v*")):
-        b = os.path.basename(p)
-        if re.fullmatch(r"v\d{12}", b) and os.path.exists(
-                os.path.join(p, "_COMMIT")):
-            out.append(int(b[1:]))
-    return sorted(out)
-
-
-def _data_dir(root: str, version: int) -> str:
-    return os.path.join(root, f"v{version:012d}")
+    for k in key_cols:
+        t = _FROM_SPARK.get(by_name[k])
+        if t is None:
+            raise ValueError(f"unsupported doc-store key type {by_name[k]!r} "
+                             f"for column {k!r}")
+        out.append({"name": k, "type": t, "nullable": False, "key": True})
+    return out
 
 
 def store_exists(root: str) -> bool:
-    return bool(_versions(root))
+    return SnapshotTable(root).exists()
 
 
 def read_documents(spark: SparkSession, root: str) -> DataFrame:
-    """Current state: ``(key_cols..., doc)`` rows of the latest committed
-    version."""
-    vs = _versions(root)
-    if not vs:
-        raise FileNotFoundError(f"no committed document-store state under {root}")
-    return spark.read.parquet(_data_dir(root, vs[-1]))
+    """Current state: ``(key_cols..., doc)`` rows of the latest snapshot."""
+    return SnapshotTable(root).read(spark)
 
 
 def shred_documents(df: DataFrame, schema_ddl: str) -> DataFrame:
@@ -81,21 +75,36 @@ def shred_documents(df: DataFrame, schema_ddl: str) -> DataFrame:
 
 
 def find_document(spark: SparkSession, root: str, key: dict) -> DataFrame:
-    """Keyed point read (MongoDbDataStore.findEntity analog)."""
+    """Keyed point read (MongoDbDataStore.findEntity analog), pruned to the
+    single bucket the key hashes to — one file group touched, not a scan."""
     from cdc_core_spark.query import find_by_key
-    return find_by_key(read_documents(spark, root), key)
+    from cdc_core_spark.lake import sql_type
+    tbl = SnapshotTable(root)
+    snap = tbl.latest()
+    key_cols = snap.key_cols
+    # probe typed exactly like the stored key columns — xxhash64 is
+    # type-sensitive, so an inferred (wider) probe type would mis-bucket
+    ddl = ", ".join(f"{f['name']} {sql_type(f['type'])}"
+                    for f in snap.fields if f["name"] in key_cols)
+    probe = spark.createDataFrame([tuple(key[k] for k in key_cols)], ddl)
+    b = probe.select(bucket_expr(key_cols, snap.n_buckets).alias("b")).first()["b"]
+    return find_by_key(tbl.read(spark, buckets=[int(b)]), key)
 
 
 def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
-                     deleted_col: str | None = None) -> None:
+                     deleted_col: str | None = None,
+                     n_buckets: int = 64) -> None:
     """Keyed whole-document upsert (replaceOne semantics) with optional
     tombstone deletes.
 
     ``df`` must carry per-key UNIQUE rows (LWW winners): key columns, any
     payload columns (serialized into the doc), and optionally a boolean
     ``deleted_col``. Matched docs are replaced whole, new keys insert,
-    tombstones remove the doc (matched or not — removing an absent key is a
-    no-op, as in replaceOne+delete bulk writes).
+    tombstones remove the doc (matched or not — removing an absent key is
+    a no-op, as in replaceOne+delete bulk writes).
+
+    ``n_buckets`` applies on first use only (afterwards the snapshot owns
+    it; grow via ``SnapshotTable.compact(n_buckets=...)``).
     """
     spark = df.sparkSession
     payload = [c for c in df.columns
@@ -105,40 +114,36 @@ def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
         *key_cols, doc.alias("doc"),
         (F.col(deleted_col) if deleted_col else F.lit(False)).alias("_del"))
 
-    vs = _versions(root)
-    if vs:
-        existing = read_documents(spark, root)
-        # replace semantics: ANY incoming key (replacement or tombstone)
-        # supersedes the stored doc; survivors are the untouched keys
-        survivors = existing.join(incoming.select(*key_cols),
-                                  on=key_cols, how="left_anti")
-        state = survivors.unionByName(
-            incoming.filter(~F.col("_del")).drop("_del"))
-        next_v = vs[-1] + 1
-    else:
-        state = incoming.filter(~F.col("_del")).drop("_del")
-        next_v = 0
+    tbl = SnapshotTable(root)
+    if not tbl.exists():
+        fields = _key_fields(df, key_cols) + [
+            {"name": "doc", "type": "string", "nullable": True}]
+        tbl = SnapshotTable.create(root, fields=fields, key_cols=key_cols,
+                                   n_buckets=n_buckets,
+                                   props={"store": "documents"})
+    nb = tbl.latest().n_buckets
+    incoming = incoming.withColumn("_bucket", bucket_expr(key_cols, nb))
+    # O(touched buckets) driver list — the justified collect (cf. engine.py)
+    touched = sorted(r["_bucket"] for r in
+                     incoming.select("_bucket").distinct().collect())
 
-    os.makedirs(root, exist_ok=True)
-    target = _data_dir(root, next_v)
-    if os.path.isdir(target):  # crashed attempt without marker — invisible
-        shutil.rmtree(target)
-    staging = tempfile.mkdtemp(dir=root, prefix=".stage-")
-    try:
-        state.write.mode("overwrite").parquet(staging)
-        os.rename(staging, target)
-    except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    # marker LAST: readers only see fully-written versions (crash between
-    # rename and marker leaves an invisible orphan, never a torn state)
-    with open(os.path.join(target, "_COMMIT"), "w") as f:
-        f.write("ok")
+    survivors = (tbl.read(spark, buckets=touched)
+                 .withColumn("_bucket", bucket_expr(key_cols, nb))
+                 .join(incoming.select(*key_cols), on=key_cols,
+                       how="left_anti"))
+    state = survivors.unionByName(
+        incoming.filter(~F.col("_del")).drop("_del"))
+    # replace semantics need no version tuple; constant internal cols keep
+    # the SnapshotTable read contract (tombstone filter) satisfied
+    state = (state.withColumn("_op_ts", F.lit(-1).cast("bigint"))
+             .withColumn("_event_seq", F.lit(-1).cast("bigint"))
+             .withColumn("_deleted", F.lit(False)))
+    tbl.commit_merge(state, touched, epoch=None, manifests=[])
 
 
 def delete_documents(spark: SparkSession, root: str, key_cols: list[str],
                      keys_df: DataFrame) -> None:
-    """Keyed bulk delete (MongoDbDataStore delete analog): publish a new
-    version without the given keys — one anti-join."""
-    tomb = keys_df.select(*key_cols).withColumn("_deleted", F.lit(True))
-    upsert_documents(tomb, root, key_cols, deleted_col="_deleted")
+    """Keyed bulk delete (MongoDbDataStore delete analog): one bucket-pruned
+    anti-join commit without the deleted keys."""
+    tomb = keys_df.select(*key_cols).withColumn("_deleted_flag", F.lit(True))
+    upsert_documents(tomb, root, key_cols, deleted_col="_deleted_flag")

@@ -236,9 +236,45 @@ def test_docstore_upsert_idempotent_and_crash_invisible(spark, tmp_path):
     docstore.upsert_documents(_doc_rows(spark), root, ["repo", "path"])
     after = sorted(map(tuple, docstore.read_documents(spark, root).collect()))
     assert after == before
-    # crash: a staged version without its _COMMIT marker must be invisible
+    # crash: staged data files without a published snapshot are invisible
     import glob
-    vs = sorted(glob.glob(os.path.join(root, "v*")))
-    os.remove(os.path.join(vs[-1], "_COMMIT"))
+    logs = sorted(glob.glob(os.path.join(root, "_log", "v*.json")))
+    os.remove(logs[-1])
     got = sorted(map(tuple, docstore.read_documents(spark, root).collect()))
-    assert got == before  # fell back to the previous committed version
+    assert got == before  # fell back to the previous committed snapshot
+
+
+def test_docstore_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100-TB property: a batch commit rewrites only the buckets its
+    keys hash into; every other bucket's files are carried forward BY
+    REFERENCE (same file paths in the new snapshot), and the point read
+    prunes to one bucket."""
+    from cdc_core_spark.lake import SnapshotTable
+    from cdc_core_spark.sinks import docstore
+
+    root = str(tmp_path / "docs")
+    wide = spark.createDataFrame(
+        [(f"r{i}", f"p{i}.py", f"body-{i}") for i in range(200)],
+        "repo string, path string, content string")
+    docstore.upsert_documents(wide, root, ["repo", "path"], n_buckets=16)
+    tbl = SnapshotTable(root)
+    files_before = {f["path"]: f["bucket"] for f in tbl.latest().files}
+
+    one = spark.createDataFrame([("r7", "p7.py", "body-7b")],
+                                "repo string, path string, content string")
+    docstore.upsert_documents(one, root, ["repo", "path"])
+    snap = tbl.latest()
+    files_after = {f["path"]: f["bucket"] for f in snap.files}
+    changed_buckets = {b for p, b in files_after.items()
+                       if p not in files_before}
+    assert len(changed_buckets) == 1          # only the touched bucket rewrote
+    carried = {p for p in files_after if p in files_before}
+    untouched_before = {p for p, b in files_before.items()
+                        if b not in changed_buckets}
+    assert carried == untouched_before        # the rest carried by reference
+    # state correct: replaced doc visible, count unchanged
+    assert docstore.read_documents(spark, root).count() == 200
+    got = docstore.shred_documents(
+        docstore.find_document(spark, root, {"repo": "r7", "path": "p7.py"}),
+        "content string").first()
+    assert got["content"] == "body-7b"
