@@ -119,13 +119,14 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
     return centroids
 
 
-def ivf_topk_stored(spark, path: str, id_col: str, vec_col: str,
-                    query: list[float], k: int = 10,
-                    nprobe: int = 4) -> DataFrame:
-    """IVF top-k over a cell-partitioned store written by ``ivf_write``: the
-    nprobe nearest cells become a partition-column IN-filter, which Catalyst
-    turns into directory pruning (the scan's PartitionFilters — verify with
-    ``.explain``), then exact rerank inside the probed cells only."""
+def ivf_probe_scan(spark, path: str, query: list[float],
+                   nprobe: int = 4) -> DataFrame:
+    """The pruned candidate scan under ``ivf_topk_stored``: picks the nprobe
+    nearest cells from the ``_ivf_centroids.json`` sidecar and returns the
+    store filtered to those cells — a partition-column IN-filter Catalyst
+    turns into directory pruning, so only ~nprobe/n_cells of the files are
+    read (assert via ``input_file_name()`` on this frame; the top-k result
+    downstream loses file provenance at its exchange)."""
     import json
     import os
     with open(os.path.join(path, "_ivf_centroids.json")) as f:
@@ -133,7 +134,17 @@ def ivf_topk_stored(spark, path: str, id_col: str, vec_col: str,
     q = np.asarray(query, dtype=np.float64)
     d = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:nprobe]]
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return spark.read.parquet(path).filter(F.col("cell").isin(probe))
+
+
+def ivf_topk_stored(spark, path: str, id_col: str, vec_col: str,
+                    query: list[float], k: int = 10,
+                    nprobe: int = 4) -> DataFrame:
+    """IVF top-k over a cell-partitioned store written by ``ivf_write``: the
+    nprobe nearest cells become a partition-column IN-filter, which Catalyst
+    turns into directory pruning (the scan's PartitionFilters — verify with
+    ``.explain``), then exact rerank inside the probed cells only."""
+    cand = ivf_probe_scan(spark, path, query, nprobe)
     return cosine_topk(cand, id_col, vec_col, query, k)
 
 

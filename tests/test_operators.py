@@ -388,8 +388,37 @@ def test_ivf_stored_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:200]
     assert "cell" in pf and ("IN" in pf or "in(" in pf.lower())
+    # the probe scan must READ only the nprobe cells' files, not all cells
+    # (asserted on ivf_probe_scan — the exact frame ivf_topk_stored reranks;
+    # the top-k output itself loses input_file_name at its exchange)
+    import glob as _glob
+    cand = similarity.ivf_probe_scan(spark, path, q, nprobe=3)
+    read_files = {r["f"] for r in cand.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    cells_read = {f.split("cell=")[1].split("/")[0] for f in read_files}
+    assert len(cells_read) <= 3
+    total_cells = {d.split("cell=")[1] for d in
+                   _glob.glob(path + "/cell=*")}
+    assert len(total_cells) > 3  # pruning actually skipped cells
 
     inplan = similarity.ivf_topk(df, "vec_id", "embedding", q, k=10,
                                  n_cells=8, nprobe=3, centroids=cents)
     assert [r["vec_id"] for r in stored.collect()] == \
            [r["vec_id"] for r in inplan.collect()]
+
+
+def test_text_search_relevance_paging(spark):
+    """SolrCursor analog (impl/solr/SolrCursor.java): relevance-ordered
+    scroll over search results via the seek-method cursor — pages cover the
+    full hit set exactly once in (score desc, doc asc) order."""
+    from cdc_core_spark.operators import textsearch as ts
+    from cdc_core_spark.query import KeysetCursor, Q
+
+    rows = [(i, ("merge " * (i % 7 + 1)) + "table scan") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = ts.search_documents(df, "doc_id", "text", ["merge", "table"])
+    cur = KeysetCursor(hits, Q(sort=[("score", "desc")]), page_size=7,
+                       tiebreak="doc")
+    seen = [(r["score"], r["doc"]) for page in cur for r in page]
+    assert len(seen) == 50 and len({d for _, d in seen}) == 50
+    assert seen == sorted(seen, key=lambda x: (-x[0], x[1]))
