@@ -54,6 +54,16 @@ SnapshotTable call     Iceberg operation                           notes
                        with ``wap.id``-style epoch props)          same way
 ``expire_tombstones``  ``expireSnapshots`` + a delete-file         |
                        rewrite                                     |
+``snapshot(v)`` /      snapshot-id time-travel scan /              same
+``history``            ``history``/``snapshots`` metadata tables   semantics
+``expire_snapshots``   ``expireSnapshots().retainLast(n)``         epoch
+                                                                   ledger
+                                                                   survives
+``remove_orphan_``     ``removeOrphanFiles().olderThan(ts)``       same grace
+``files``                                                          rule
+``read_changes``       incremental append scan                     same skip-
+                       (``TableScan.appendsBetween``)              on-rewrite
+                                                                   rule
 =====================  ==========================================  =========
 
 Nothing in the engine calls a primitive Iceberg lacks; the only behavioral
@@ -168,13 +178,51 @@ class SnapshotTable:
         paths = self._snapshot_paths()
         if not paths:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
-        with open(paths[-1]) as f:
+        return self._load_snapshot(paths[-1])
+
+    def _load_snapshot(self, path: str) -> Snapshot:
+        # plain read, NOT _load_snapshot_doc: that choke point counts
+        # committed-epochs log scans (test_exactly_once counting stub);
+        # latest()/snapshot() loads are ordinary metadata reads
+        with open(path) as f:
             d = json.load(f)
         files = d["files"]
         if isinstance(files, dict):   # split-out manifest list (see _publish)
             with open(os.path.join(self.log_dir, files["ref"])) as f:
                 d["files"] = json.load(f)
         return Snapshot(**d)
+
+    def snapshot(self, version: int) -> Snapshot:
+        """Time-travel accessor (Iceberg ``snapshot-id`` scan): load a
+        specific published version; pass it to ``read(spark, snap=...)`` to
+        read the table as of that commit. Raises ``FileNotFoundError`` for a
+        version never published or already expired."""
+        path = os.path.join(self.log_dir, f"v{version:012d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot v{version} not found under {self.log_dir} "
+                "(never published, or expired)")
+        return self._load_snapshot(path)
+
+    def history(self) -> list[dict]:
+        """Commit history, oldest→newest (the Iceberg ``history`` /
+        ``snapshots`` metadata-table analog) — one dict per retained
+        snapshot with version, epoch, parent, file/manifest counts and
+        props. Reads each snapshot doc but never resolves manifest-list
+        sidecars, so it stays cheap on huge tables."""
+        out = []
+        for p in self._snapshot_paths():
+            with open(p) as f:
+                d = json.load(f)
+            files = d["files"]
+            out.append({
+                "version": d["version"], "epoch": d.get("epoch"),
+                "parent": d.get("parent"), "n_buckets": d["n_buckets"],
+                "n_files": files["n"] if isinstance(files, dict) else len(files),
+                "n_manifests": len(d.get("manifests") or []),
+                "props": d.get("props") or {},
+            })
+        return out
 
     def _publish(self, snap: Snapshot) -> None:
         path = os.path.join(self.log_dir, f"v{snap.version:012d}.json")
@@ -439,8 +487,18 @@ class SnapshotTable:
         return snap
 
     # ---------------- lineage ----------------
+    def _expired_base_doc(self) -> dict:
+        """Ledger of what ``expire_snapshots`` folded away: committed epochs
+        and lineage manifests from expired snapshots survive retention here,
+        so exactly-once resume and metrics stay correct after cleanup."""
+        p = os.path.join(self.log_dir, "expired-base.json")
+        if not os.path.exists(p):
+            return {"epochs": [], "manifests": []}
+        with open(p) as f:
+            return json.load(f)
+
     def all_manifests(self) -> list[dict]:
-        rows = []
+        rows = list(self._expired_base_doc()["manifests"])
         for p in self._snapshot_paths():
             with open(p) as f:
                 d = json.load(f)
@@ -475,11 +533,182 @@ class SnapshotTable:
         key = tuple(os.path.basename(p) for p in self._snapshot_paths())
         if self._epochs_cache is not None and self._epochs_cache[0] == key:
             return set(self._epochs_cache[1])
-        eps: set[int] = set()
+        eps: set[int] = set(self._expired_base_doc()["epochs"])
         for p in self._snapshot_paths():
             self._fold_epochs(self._load_snapshot_doc(p), eps)
         self._epochs_cache = (key, eps)
         return set(eps)
+
+    # ---------------- retention / maintenance ----------------
+    def _doc_files(self, doc: dict) -> tuple[list[dict], str | None]:
+        """File list of a snapshot doc (resolving a manifest-list sidecar),
+        plus the sidecar's relative name if one exists."""
+        files = doc["files"]
+        if isinstance(files, dict):
+            ref = files["ref"]
+            with open(os.path.join(self.log_dir, ref)) as f:
+                return json.load(f), ref
+        return files, None
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Retention (the Iceberg ``expireSnapshots`` analog): drop all but
+        the newest ``keep_last`` snapshot docs and physically delete data
+        files referenced ONLY by expired snapshots. Time-travel to expired
+        versions stops working (``snapshot()`` raises); everything the
+        engine needs beyond the retained window — committed epochs for the
+        exactly-once skip, lineage manifests for metrics — is folded into
+        ``_log/expired-base.json`` FIRST, so a crash mid-expire is safe to
+        rerun (union-idempotent) and never loses the ledger.
+
+        Caller must hold the writer lease (``coordination.ProcessLock``) —
+        concurrent expire + commit can race on the live-file computation."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        paths = self._snapshot_paths()
+        expired, retained = paths[:-keep_last], paths[-keep_last:]
+        if not expired:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        live: set[str] = set()
+        for p in retained:
+            files, _ = self._doc_files(self._load_snapshot_doc(p))
+            live.update(f["path"] for f in files)
+        base = self._expired_base_doc()
+        eps = set(base["epochs"])
+        manifests = list(base["manifests"])
+        dead: set[str] = set()
+        sidecars: list[str] = []
+        for p in expired:
+            doc = self._load_snapshot_doc(p)
+            self._fold_epochs(doc, eps)
+            manifests.extend(doc.get("manifests") or [])
+            files, ref = self._doc_files(doc)
+            dead.update(f["path"] for f in files if f["path"] not in live)
+            if ref:
+                sidecars.append(ref)
+        # 1) persist the ledger, 2) delete data files, 3) delete snapshot
+        # docs — ordered so any crash point leaves a rerunnable state
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"epochs": sorted(eps), "manifests": manifests}, f)
+        os.rename(tmp, os.path.join(self.log_dir, "expired-base.json"))
+        for rel in dead:
+            try:
+                os.remove(os.path.join(self.root, rel))
+            except FileNotFoundError:
+                pass
+        for rel in sidecars:
+            try:
+                os.remove(os.path.join(self.log_dir, rel))
+            except FileNotFoundError:
+                pass
+        for p in expired:
+            os.remove(p)
+        self._epochs_cache = None
+        return {"snapshots_removed": len(expired), "files_removed": len(dead)}
+
+    def remove_orphan_files(self, grace_s: float = 3600.0,
+                            dry_run: bool = False) -> list[str]:
+        """Delete data files no snapshot references (the Iceberg
+        ``removeOrphanFiles`` analog) — crash debris from commits that
+        staged files but never published. ``grace_s`` is the safety window
+        (Iceberg's ``olderThan``): files younger than it are kept because a
+        LIVE writer may be mid-stage, its snapshot not yet published. Run
+        with the writer lease held, or with ``grace_s`` comfortably above
+        the longest stage-to-publish latency."""
+        import time
+        referenced: set[str] = set()
+        for p in self._snapshot_paths():
+            files, _ = self._doc_files(self._load_snapshot_doc(p))
+            referenced.update(os.path.normpath(f["path"]) for f in files)
+        cutoff = time.time() - grace_s
+        removed: list[str] = []
+        for abs_p in glob.glob(os.path.join(self.data_dir, "**", "*"),
+                               recursive=True):
+            # _-/. - prefixed files are Hadoop-convention hidden metadata
+            # (_SUCCESS markers) — never data, never referenced; leave them
+            if not os.path.isfile(abs_p) or os.path.basename(abs_p)[0] in "_.":
+                continue
+            rel = os.path.normpath(os.path.relpath(abs_p, self.root))
+            if rel in referenced or os.path.getmtime(abs_p) > cutoff:
+                continue
+            removed.append(rel)
+            if not dry_run:
+                os.remove(abs_p)
+        if not dry_run:   # sweep now-empty staging directories bottom-up
+            for d, subdirs, files in os.walk(self.data_dir, topdown=False):
+                if d != self.data_dir and not subdirs and not files:
+                    try:
+                        os.rmdir(d)
+                    except OSError:
+                        pass
+        return sorted(removed)
+
+    # ---------------- incremental changelog read ----------------
+    def read_changes(self, spark: SparkSession, from_version: int,
+                     to_version: int | None = None,
+                     strict: bool = False) -> DataFrame:
+        """CDC-out: the per-key change rows committed AFTER ``from_version``
+        up to and including ``to_version`` (default: latest), as a changelog
+        DataFrame in the TO-version's logical schema plus ``_change_version``
+        (committing snapshot) and ``_change_op`` (``upsert``/``delete``).
+        Turns the sink back into a source, so downstream incremental
+        pipelines consume deltas instead of re-scanning the table — the
+        Iceberg incremental-append-scan analog.
+
+        Semantics follow Iceberg's rule: only APPEND commits (MOR deltas,
+        and pure-additive merges like the initial load) carry logical
+        changes. A commit that also REMOVED files (compaction, re-bucket)
+        is a physical rewrite, not a logical change — it contributes no
+        rows; with ``strict=True`` such a commit in range raises instead
+        (matching Iceberg's refusal to scan across a replace commit).
+        Metadata-only commits contribute no rows. A version range that
+        predates retention (``expire_snapshots``) raises FileNotFoundError.
+        """
+        to_snap = (self.latest() if to_version is None
+                   else self.snapshot(to_version))
+        if from_version > to_snap.version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_snap.version}")
+        prev_paths = {f["path"] for f in self.snapshot(from_version).files}
+        change_cols = [("_change_version", "bigint"), ("_change_op", "string")]
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_snap.version + 1):
+            doc = self._load_snapshot_doc(
+                os.path.join(self.log_dir, f"v{v:012d}.json"))
+            files, _ = self._doc_files(doc)
+            cur_paths = {f["path"] for f in files}
+            added = [f for f in files if f["path"] not in prev_paths]
+            removed = prev_paths - cur_paths
+            prev_paths = cur_paths
+            if removed:
+                if strict:
+                    raise ValueError(
+                        f"snapshot v{v} rewrites files (compaction/"
+                        "re-bucket) — not incrementally readable")
+                continue
+            if not added:
+                continue
+            by_schema: dict[str, list[str]] = {}
+            for f in added:
+                by_schema.setdefault(f["schema_id"], []).append(
+                    os.path.join(self.root, f["path"]))
+            for sid, ps in by_schema.items():
+                df = _normalize(spark.read.parquet(*ps),
+                                to_snap.fields, to_snap.aliases)
+                parts.append(df.withColumn("_change_version",
+                                           F.lit(v).cast("bigint")))
+        if not parts:
+            ddl = ", ".join(
+                [f'{f["name"]} {sql_type(f["type"])}' for f in to_snap.fields]
+                + [f"{c} {t}" for c, t in INTERNAL_COLS.items()]
+                + [f"{c} {t}" for c, t in change_cols])
+            return spark.createDataFrame([], schema=ddl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumn(
+            "_change_op",
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")))
 
 
 def _sid_for(prev: Snapshot, fields: list[dict]) -> str:

@@ -119,3 +119,130 @@ def test_manifest_list_splits_out_of_snapshot(spark, tmp_path):
     assert got == {f"k{j}": 20 + j for j in range(8)}
     assert t.committed_epochs() == {0, 1, 2}
     assert len(t.all_manifests()) == 3
+
+
+def test_time_travel_accessor_and_history(spark, t1, registry, tmp_path):
+    """snapshot(v) + history(): versions chain by parent, reads at an old
+    version reconstruct that state, unknown versions raise."""
+    import pytest
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1])
+    t = eng.table
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == list(range(len(hist)))
+    assert all(h["parent"] == h["version"] - 1 for h in hist[1:])
+    # time travel to the initial-load commit reconstructs the source rows
+    assert t.read(spark, snap=t.snapshot(1)).count() == src.count()
+    assert t.snapshot(t.latest().version).files == t.latest().files
+    with pytest.raises(FileNotFoundError, match="never published"):
+        t.snapshot(999)
+
+
+def test_read_changes_rebuilds_state_incrementally(spark, t1, registry, tmp_path):
+    """CDC-out invariant: state(base) + LWW-fold(read_changes(base→latest))
+    == state(latest). The changelog alone carries every upsert/delete the
+    epochs applied — downstream pipelines never re-scan the table."""
+    from cdc_core_spark.lww import lww_reduce
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1, 2])
+    t = eng.table
+    base_v = t.latest().version
+    eng.replay(f'{t1["dir"]}/change_events', epochs=[3, 4, 5, 6, 7])
+
+    changes = t.read_changes(spark, base_v)
+    assert set(changes.select("_change_op").distinct().toPandas()["_change_op"]) \
+        <= {"upsert", "delete"}
+    assert changes.filter(F.col("_change_version") <= base_v).count() == 0
+
+    snap = t.latest()
+    payload = [c for c in snap.field_names() if c not in snap.key_cols]
+    # the base predates the in-band RENAME/WIDEN DDL epochs — project it
+    # onto the latest logical schema (alias map) before folding, exactly
+    # what a downstream consumer of the changelog does
+    from cdc_core_spark.lake import _normalize
+    base = _normalize(
+        t.read(spark, snap=t.snapshot(base_v), with_internal_cols=True),
+        snap.fields, snap.aliases)
+    folded = (lww_reduce(
+        base.unionByName(changes.drop("_change_version", "_change_op")),
+        snap.key_cols, payload + ["_deleted"])
+        .filter(~F.col("_deleted")).select(*snap.field_names()))
+    latest = t.read(spark)
+    assert folded.exceptAll(latest).count() == 0
+    assert latest.exceptAll(folded).count() == 0
+
+    # compaction is a physical rewrite: contributes no changelog rows,
+    # and strict mode refuses to scan across it (the Iceberg rule)
+    import pytest
+    v_pre = t.latest().version
+    eng.compact()
+    assert t.read_changes(spark, v_pre).count() == 0
+    with pytest.raises(ValueError, match="rewrites files"):
+        t.read_changes(spark, v_pre, strict=True)
+
+
+def test_expire_snapshots_frees_files_keeps_ledger(spark, t1, registry, tmp_path):
+    """expire_snapshots physically removes files only old snapshots
+    reference, while visible state, committed epochs (exactly-once resume)
+    and lineage manifests all survive — even for a FRESH handle that never
+    saw the expired snapshots."""
+    import pytest
+
+    from cdc_core_spark.lake import SnapshotTable
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    t = eng.table
+    epochs_before = t.committed_epochs()
+    manifests_before = len(t.all_manifests())
+    eng.compact()  # strands pre-compaction base+delta files in old snapshots
+
+    n_disk_before = len(glob.glob(os.path.join(t.data_dir, "**", "*.parquet"),
+                                  recursive=True))
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] > 0 and stats["files_removed"] > 0
+    n_disk_after = len(glob.glob(os.path.join(t.data_dir, "**", "*.parquet"),
+                                 recursive=True))
+    assert n_disk_after == n_disk_before - stats["files_removed"]
+
+    assert_final_equal(eng.read_final_with_sha().toPandas(), t1["expected"])
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.snapshot(0)
+    # the ledger survives retention — including for a fresh handle
+    fresh = SnapshotTable(t.root)
+    assert fresh.committed_epochs() == epochs_before
+    assert len(fresh.all_manifests()) == manifests_before
+    # idempotent rerun: nothing further to remove
+    assert t.expire_snapshots(keep_last=1) == \
+        {"snapshots_removed": 0, "files_removed": 0}
+
+
+def test_remove_orphan_files(spark, t1, registry, tmp_path):
+    """Crash debris (staged-but-never-published files) is swept; referenced
+    files and files younger than the grace window are kept."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1])
+    t = eng.table
+
+    junk_dir = os.path.join(t.data_dir, "commit-deadbeef")
+    os.makedirs(junk_dir)
+    junk = os.path.join(junk_dir, "part-00000.parquet")
+    with open(junk, "w") as f:
+        f.write("crashed stage")
+
+    assert t.remove_orphan_files(grace_s=3600) == []  # inside grace window
+    listed = t.remove_orphan_files(grace_s=0, dry_run=True)
+    assert listed == [os.path.relpath(junk, t.root)]
+    assert os.path.exists(junk)  # dry run touches nothing
+    removed = t.remove_orphan_files(grace_s=0)
+    assert removed == listed and not os.path.exists(junk)
+    assert not os.path.exists(junk_dir)  # empty staging dir swept too
+    # every referenced file is intact: a full read still works
+    assert t.read(spark).count() > 0
