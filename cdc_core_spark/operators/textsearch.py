@@ -74,3 +74,52 @@ def search_documents(df: DataFrame, id_col: str, text_col: str,
     search; repeated queries should persist ``build_text_index`` output)."""
     return search_text(build_text_index(df, id_col, text_col), terms,
                        mode=mode, limit=limit)
+
+
+def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Persist the inverted index PARTITIONED BY TERM-HASH BUCKET — the
+    storage layout that makes a query a directory-pruned read: the probed
+    terms hash to a handful of buckets, so the scan touches ~|terms|/n_buckets
+    of the index files instead of all of them (the Solr-shard analog, and the
+    same shape as ``similarity.ivf_write``). Bucket count rides a
+    ``_index_meta.json`` sidecar (underscore-prefixed → invisible to Spark)."""
+    import json
+    import os
+    bucketed = index.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    # sort within partitions so each file is term-clustered: parquet row-group
+    # min/max on `term` then prunes within the probed buckets too
+    (bucketed.repartition(n_buckets, "term_bucket")
+     .sortWithinPartitions("term", "doc")
+     .write.partitionBy("term_bucket").mode("overwrite").parquet(path))
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
+    """The pruned index scan under ``search_text_stored``: normalized query
+    terms → their hash buckets (computed by the same JVM xxhash64 the writer
+    used, via a one-row-per-term probe job — tiny, justified) → a
+    partition-column IN-filter Catalyst turns into directory pruning."""
+    import json
+    import os
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    norm = sorted({t.strip().lower() for t in terms if t and t.strip()})
+    if not norm:
+        raise ValueError("search needs at least one non-empty term")
+    probe = spark.createDataFrame([(t,) for t in norm], "term string")
+    buckets = sorted({r["b"] for r in probe.select(
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+    ).collect()})
+    return (spark.read.parquet(path)
+            .filter(F.col("term_bucket").isin(buckets)))
+
+
+def search_text_stored(spark, path: str, terms: list[str], mode: str = "any",
+                       limit: int | None = None) -> DataFrame:
+    """Term query over a stored term-bucketed index written by
+    ``write_text_index`` — identical results to ``search_text`` on the full
+    index, but the scan reads only the probed terms' bucket directories."""
+    pruned = probe_index_scan(spark, path, terms).drop("term_bucket")
+    return search_text(pruned, terms, mode=mode, limit=limit)

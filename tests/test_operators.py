@@ -422,3 +422,32 @@ def test_text_search_relevance_paging(spark):
     seen = [(r["score"], r["doc"]) for page in cur for r in page]
     assert len(seen) == 50 and len({d for _, d in seen}) == 50
     assert seen == sorted(seen, key=lambda x: (-x[0], x[1]))
+
+
+def test_text_index_stored_bucket_pruning(spark, tmp_path):
+    """write_text_index's term-bucketed layout must turn a query into
+    directory pruning (only the probed terms' buckets are read), with
+    results identical to searching the full in-plan index."""
+    from cdc_core_spark.operators import textsearch as ts
+
+    rows = [(i, f"alpha bravo w{i % 31} w{i % 17} " + ("merge " * (i % 5)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = ts.build_text_index(df, "doc_id", "text")
+    path = str(tmp_path / "tidx")
+    ts.write_text_index(idx, path, n_buckets=16)
+
+    cand = ts.probe_index_scan(spark, path, ["merge", "alpha"])
+    read_files = {r["f"] for r in cand.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    buckets_read = {f.split("term_bucket=")[1].split("/")[0]
+                    for f in read_files}
+    assert len(buckets_read) <= 2  # ≤ one bucket per probed term
+    import glob as _glob
+    assert len(_glob.glob(path + "/term_bucket=*")) > 2  # pruning skipped dirs
+
+    for mode in ("any", "all"):
+        stored = ts.search_text_stored(spark, path, ["merge", "alpha"],
+                                       mode=mode).collect()
+        full = ts.search_text(idx, ["merge", "alpha"], mode=mode).collect()
+        assert [tuple(r) for r in stored] == [tuple(r) for r in full]
