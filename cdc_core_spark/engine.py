@@ -641,26 +641,63 @@ class CdcEngine:
         run once the at-least-once redelivery window has passed — after this,
         a duplicate redelivery older than the watermark could resurrect a row,
         so pick the watermark ≤ min uncommitted upstream offset, exactly the
-        ReceiverOffset committed-watermark contract)."""
-        self._sync_buckets()
-        df = (self.table.read(self.spark, with_internal_cols=True)
-              .filter(~(F.col("_deleted") & (F.col("_op_ts") < F.lit(watermark_op_ts))))
-              .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
-        self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None, manifests=[])
+        ReceiverOffset committed-watermark contract).
 
-    def compact(self, n_buckets: int | None = None) -> None:
-        """Rewrite every bucket into one file set under the current schema —
-        bounds small-file count and re-materializes alias/widen normalization
-        (the Iceberg rewrite_data_files analog).
+        Bucket-pruned: one column-pruned scan finds which buckets actually
+        hold expirable tombstones, and ONLY those are rewritten — at 100-TB
+        scale the write cost follows the delete distribution, not the table
+        size. Buckets without old tombstones are carried by reference."""
+        self._sync_buckets()
+        old_tomb = F.col("_deleted") & (F.col("_op_ts") < F.lit(watermark_op_ts))
+        probe = (self.table.read(self.spark, with_internal_cols=True)
+                 .filter(old_tomb)
+                 .select(bucket_expr(self._key_cols(), self.n_buckets)
+                         .alias("_bucket")))
+        # O(buckets) driver list — the justified collect (cf. replay stats)
+        todo = sorted(r["_bucket"] for r in probe.distinct().collect())
+        if not todo:
+            return
+        df = (self.table.read(self.spark, buckets=todo, with_internal_cols=True)
+              .filter(~old_tomb)
+              .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
+        self.table.commit_merge(df, todo, epoch=None, manifests=[])
+
+    def compact(self, n_buckets: int | None = None,
+                min_delta_files: int | None = None) -> None:
+        """Rewrite buckets into one base file set under the current schema —
+        bounds small-file count and delta-fold depth, and re-materializes
+        alias/widen normalization (the Iceberg rewrite_data_files analog).
+
+        ``min_delta_files`` makes the rewrite INCREMENTAL: only buckets whose
+        delta-layer depth (file count from snapshot metadata — no data scan)
+        reaches the threshold are rewritten; the rest carry forward by
+        reference. This is the steady-state maintenance shape at 100 TB —
+        compaction I/O follows where the churn went, not the table size
+        (Iceberg ``rewriteDataFiles`` with a file filter). Default (None)
+        rewrites everything.
 
         ``n_buckets`` RE-BUCKETS the table in the same atomic commit — the
         growth knob for 100-TB scale (static bucket counts eventually
         under-parallelize or over-fragment; re-bucket when average bucket
-        size drifts out of range). Results are invariant: bucketing is pure
-        key hashing, and subsequent engine instances pick the new count up
-        from the snapshot (_sync_buckets)."""
+        size drifts out of range). Re-bucketing is necessarily full-table
+        (old bucket ids are meaningless under the new hash), so it ignores
+        ``min_delta_files``. Results are invariant: bucketing is pure key
+        hashing, and subsequent engine instances pick the new count up from
+        the snapshot (_sync_buckets)."""
         self._sync_buckets()
         nb = n_buckets or self.n_buckets
+        if nb == self.n_buckets and min_delta_files is not None:
+            from collections import Counter
+            depth = Counter(f["bucket"] for f in self.table.latest().files
+                            if f.get("kind") == "delta")
+            todo = sorted(b for b, c in depth.items() if c >= min_delta_files)
+            if not todo:
+                return
+            df = (self.table.read(self.spark, buckets=todo,
+                                  with_internal_cols=True)
+                  .withColumn("_bucket", bucket_expr(self._key_cols(), nb)))
+            self.table.commit_merge(df, todo, epoch=None, manifests=[])
+            return
         df = (self.table.read(self.spark, with_internal_cols=True)
               .withColumn("_bucket", bucket_expr(self._key_cols(), nb)))
         self.table.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
