@@ -632,7 +632,10 @@ class CdcEngine:
             prev_applied, applied = applied, applied + len(g)
             beat("running", ep=g[-1])
             if compact_every and applied // compact_every > prev_applied // compact_every:
-                self.compact()
+                # incremental: only delta-bearing buckets re-base; a bucket
+                # the last `compact_every` epochs never touched is carried
+                # by reference instead of rewritten (state-invariant)
+                self.compact(min_delta_files=1)
         beat("idle", ep=todo[-1])
 
     # ------------------------------------------------------------- maintenance
