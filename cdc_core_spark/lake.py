@@ -711,6 +711,29 @@ class SnapshotTable:
             F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")))
 
 
+class ChangelogCursor:
+    """Poll-based CDC-out consumer over ``read_changes``: remembers the last
+    version delivered and each ``poll`` returns only the changes committed
+    since — the tailing-consumer shape for downstream incremental pipelines
+    (the engine's own run-loop applied to its OUTPUT side). ``poll`` returns
+    ``None`` when nothing new was committed; a rewrite-only window (pure
+    compaction) advances the cursor and returns an empty frame, so consumers
+    never re-deliver across it."""
+
+    def __init__(self, table: SnapshotTable, from_version: int | None = None):
+        self.table = table
+        self.version = (table.latest().version if from_version is None
+                        else from_version)
+
+    def poll(self, spark: SparkSession) -> DataFrame | None:
+        latest = self.table.latest().version
+        if latest == self.version:
+            return None
+        df = self.table.read_changes(spark, self.version, latest)
+        self.version = latest
+        return df
+
+
 def _sid_for(prev: Snapshot, fields: list[dict]) -> str:
     for sid, fl in prev.schemas.items():
         if fl == fields:

@@ -315,3 +315,28 @@ def test_expire_tombstones_prunes_to_tombstone_buckets(spark, t1, registry, tmp_
     v = after.version
     eng.expire_tombstones(watermark_op_ts=max_ts + 1)  # nothing left → no-op
     assert t.latest().version == v
+
+
+def test_changelog_cursor_tails_new_commits(spark, t1, registry, tmp_path):
+    """ChangelogCursor delivers each committed change exactly once: poll
+    after new epochs returns just their rows, an idle poll returns None,
+    and a compaction-only window returns an empty frame (no re-delivery)."""
+    from cdc_core_spark.lake import ChangelogCursor
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1])
+    cur = ChangelogCursor(eng.table)
+
+    assert cur.poll(spark) is None  # nothing new yet
+
+    eng.replay(f'{t1["dir"]}/change_events', epochs=[2, 3])
+    batch = cur.poll(spark)
+    assert batch is not None and batch.count() > 0
+    assert cur.version == eng.table.latest().version
+    assert cur.poll(spark) is None  # delivered exactly once
+
+    eng.compact()  # rewrite-only window
+    batch = cur.poll(spark)
+    assert batch is not None and batch.count() == 0  # advances, empty
+    assert cur.poll(spark) is None
