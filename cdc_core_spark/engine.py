@@ -689,22 +689,8 @@ class CdcEngine:
         the snapshot (_sync_buckets)."""
         self._sync_buckets()
         nb = n_buckets or self.n_buckets
-        if nb == self.n_buckets and min_delta_files is not None:
-            from collections import Counter
-            depth = Counter(f["bucket"] for f in self.table.latest().files
-                            if f.get("kind") == "delta")
-            todo = sorted(b for b, c in depth.items() if c >= min_delta_files)
-            if not todo:
-                return
-            df = (self.table.read(self.spark, buckets=todo,
-                                  with_internal_cols=True)
-                  .withColumn("_bucket", bucket_expr(self._key_cols(), nb)))
-            self.table.commit_merge(df, todo, epoch=None, manifests=[])
-            return
-        df = (self.table.read(self.spark, with_internal_cols=True)
-              .withColumn("_bucket", bucket_expr(self._key_cols(), nb)))
-        self.table.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
-                                n_buckets=nb)
+        self.table.compact(self.spark, n_buckets=n_buckets,
+                           min_delta_files=min_delta_files)
         self.n_buckets = nb
 
     # ------------------------------------------------------------------- reads

@@ -643,6 +643,34 @@ class SnapshotTable:
                         pass
         return sorted(removed)
 
+    def compact(self, spark: SparkSession, n_buckets: int | None = None,
+                min_delta_files: int | None = None) -> None:
+        """Re-base MOR delta layers into one base file set per bucket (the
+        Iceberg ``rewriteDataFiles`` analog). ``min_delta_files=K`` makes it
+        INCREMENTAL: buckets are selected by delta-layer file count from
+        snapshot metadata alone (no data scan) and only those are rewritten —
+        maintenance I/O follows the churn distribution, not table size.
+        ``n_buckets`` re-buckets (necessarily full-table) in the same atomic
+        commit. State is invariant in all modes."""
+        prev = self.latest()
+        nb = n_buckets or prev.n_buckets
+        key_cols = prev.key_cols
+        if nb == prev.n_buckets and min_delta_files is not None:
+            from collections import Counter
+            depth = Counter(f["bucket"] for f in prev.files
+                            if f.get("kind") == "delta")
+            todo = sorted(b for b, c in depth.items() if c >= min_delta_files)
+            if not todo:
+                return
+            df = (self.read(spark, buckets=todo, with_internal_cols=True)
+                  .withColumn("_bucket", bucket_expr(key_cols, nb)))
+            self.commit_merge(df, todo, epoch=None, manifests=[])
+            return
+        df = (self.read(spark, with_internal_cols=True)
+              .withColumn("_bucket", bucket_expr(key_cols, nb)))
+        self.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
+                          n_buckets=nb)
+
     # ---------------- incremental changelog read ----------------
     def read_changes(self, spark: SparkSession, from_version: int,
                      to_version: int | None = None,
