@@ -169,6 +169,10 @@ class CdcEngine:
             c = (F.col(f["name"]) if f["name"] in present else F.lit(None))
             cols.append(c.cast(sql_type(f["type"])).alias(f["name"]))
         from pyspark.sql import Observation
+        # a zero-row source (bootstrap purely from the change stream) plans
+        # zero tasks, so its Observation never fires and .get would die in
+        # the JVM — detect up front (take(1), trivial next to the load)
+        empty_source = source_df.isEmpty()
         obs = Observation("initial_load")
         df = (source_df.select(cols)
               .withColumn("_op_ts", F.lit(-1).cast("bigint"))
@@ -180,7 +184,7 @@ class CdcEngine:
         def manifest():
             # evaluated post-write: the row count rides the write job's
             # observe metrics instead of a separate counting scan
-            n = int(obs.get["n"])
+            n = 0 if empty_source else int(obs.get["n"])
             return [{"checkpoint_epoch": -1, "partition_id": -1, "events_read": n,
                      "events_applied": n, "events_error": 0, "max_op_ts": -1,
                      "max_event_seq": -1, "wall_ms": 0}]

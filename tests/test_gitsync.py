@@ -1,0 +1,89 @@
+"""Git repo sync source: a real git history replayed through the engine must
+converge to the repo's actual HEAD working tree (SURVEY §2.1 'Git repo sync';
+content sha equality is the BASELINE invariant applied to a real repo)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+from pyspark.sql import functions as F
+
+from cdc_core_spark.engine import CdcEngine, OP_DELETE, OP_INSERT
+from cdc_core_spark.sources import gitsync
+
+
+def _run(repo, *args, env_ts=None):
+    env = dict(os.environ,
+               GIT_AUTHOR_NAME="t", GIT_AUTHOR_EMAIL="t@x",
+               GIT_COMMITTER_NAME="t", GIT_COMMITTER_EMAIL="t@x")
+    if env_ts:
+        env["GIT_AUTHOR_DATE"] = env["GIT_COMMITTER_DATE"] = env_ts
+    subprocess.run(["git", "-C", repo, *args], check=True,
+                   capture_output=True, env=env)
+
+
+def _write(repo, rel, text):
+    p = os.path.join(repo, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        f.write(text)
+
+
+def _mk_history(repo):
+    os.makedirs(repo)
+    _run(repo, "init", "-q", "-b", "main")
+    _write(repo, "a.py", "print(1)\n")
+    _write(repo, "b.txt", "hello\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "c0",
+                                 env_ts="2024-01-01T00:00:00Z")
+    _write(repo, "a.py", "print(2)\n")
+    _write(repo, "docs/d.md", "# title\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "c1",
+                                 env_ts="2024-01-01T00:00:00Z")  # same second
+    _run(repo, "rm", "-q", "b.txt")
+    _write(repo, "docs/d.md", "# title v2\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "c2",
+                                 env_ts="2024-01-02T00:00:00Z")
+    _run(repo, "mv", "a.py", "e.py")
+    _run(repo, "commit", "-qm", "c3", env_ts="2024-01-03T00:00:00Z")
+
+
+def test_git_history_replays_to_head_state(spark, registry, tmp_path):
+    repo = str(tmp_path / "r")
+    _mk_history(repo)
+
+    events = gitsync.events_from_git(spark, repo, "org/r")
+    # rename surfaced as delete+insert; same-second commits stay ordered
+    ops = {(r["path"], r["rev"]): r["op"] for r in events.collect()}
+    assert ops[("a.py", 3)] == OP_DELETE and ops[("e.py", 3)] == OP_INSERT
+    seqs = [r["event_seq"] for r in
+            events.orderBy("rev", "event_seq").collect()]
+    assert seqs == sorted(seqs) and len(seqs) == len(set(seqs))
+
+    ev_dir = str(tmp_path / "events")
+    events.write.partitionBy("checkpoint_epoch").parquet(ev_dir)
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=4)
+    empty = spark.createDataFrame([], "repo string, path string")
+    eng.replay(ev_dir, source_df=empty, schema_version="1.1")
+
+    got = {r["path"]: (r["content"], r["rev"]) for r in
+           eng.read_final().collect()}
+    head_files = subprocess.run(
+        ["git", "-C", repo, "ls-files"], check=True, capture_output=True,
+        text=True).stdout.split()
+    assert set(got) == set(head_files) == {"e.py", "docs/d.md"}
+    for p in head_files:
+        want = subprocess.run(["git", "-C", repo, "show", f"HEAD:{p}"],
+                              check=True, capture_output=True,
+                              text=True).stdout
+        assert got[p][0] == want
+    assert got["e.py"][1] == 3 and got["docs/d.md"][1] == 2
+    # per-epoch manifests: one per commit → resumable exactly-once history
+    eps = {r["checkpoint_epoch"] for r in eng.manifests_df().collect()}
+    assert eps == {-1, 0, 1, 2, 3}
+    # lang derived from extension (table is at 1.x: pre-rename `lang`)
+    langs = {r["path"]: r["lang"] for r in
+             eng.read_final().select("path", F.col("lang")).collect()}
+    assert langs == {"e.py": "py", "docs/d.md": "md"}
