@@ -47,6 +47,16 @@ def _git(repo_dir: str, *args: str) -> str:
                           capture_output=True, text=True).stdout
 
 
+def _unquote(path: str) -> str:
+    """git C-quotes paths containing specials (spaces are literal, but
+    quotes/backslashes/non-ASCII arrive as '"a\\"b.txt"') — decode them so
+    the event key matches the real path."""
+    if not (path.startswith('"') and path.endswith('"')):
+        return path
+    return (path[1:-1].encode("latin-1", "backslashreplace")
+            .decode("unicode_escape").encode("latin-1").decode("utf-8"))
+
+
 def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
     """Commit-history listing → change-event envelope rows (no content yet).
     ``rev`` is the 0-based commit index — the per-path max rev after replay
@@ -69,7 +79,7 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
         op = _STATUS_OP.get(status[:1])
         if op is None:   # T (typechange) et al.: treat as update
             op = OP_UPDATE
-        rows.append({"op": op, "repo": repo_name, "path": path,
+        rows.append({"op": op, "repo": repo_name, "path": _unquote(path),
                      "commit": commit, "rev": rev, "op_ts": ts,
                      "event_seq": seq})
         seq += 1

@@ -87,3 +87,23 @@ def test_git_history_replays_to_head_state(spark, registry, tmp_path):
     langs = {r["path"]: r["lang"] for r in
              eng.read_final().select("path", F.col("lang")).collect()}
     assert langs == {"e.py": "py", "docs/d.md": "md"}
+
+
+def test_quoted_and_spaced_paths_roundtrip(spark, registry, tmp_path):
+    """git C-quotes paths with non-ASCII/quote chars in --name-status output;
+    spaces stay literal. Both must land in the table under their REAL path
+    and hydrate the right blob."""
+    repo = str(tmp_path / "r")
+    os.makedirs(repo)
+    _run(repo, "init", "-q", "-b", "main")
+    _write(repo, "sp ace.py", "x = 1\n")
+    _write(repo, "unié.md", "accént\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "c0",
+                                 env_ts="2024-01-01T00:00:00Z")
+
+    assert gitsync._unquote('"uni\\303\\251.md"') == "unié.md"
+    assert gitsync._unquote("plain.py") == "plain.py"
+
+    events = gitsync.events_from_git(spark, repo, "org/r")
+    got = {r["path"]: r["content"] for r in events.collect()}
+    assert got == {"sp ace.py": "x = 1\n", "unié.md": "accént\n"}
