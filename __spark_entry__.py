@@ -778,6 +778,48 @@ def q_rules_quarantine(spark, sf_dir):
                       F.array_join("_errors", ",").alias("errors"))
 
 
+def q_decision_table(spark, sf_dir):
+    """External-rule-engine analog (Drools plug-in point,
+    mapping/.../rules/drools/ + rules/ExternalRule.java): a salience-ordered
+    decision table over orders — first-match activation group picks the
+    pricing tier, a lower-salience bump rule READS the tier the group wrote
+    (forward-chaining visibility within the pass), and a final cap rule
+    clamps the result. Declaration order is deliberately scrambled so the
+    agenda sort (salience desc) is what the oracle must agree with. The
+    whole table compiles to one static CASE-WHEN plan (no per-row engine)."""
+    from cdc_core_spark.functions.decision_table import (
+        DecisionRule, apply_decision_table)
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+         .withColumn("tier", F.lit(None).cast("string"))
+         .withColumn("discount_pm", F.lit(0)))
+    rules = [
+        DecisionRule("cap", "discount_pm > 60", {"discount_pm": "60"},
+                     salience=-10),
+        DecisionRule("urgent_bump",
+                     "o_orderpriority = '1-URGENT' AND tier <> 'VIP'",
+                     {"discount_pm": "discount_pm + 20"}, salience=-5),
+        DecisionRule("vip", "o_totalprice > 300000",
+                     {"tier": "'VIP'", "discount_pm": "100"},
+                     salience=10, activation_group="tier"),
+        DecisionRule("high", "o_totalprice > 150000",
+                     {"tier": "'HIGH'", "discount_pm": "50"},
+                     salience=5, activation_group="tier"),
+        DecisionRule("base", "true", {"tier": "'BASE'"},
+                     activation_group="tier"),
+    ]
+    out = apply_decision_table(o, rules, fired_col="fired")
+    return out.select(
+        "o_orderkey", "tier",
+        F.col("discount_pm").cast("int").alias("discount_pm"),
+        # no round(): the division creates half-cent ties where Spark
+        # (HALF_UP on the shortest decimal repr) and DuckDB (on the binary
+        # double) disagree; the UNROUNDED double is the same IEEE op
+        # sequence in both engines, hence bit-identical
+        F.expr("o_totalprice * (1000 - discount_pm) / 1000").alias("net"),
+        "fired")
+
+
 def q_scalar_transformers(spark, sf_dir):
     """Transformer library in one oracle entry: date parts, enum map, regex
     extraction, PLUS the roundtrip identities (CurrencyValueTransformer /
@@ -1103,7 +1145,7 @@ def q_frame_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ORDER CONTRACT: every oracle-bearing entry (49) comes FIRST and the
+    """ORDER CONTRACT: every oracle-bearing entry (50) comes FIRST and the
     hash-seeded rows-only approximations come LAST — the driver's
     correctness gate checks the leading entries of this dict, so this
     ordering is what puts every oracle inside its check window. Gate
@@ -1147,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_transform": q_map_transform,
         "rules_pipeline": q_rules_pipeline,
         "rules_quarantine": q_rules_quarantine,
+        "decision_table": q_decision_table,
         "scalar_transformers": q_scalar_transformers,
         "checksum": q_checksum,
         # format readers
@@ -1458,6 +1501,60 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderstatus <> 'P'
               AND NOT (o_totalprice > 50000 AND o_custkey % 10 != 0)
+        """,
+        "decision_table": """
+            -- agenda replayed in salience order (vip, high, base,
+            -- urgent_bump, cap); ag carries the activation-group
+            -- first-match state, fired accumulates the agenda log
+            WITH s0 AS (
+              SELECT o_orderkey, o_totalprice, o_orderpriority,
+                     CAST(NULL AS VARCHAR) AS tier, 0 AS pm,
+                     '' AS fired, FALSE AS ag
+              FROM orders
+            ), s1 AS (
+              SELECT * REPLACE (
+                CASE WHEN NOT ag AND o_totalprice > 300000
+                     THEN 'VIP' ELSE tier END AS tier,
+                CASE WHEN NOT ag AND o_totalprice > 300000
+                     THEN 100 ELSE pm END AS pm,
+                CASE WHEN NOT ag AND o_totalprice > 300000
+                     THEN fired || ',vip' ELSE fired END AS fired,
+                (ag OR o_totalprice > 300000) AS ag)
+              FROM s0
+            ), s2 AS (
+              SELECT * REPLACE (
+                CASE WHEN NOT ag AND o_totalprice > 150000
+                     THEN 'HIGH' ELSE tier END AS tier,
+                CASE WHEN NOT ag AND o_totalprice > 150000
+                     THEN 50 ELSE pm END AS pm,
+                CASE WHEN NOT ag AND o_totalprice > 150000
+                     THEN fired || ',high' ELSE fired END AS fired,
+                (ag OR o_totalprice > 150000) AS ag)
+              FROM s1
+            ), s3 AS (
+              SELECT * REPLACE (
+                CASE WHEN NOT ag THEN 'BASE' ELSE tier END AS tier,
+                CASE WHEN NOT ag THEN fired || ',base' ELSE fired END AS fired,
+                TRUE AS ag)
+              FROM s2
+            ), s4 AS (
+              SELECT * REPLACE (
+                CASE WHEN o_orderpriority = '1-URGENT' AND tier <> 'VIP'
+                     THEN pm + 20 ELSE pm END AS pm,
+                CASE WHEN o_orderpriority = '1-URGENT' AND tier <> 'VIP'
+                     THEN fired || ',urgent_bump' ELSE fired END AS fired)
+              FROM s3
+            ), s5 AS (
+              SELECT * REPLACE (
+                CASE WHEN pm > 60 THEN 60 ELSE pm END AS pm,
+                CASE WHEN pm > 60 THEN fired || ',cap' ELSE fired END AS fired)
+              FROM s4
+            )
+            SELECT o_orderkey, tier, CAST(pm AS INTEGER) AS discount_pm,
+                   o_totalprice * (1000 - pm) / 1000 AS net,
+                   CASE WHEN fired = '' THEN ''
+                        ELSE substr(fired, 2) END AS fired
+            FROM s5
         """,
         "map_transform": """
             SELECT p_partkey AS id, upper(p_brand) AS brand,
