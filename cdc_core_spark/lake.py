@@ -224,6 +224,42 @@ class SnapshotTable:
             })
         return out
 
+    def block_deltas(self) -> list[dict]:
+        """Per-data-file change lifecycle over the retained snapshot chain —
+        the block-delta-tracking analog (entity/.../model/
+        BlockTransactionDelta.java:24-30 ``{startOffset, endOffset, tnxId,
+        timestamp, deleted}``): the reference tracks which byte range of a
+        stored block each transaction touched; our unit of storage is a
+        bucket-sharded data FILE, so the view reports, per file, the
+        transaction (epoch/version) that created it and the version whose
+        rewrite (compaction / merge) dropped it.
+
+        Returns one row per file ever referenced by a retained snapshot:
+        ``{path, bucket, kind, tnx_epoch, added_version, removed_version,
+        deleted}`` — ``deleted=False``/``removed_version=None`` for files
+        live in the newest snapshot. After ``expire_snapshots`` the walk
+        starts at the oldest RETAINED snapshot (same as Iceberg metadata
+        after expiration). Driver-side O(snapshots × files) metadata walk
+        resolving manifest-list sidecars; reads no data files."""
+        seen: dict[str, dict] = {}
+        for p in self._snapshot_paths():
+            s = self._load_snapshot(p)
+            now = set()
+            for f in s.files:
+                now.add(f["path"])
+                if f["path"] not in seen:
+                    seen[f["path"]] = {
+                        "path": f["path"], "bucket": f["bucket"],
+                        "kind": f.get("kind", "base"),
+                        "tnx_epoch": f.get("epoch", s.epoch),
+                        "added_version": s.version,
+                        "removed_version": None, "deleted": False}
+            for path, row in seen.items():
+                if not row["deleted"] and path not in now:
+                    row["deleted"] = True
+                    row["removed_version"] = s.version
+        return list(seen.values())
+
     def _publish(self, snap: Snapshot) -> None:
         path = os.path.join(self.log_dir, f"v{snap.version:012d}.json")
         if os.path.exists(path):

@@ -340,3 +340,30 @@ def test_changelog_cursor_tails_new_commits(spark, t1, registry, tmp_path):
     batch = cur.poll(spark)
     assert batch is not None and batch.count() == 0  # advances, empty
     assert cur.poll(spark) is None
+
+
+def test_block_deltas_lifecycle(spark, t1, registry, tmp_path):
+    """block_deltas (BlockTransactionDelta analog): every file ever
+    referenced gets one lifecycle row; live files are exactly the newest
+    snapshot's; files dropped by compaction carry the compacting version."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    pre_compact_files = {f["path"] for f in eng.table.latest().files}
+    eng.compact()
+
+    rows = eng.table.block_deltas()
+    assert len(rows) == len({r["path"] for r in rows})  # one row per file
+    live = {r["path"] for r in rows if not r["deleted"]}
+    assert live == {f["path"] for f in eng.table.latest().files}
+    # deleted rows carry the removing version; live rows carry none
+    compact_v = eng.table.latest().version
+    dropped = [r for r in rows if r["path"] in pre_compact_files
+               and r["deleted"]]
+    assert dropped and all(r["removed_version"] == compact_v for r in dropped)
+    for r in rows:
+        assert (r["removed_version"] is None) == (not r["deleted"])
+        assert r["kind"] in ("base", "delta")
+    # delta files record the epoch (tnx) that produced them
+    assert any(r["kind"] == "delta" and r["tnx_epoch"] is not None
+               for r in rows)
