@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     ("anti_semi_setops", "q_anti_semi_setops"),
     ("cube", "q_cube"),
     ("rules_pipeline", "q_rules_pipeline"),
+    ("decision_table", "q_decision_table"),
     ("text_search", "q_text_search"),
     ("dedup_exact", "q_dedup_exact"),
     ("minhash_near_dupes", "q_minhash_near_dupes"),
