@@ -504,9 +504,26 @@ class CdcEngine:
     def replay(self, events_path: str, source_df: DataFrame | None = None,
                schema_version: str = "1.0", epochs: list[int] | None = None,
                compact_every: int | None = None,
-               group_commit: bool = True, lease: bool = True) -> None:
+               group_commit: bool = True, lease: bool = True,
+               transform=None) -> None:
         """Resume-from-checkpoint replay loop. Skips epochs whose manifests are
         already committed (the ReceiverOffset committed-split analog).
+
+        ``transform`` (optional ``DataFrame -> DataFrame``) is the ingest
+        pipeline hook — the ``InputReader → Pipeline → DataStore``
+        composition point (mapping/.../pipeline/PersistencePipeline.java:
+        the reference runs its Mapping + rules over every record between
+        read and persist). Compiled per-record plans slot in here:
+        ``functions.mapping.compile_mapping`` / ``apply_rules`` chains or a
+        ``functions.decision_table`` agenda. The callable receives the raw
+        change-event frame ONCE per run (still a lazy plan — Catalyst fuses
+        it into every epoch scan, so filters behind it still push down) and
+        must preserve the envelope columns (op, repo, path, op_ts,
+        event_seq, checkpoint_epoch, schema_version); it rewrites payload
+        columns only. Because it applies before the lineage pre-stats scan,
+        manifest counts, DLQ routing, and exactly-once bookkeeping all see
+        the transformed stream — identical to the reference's ordering,
+        where the pipeline runs before the DataStore ever sees a record.
 
         ``compact_every`` re-bases the merge-on-read deltas every N applied
         epochs (and read cost stays bounded by base + ≤N delta layers — at
@@ -525,6 +542,7 @@ class CdcEngine:
             try:
                 self._replay_locked(events_path, source_df, schema_version,
                                     epochs, compact_every, group_commit,
+                                    transform=transform,
                                     beat=lambda st, ep=None, err=None:
                                     (coord.write_heartbeat(self.root,
                                                            self.entity, st,
@@ -539,12 +557,13 @@ class CdcEngine:
         else:
             self._replay_locked(events_path, source_df, schema_version,
                                 epochs, compact_every, group_commit,
+                                transform=transform,
                                 beat=lambda st, ep=None, err=None: None)
 
     def _replay_locked(self, events_path: str, source_df: DataFrame | None,
                        schema_version: str, epochs: list[int] | None,
                        compact_every: int | None, group_commit: bool,
-                       beat) -> None:
+                       beat, transform=None) -> None:
         if (not self.table.exists()
                 or not self.table.latest().props.get("initial_loaded")):
             if source_df is None:
@@ -554,6 +573,10 @@ class CdcEngine:
             self.initial_load(source_df, schema_version)
         self._sync_buckets()
         events = self.spark.read.parquet(events_path)
+        if transform is not None:
+            # ingest pipeline hook — see replay() docstring; lazy, so it
+            # fuses into every downstream epoch scan
+            events = transform(events)
         if epochs is None:
             epochs = _list_epochs(events_path) or sorted(
                 r["checkpoint_epoch"] for r in

@@ -164,3 +164,31 @@ def test_errors_df_clean_run_schema(spark, t1, registry, tmp_path):
     assert wide.columns == ["op", "repo", "path",
                             "checkpoint_epoch", "error_reason"]
     assert wide.select("repo", "error_reason").count() == 0
+
+
+def test_replay_with_pipeline_transform(spark, t1, registry, tmp_path):
+    """replay(transform=...) — the InputReader → Pipeline → DataStore hook
+    (PersistencePipeline.java): a decision-table rule rewrites a payload
+    column on the change stream before the engine sees it. Final state must
+    equal the oracle replay of the SAME transformed events; envelope
+    columns, exactly-once bookkeeping, and lineage stay intact."""
+    from cdc_core_spark.functions.decision_table import (
+        DecisionRule, apply_decision_table)
+    from cdc_core_spark.oracle import expected_final
+
+    rule = DecisionRule("upper_commit", "commit IS NOT NULL",
+                        {"commit": "upper(commit)"})
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src,
+               transform=lambda df: apply_decision_table(df, [rule]))
+
+    ev = t1["fx"].change_events.copy()
+    ev["commit"] = ev["commit"].str.upper()
+    expected = expected_final(t1["fx"].source_repos, ev)
+    assert_final_equal(eng.read_final_with_sha().toPandas(), expected)
+    # untouched initial-load rows keep their original (lowercase) commits
+    got = eng.read_final_with_sha().toPandas()
+    assert (got["commit"].dropna().str.islower().any()
+            and got["commit"].dropna().str.isupper().any())
