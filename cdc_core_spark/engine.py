@@ -749,3 +749,35 @@ class CdcEngine:
             schema = f"{empty_schema}, {base}" if empty_schema else base
             return self.spark.createDataFrame([], schema=schema)
         return self.spark.read.parquet(self.errors_dir)
+
+    def reprocess_errors(self, repair, repair_epoch: int,
+                         source_epochs: list[int] | None = None) -> list[dict]:
+        """DLQ retry path — the Error→Retry message-mode cycle
+        (MessageObject.java:32-43 modes ``Error``/``Retry``; errors are
+        produced by the sendError route, MessageProcessor.java:216-225).
+        Reads the quarantine table (optionally only ``source_epochs``'
+        partitions — partition-pruned scan), runs the caller's ``repair``
+        plan over it (same contract as ``replay(transform=...)``: rewrite
+        payload/envelope fields, keep the column set), and applies the
+        result as NEW epoch ``repair_epoch`` with full bookkeeping:
+
+        * exactly-once: ``repair_epoch`` gets its own commit manifests, so
+          re-running the same repair is skipped up front;
+        * rows STILL invalid after repair re-quarantine under
+          ``repair_epoch`` (the unresolved remainder — original DLQ
+          partitions are immutable audit and are never rewritten);
+        * repaired events keep their ORIGINAL ``(op_ts, event_seq)``
+          versions, so a repaired event that was long since superseded
+          correctly loses the LWW merge instead of resurrecting stale data.
+
+        Returns the manifest rows committed (empty when the DLQ selection
+        is empty or the epoch was already committed)."""
+        if repair_epoch in self.table.committed_epochs():
+            return []
+        bad = self.errors_df()
+        if source_epochs is not None:
+            bad = bad.filter(F.col("checkpoint_epoch").isin(source_epochs))
+        bad = bad.drop("error_reason", "checkpoint_epoch")
+        if bad.limit(1).count() == 0:
+            return []
+        return self.apply_epoch(repair(bad), repair_epoch)

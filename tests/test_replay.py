@@ -192,3 +192,43 @@ def test_replay_with_pipeline_transform(spark, t1, registry, tmp_path):
     got = eng.read_final_with_sha().toPandas()
     assert (got["commit"].dropna().str.islower().any()
             and got["commit"].dropna().str.isupper().any())
+
+
+def test_reprocess_errors_dlq_retry(spark, t1, registry, tmp_path):
+    """DLQ retry (MessageMode Error→Retry, MessageObject.java:32-43): repair
+    the delete-with-content quarantine rows (null the content) and re-apply
+    them as a new epoch. Final state must equal the oracle replay where the
+    SAME rows became valid deletes; rows the repair does not fix re-quarantine
+    under the repair epoch; re-running the repair epoch is a no-op."""
+    from pyspark.sql import functions as F
+    from cdc_core_spark.oracle import expected_final
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    n_bad = eng.errors_df().count()
+    assert n_bad > 0
+
+    def repair(df):
+        return df.withColumn(
+            "content",
+            F.when((F.col("op") == 5) & F.col("content").isNotNull(),
+                   F.lit(None).cast("string")).otherwise(F.col("content")))
+
+    manifests = eng.reprocess_errors(repair, repair_epoch=99)
+    assert manifests and all(m["checkpoint_epoch"] == 99 for m in manifests)
+    assert eng.reprocess_errors(repair, repair_epoch=99) == []  # exactly-once
+
+    ev2 = t1["fx"].change_events.copy()
+    fixed = (ev2["op"] == 5) & ev2["content"].notna()
+    ev2.loc[fixed, "content"] = None
+    expected = expected_final(t1["fx"].source_repos, ev2)
+    assert_final_equal(eng.read_final_with_sha().toPandas(), expected)
+    # the state actually moved: repaired deletes removed rows
+    assert len(expected) < len(t1["expected"]) or not fixed.any()
+
+    left = eng.errors_df().filter("checkpoint_epoch = 99")
+    n_fixed = int(fixed.sum())
+    assert left.count() == n_bad - n_fixed
+    reasons = {r["error_reason"] for r in left.select("error_reason").distinct().collect()}
+    assert "delete_with_content" not in reasons and reasons <= {"invalid_op", "null_key"}
