@@ -128,3 +128,66 @@ def apply_rules(df: DataFrame, rules: list[Rule],
     good = df.filter(F.size(errors_col) == 0).drop(errors_col)
     bad = df.filter(F.size(errors_col) > 0)
     return good, bad
+
+
+def lookup_enrich(df: DataFrame, ref: DataFrame, on: dict[str, str],
+                  mapping: dict[str, str] | None = None,
+                  order_by: list[str] | None = None,
+                  exists_col: str | None = None) -> DataFrame:
+    """Entity-reference lookup rule — the DB-rule family compiled to one
+    broadcast left join (mapping/.../rules/db/): ``DBExistsRule`` (record
+    matched a reference row → boolean, DBExistsRule.java:28-45) and
+    ``DBReferenceRule`` (copy fields from the FIRST matching reference
+    entity onto the record; null source values never overwrite,
+    DBReferenceRule.java:35-64).
+
+    * ``on``: record column → reference column equality (the rule's
+      parameterized where-fields, DBRule.java setup).
+    * ``mapping``: target record column → reference source column
+      (``targetMappings``/``sourceFields``). A target that already exists
+      keeps its value when the reference value is null (the reference's
+      ``if (value != null) set`` guard); a new target is simply the
+      reference value.
+    * ``order_by``: pins "first match" when the reference has duplicate
+      keys — the reference takes ``entities.get(0)`` in store order, which
+      is nondeterministic under parallelism; we require an explicit order
+      (ascending) and pre-reduce the reference to one row per key with
+      ``min_by``, so the join stays 1:1 and never multiplies records.
+      Omit it only when the reference is already unique per key (enforced
+      neither here nor in the reference — document your dimension).
+    * ``exists_col``: optional boolean match flag (DBExistsRule) — use it
+      in a downstream validation rule to quarantine unmatched records.
+
+    The per-record LRU query cache of the reference (DBRule.CacheRecord)
+    has no analog here because the broadcast hash table IS the cache —
+    built once, shipped to every task."""
+    keys = list(on.items())
+    ref_keys = [r for _, r in keys]
+    src_cols = sorted(set((mapping or {}).values()))
+    proj = ref.select(*ref_keys, *[c for c in src_cols if c not in ref_keys])
+    if order_by:
+        picked = [F.min_by(F.struct(*[c for c in proj.columns
+                                      if c not in ref_keys]),
+                           F.struct(*order_by)).alias("_ref")]
+        proj = (proj.groupBy(*ref_keys).agg(*picked)
+                .select(*ref_keys, "_ref.*"))
+    cond = None
+    for rec_col, ref_col in keys:
+        c = df[rec_col] == proj[ref_col]
+        cond = c if cond is None else cond & c
+    # explicit select (not withColumn+drop): a target named like a reference
+    # column would otherwise be ambiguous after the join
+    mapping = mapping or {}
+    out_cols = []
+    for c in df.columns:
+        if c in mapping:
+            out_cols.append(F.coalesce(proj[mapping[c]], df[c]).alias(c))
+        else:
+            out_cols.append(df[c])
+    out_cols += [proj[source].alias(target)
+                 for target, source in mapping.items()
+                 if target not in df.columns]
+    if exists_col:
+        # a ref key column is non-null exactly when the join matched
+        out_cols.append(proj[ref_keys[0]].isNotNull().alias(exists_col))
+    return df.join(F.broadcast(proj), cond, "left").select(*out_cols)

@@ -113,3 +113,50 @@ def test_keep_unmapped_excludes_expr_sources(spark):
                           keep_unmapped_as="props").collect()[0]
     assert out["total"] == 3
     assert dict(out["props"]) == {"note": "x"}  # a/b consumed, not extras
+
+
+# ---------------------------------------------------------------- lookup rules
+def test_lookup_enrich_exists_and_reference(spark):
+    """DBExistsRule + DBReferenceRule in one broadcast join: exists flag,
+    field copy onto the record, new target creation, no row multiplication."""
+    from cdc_core_spark.functions.mapping import lookup_enrich
+    rec = spark.createDataFrame(
+        [(1, "acme", "old"), (2, "none", "keep"), (3, "dupco", None)],
+        "id int, vendor string, segment string")
+    ref = spark.createDataFrame(
+        [("acme", "RETAIL", 10), ("dupco", "WHOLESALE", 20),
+         ("dupco", "DISCOUNT", 5)],
+        "name string, seg string, rank int")
+    out = lookup_enrich(
+        rec, ref, on={"vendor": "name"},
+        mapping={"segment": "seg", "ref_rank": "rank"},
+        order_by=["rank"], exists_col="vendor_ok")
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 3                       # dup ref keys don't multiply
+    assert rows[1]["segment"] == "RETAIL" and rows[1]["vendor_ok"]
+    assert rows[2]["segment"] == "keep" and not rows[2]["vendor_ok"]
+    # first match pinned by order_by: rank 5 wins for dupco
+    assert rows[3]["segment"] == "DISCOUNT" and rows[3]["ref_rank"] == 5
+
+
+def test_lookup_enrich_null_source_never_overwrites(spark):
+    """DBReferenceRule.java:48 'if (value != null) set' — a matched row with
+    a null source keeps the record's existing value."""
+    from cdc_core_spark.functions.mapping import lookup_enrich
+    rec = spark.createDataFrame([(1, "k", "orig")],
+                                "id int, key string, val string")
+    ref = spark.createDataFrame([("k", None)], "key string, v string")
+    out = lookup_enrich(rec, ref, on={"key": "key"}, mapping={"val": "v"},
+                        exists_col="hit")
+    r = out.collect()[0]
+    assert r["val"] == "orig" and r["hit"]
+
+
+def test_lookup_enrich_is_broadcast(spark):
+    """The reference side must broadcast — no shuffle of the record stream."""
+    from cdc_core_spark.functions.mapping import lookup_enrich
+    rec = spark.range(100).withColumnRenamed("id", "k")
+    ref = spark.createDataFrame([(1, "x")], "k bigint, tag string")
+    out = lookup_enrich(rec, ref, on={"k": "k"}, mapping={"tag": "tag"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
