@@ -76,29 +76,37 @@ def ensure_fixture(scale: str) -> str:
 
 
 def bench_replay(spark, fxdir: str) -> dict:
+    """Median of 3 FULL replays (fresh state dir each): this shared host's
+    sustainable throughput drifts ±20% between windows (BASELINE.md), which
+    would otherwise dominate the round-over-round comparison of the single
+    most expensive headline entry. All three walls are disclosed."""
     from pyspark.sql import functions as F
     from cdc_core_spark.engine import CdcEngine
     from cdc_core_spark.registry import SchemaRegistry
     from cdc_core_spark import synth
 
     reg = SchemaRegistry.from_docs(synth.registry_docs())
-    root = os.path.join(CACHE, f"engine_run_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
-    eng = CdcEngine(spark, root, reg, n_buckets=32)
     src = spark.read.parquet(os.path.join(fxdir, "source_repos.parquet"))
     events_path = os.path.join(fxdir, "change_events")
     n_events = spark.read.parquet(events_path).count()
 
-    t0 = time.monotonic()
-    eng.replay(events_path, source_df=src)
-    n_final = eng.read_final().count()
-    wall = time.monotonic() - t0
-
-    mf = eng.manifests_df().toPandas()
-    applied = int(mf[mf.checkpoint_epoch >= 0]["events_read"].sum())
-    shutil.rmtree(root, ignore_errors=True)
+    walls, applied, n_final = [], 0, 0
+    for i in range(3):
+        root = os.path.join(CACHE, f"engine_run_{os.getpid()}_{i}")
+        shutil.rmtree(root, ignore_errors=True)
+        eng = CdcEngine(spark, root, reg, n_buckets=32)
+        t0 = time.monotonic()
+        eng.replay(events_path, source_df=src)
+        n_final = eng.read_final().count()
+        walls.append(time.monotonic() - t0)
+        mf = eng.manifests_df().toPandas()
+        applied = int(mf[mf.checkpoint_epoch >= 0]["events_read"].sum())
+        shutil.rmtree(root, ignore_errors=True)
+    wall = sorted(walls)[1]
     return {"sec": round(wall, 3), "events": n_events, "events_applied": applied,
-            "events_per_sec": round(applied / wall, 1), "final_rows": n_final}
+            "events_per_sec": round(applied / wall, 1), "final_rows": n_final,
+            "runs_sec": [round(w, 3) for w in walls],
+            "methodology": "median of 3 full replays, fresh state dir each"}
 
 
 def bench_skew_defense(spark, fxdir: str) -> dict:
