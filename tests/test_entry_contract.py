@@ -84,3 +84,16 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_every_oracle_inside_driver_check_window():
+    """The driver verifies only the FIRST 50 queries() entries (round-2
+    finding: 4 oracle queries sat at positions 51+ and never reached
+    CORRECTNESS_r02.json). The order contract — all oracle-bearing entries
+    first, rows-only approximations last — must not regress."""
+    names = list(QUERIES)
+    assert set(ORACLES) <= set(names)
+    window = set(names[:50])
+    outside = [n for n in ORACLES if n not in window]
+    assert not outside, f"oracle-bearing entries outside the window: {outside}"
+    assert len(ORACLES) == 50, "window has free slots — add or split an oracle"
