@@ -215,7 +215,10 @@ def model_final(src: pd.DataFrame, ev: pd.DataFrame, active_version):
 
 
 # ------------------------------------------------------------------- test
-@pytest.mark.parametrize("seed", [7, 23, 61])
+SOAK = [int(s) for s in os.environ.get("CDC_MODEL_SEEDS", "").split(",") if s]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61] + SOAK)
 def test_engine_matches_model_under_random_schedule(spark, registry, tmp_path, seed):
     rng = np.random.default_rng(seed + 1000)
     src, ev, schedule, active_version = gen_case(seed)
