@@ -144,3 +144,80 @@ def fingerprint(col, k: int = 5) -> Column:
     sha256(shingle) over all k-word shingles — stable under content moves,
     identical in Spark and DuckDB (both expose sha256 hex)."""
     return F.array_min(F.transform(word_shingles(col, k), lambda s: F.sha2(s, 256)))
+
+
+# ------------------------------------------------------------- PII scrubbing
+#: ordered (class, pattern, replacement): email before ip before phone —
+#: replacement tags carry no digits, so later numeric patterns can never
+#: re-match inside an earlier substitution. Patterns are the RE2 ∩ java.util
+#: .regex common subset (no backrefs/lookaround), so Spark (JVM) and the
+#: DuckDB oracle (RE2) substitute identically.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d ()-]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(col) -> Column:
+    """Redact common PII classes (training-data hygiene pass): chained JVM
+    ``regexp_replace`` — whole-stage codegen, no Python. The reference has no
+    PII pass (out of its CDC scope); this belongs to the LLM-pipeline
+    operator family alongside dedup/decontaminate."""
+    c = _c(col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_count(col, kind: str) -> Column:
+    """Occurrences of one PII class, counted at the same stage of the scrub
+    chain where ``pii_scrub`` would replace it (so email digits never double-
+    count as phones)."""
+    c = _c(col)
+    for name, pat, repl in PII_PATTERNS:
+        if name == kind:
+            return F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, repl)
+    raise KeyError(kind)
+
+
+def pii_scrub_sql(col: str) -> str:
+    """pii_scrub as DuckDB SQL (regexp_replace needs the explicit 'g')."""
+    expr = col
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
+def pii_count_sql(col: str, kind: str) -> str:
+    expr = col
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        if name == kind:
+            return f"len(regexp_extract_all({expr}, '{p}'))"
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    raise KeyError(kind)
+
+
+# ------------------------------------------------- repetition (Gopher-style)
+def repetition_ratio(col, k: int = 3) -> Column:
+    """Duplicate-k-gram fraction: 1 − distinct/total word k-grams — the
+    Gopher/MassiveText repetition filter signal (high ratio = looping or
+    boilerplate text). Built-ins only: one linear zip-shift shingle pass +
+    array_distinct; same clamped short-doc semantics as ``fingerprint``."""
+    g = word_shingles(col, k)
+    n = F.size(g).cast("double")
+    return (F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double") / F.greatest(n, F.lit(1.0)))
+
+
+def repetition_ratio_sql(col: str, k: int = 3) -> str:
+    """repetition_ratio as DuckDB SQL (same clamped-slice shingles as the
+    fingerprint oracle)."""
+    t = f"regexp_extract_all(trim(lower({col})), '\\S+')"
+    g = (f"list_transform(generate_series(1, greatest(len({t}) - {k - 1}, 1)), "
+         f"i -> array_to_string({t}[i:i+{k - 1}], ' '))")
+    return (f"(1.0 - cast(len(list_distinct({g})) as double) "
+            f"/ greatest(cast(len({g}) as double), 1.0))")

@@ -451,3 +451,73 @@ def test_text_index_stored_bucket_pruning(spark, tmp_path):
                                        mode=mode).collect()
         full = ts.search_text(idx, ["merge", "alpha"], mode=mode).collect()
         assert [tuple(r) for r in stored] == [tuple(r) for r in full]
+
+
+def test_pii_scrub_matches_duckdb_oracle(spark):
+    """pii_scrub / pii_count vs the exact DuckDB SQL mirror — same regex
+    subset (RE2 ∩ java.util.regex), same chain order, identical output."""
+    import duckdb
+    import pandas as pd
+    rows = [
+        (1, "contact alice@example.com or bob.smith+x@sub.domain.org now"),
+        (2, "server at 10.0.255.3 fell back to 192.168.1.1 overnight"),
+        (3, "call +1 (415) 555-0199 or 020-7946-0958 for details"),
+        (4, "mixed: eve@ex.io from 8.8.8.8 dialed 555 123 4567 twice"),
+        (5, "no pii here, just words and a number 42 alone"),
+        (6, ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "t"])
+    sdf = spark.createDataFrame(pdf)
+    got = (sdf.select("doc_id", text.pii_scrub("t").alias("clean"),
+                      text.pii_count("t", "email").alias("n_email"),
+                      text.pii_count("t", "ip").alias("n_ip"),
+                      text.pii_count("t", "phone").alias("n_phone"))
+           .orderBy("doc_id").collect())
+    con = duckdb.connect()
+    con.register("d", pdf)
+    exp = con.execute(f"""
+        SELECT doc_id, {text.pii_scrub_sql('t')} AS clean,
+               {text.pii_count_sql('t', 'email')} AS n_email,
+               {text.pii_count_sql('t', 'ip')} AS n_ip,
+               {text.pii_count_sql('t', 'phone')} AS n_phone
+        FROM d ORDER BY doc_id
+    """).fetchall()
+    for g, e in zip(got, exp):
+        assert (g["clean"], g["n_email"], g["n_ip"], g["n_phone"]) == \
+            (e[1], e[2], e[3], e[4]), (g["doc_id"], g["clean"], e[1])
+    by_id = {g["doc_id"]: g for g in got}
+    assert by_id[1]["clean"] == "contact <EMAIL> or <EMAIL> now"
+    assert by_id[2]["n_ip"] == 2 and "<IP>" in by_id[2]["clean"]
+    assert by_id[3]["n_phone"] == 2
+    assert by_id[5]["clean"] == rows[4][1]  # untouched
+
+
+def test_repetition_ratio_matches_duckdb_oracle(spark):
+    import duckdb
+    import glob
+    import os
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    p = os.path.join(sf, "documents.parquet")
+    got = {r["doc_id"]: r["rep"] for r in
+           spark.read.parquet(p)
+           .select("doc_id", text.repetition_ratio("text", k=3).alias("rep"))
+           .collect()}
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT doc_id, {text.repetition_ratio_sql('text', 3)} AS rep
+        FROM read_parquet('{p}')
+    """).fetchall()
+    assert len(exp) == len(got)
+    for doc_id, rep in exp:
+        assert got[doc_id] == rep, doc_id  # bit-identical IEEE expression tree
+
+
+def test_repetition_ratio_flags_looping_text(spark):
+    rows = [(1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "each of these little words appears exactly once in here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["doc_id"]: r["rep"] for r in
+           df.select("doc_id", text.repetition_ratio("text", k=3).alias("rep")).collect()}
+    assert rep[1] > 0.8 and rep[2] == 0.0
