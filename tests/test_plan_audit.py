@@ -93,6 +93,22 @@ def test_lww_is_partial_max_by_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1  # exactly one shuffle
 
 
+def test_no_row_python_udf_in_package_source():
+    """Static sweep backing the plan-level BatchEvalPython check: the package
+    must never register a row-at-a-time Python UDF (only pandas_udf /
+    mapInPandas / applyInPandas Arrow paths are allowed)."""
+    import glob
+    import re
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)), "cdc_core_spark")
+    banned = re.compile(r"(?<!pandas_)\budf\(|spark\.udf\.register|@udf\b")
+    hits = []
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        for i, line in enumerate(open(f), 1):
+            if banned.search(line):
+                hits.append(f"{f}:{i}: {line.strip()}")
+    assert not hits, hits
+
+
 def test_epoch_scan_is_partition_pruned(spark, t1):
     events = spark.read.parquet(os.path.join(t1["dir"], "change_events"))
     pruned = events.filter(F.col("checkpoint_epoch").isin([2, 3]))
