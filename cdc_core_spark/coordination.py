@@ -31,6 +31,7 @@ import os
 import socket
 import tempfile
 import time
+import uuid
 
 
 def _atomic_write_json(path: str, doc: dict) -> None:
@@ -103,6 +104,11 @@ class ProcessLock:
         self.ttl_ms = ttl_ms
         self.steal_stale = steal_stale
         self._held = False
+        # fencing token: unique per acquire, so a holder whose stale lease
+        # was STOLEN can detect the loss instead of clobbering the thief's
+        # lock on renew / deleting it on release (owner+pid alone can't
+        # distinguish two acquires by a restarted same-pid process)
+        self._token: str | None = None
 
     def _holder(self) -> dict | None:
         try:
@@ -120,7 +126,11 @@ class ProcessLock:
                 holder = self._holder()
                 now = int(time.time() * 1000)
                 age = now - int((holder or {}).get("acquired_ms", 0))
-                if holder is None or (self.steal_stale and age > self.ttl_ms):
+                # staleness is judged by the HOLDER's advertised ttl — the
+                # lease term it promised to renew within — not the would-be
+                # stealer's own setting
+                ttl = int((holder or {}).get("ttl_ms") or self.ttl_ms)
+                if holder is None or (self.steal_stale and age > ttl):
                     # crashed holder: break the stale lease, retry the
                     # atomic create once (a concurrent stealer may win it)
                     try:
@@ -132,31 +142,50 @@ class ProcessLock:
                 if holder is not None:
                     holder["_age_ms"] = age
                 raise LockHeldError(self.path, holder or {})
+            self._token = uuid.uuid4().hex
             with os.fdopen(fd, "w") as f:
-                json.dump({"owner": self.owner, "pid": os.getpid(),
-                           "host": socket.gethostname(),
-                           "acquired_ms": int(time.time() * 1000),
-                           "ttl_ms": self.ttl_ms}, f)
+                json.dump(self._doc(acquired_ms=int(time.time() * 1000)), f)
             self._held = True
             return self
         raise LockHeldError(self.path, self._holder() or {})
 
+    def _doc(self, acquired_ms: int) -> dict:
+        return {"owner": self.owner, "pid": os.getpid(),
+                "host": socket.gethostname(), "token": self._token,
+                "acquired_ms": acquired_ms, "ttl_ms": self.ttl_ms}
+
+    def _still_mine(self) -> bool:
+        holder = self._holder()
+        return holder is not None and holder.get("token") == self._token
+
     def renew(self) -> None:
         """Re-stamp the lease inside long runs so a live holder never looks
-        stale (the ephemeral-node keepalive analog)."""
-        if self._held:
-            _atomic_write_json(self.path, {
-                "owner": self.owner, "pid": os.getpid(),
-                "host": socket.gethostname(),
-                "acquired_ms": int(time.time() * 1000),
-                "ttl_ms": self.ttl_ms})
+        stale (the ephemeral-node keepalive analog). Verifies ownership
+        first: if the lease was stolen while this holder stalled past its
+        TTL, renew raises ``LockHeldError`` instead of silently clobbering
+        the new holder's lock — the stalled driver learns it lost the lease
+        and can abort before computing commits the snapshot CAS will only
+        partially arbitrate."""
+        if not self._held:
+            return
+        if not self._still_mine():
+            self._held = False
+            holder = self._holder() or {}
+            holder["_age_ms"] = int(time.time() * 1000) - int(
+                holder.get("acquired_ms", 0) or 0)
+            raise LockHeldError(self.path, holder)
+        _atomic_write_json(self.path,
+                           self._doc(acquired_ms=int(time.time() * 1000)))
 
     def release(self) -> None:
+        """Remove the lock only if it is still OURS — a holder whose lease
+        was stolen must not delete the new holder's lock on the way out."""
         if self._held:
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+            if self._still_mine():
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
             self._held = False
 
     def __enter__(self) -> "ProcessLock":

@@ -746,7 +746,17 @@ class CdcEngine:
         so both paths stay column-compatible."""
         if not os.path.isdir(self.errors_dir):
             base = "checkpoint_epoch int, error_reason string"
-            schema = f"{empty_schema}, {base}" if empty_schema else base
+            if empty_schema:
+                # append only the DLQ columns the caller's DDL doesn't carry
+                # (EVENT_DDL already ends in checkpoint_epoch — a blind
+                # concat would duplicate it and break name resolution)
+                have = {part.strip().split()[0].lower()
+                        for part in empty_schema.split(",") if part.strip()}
+                extra = [p for p in base.split(", ")
+                         if p.split()[0].lower() not in have]
+                schema = ", ".join([empty_schema, *extra]) if extra else empty_schema
+            else:
+                schema = base
             return self.spark.createDataFrame([], schema=schema)
         return self.spark.read.parquet(self.errors_dir)
 

@@ -164,13 +164,19 @@ def lookup_enrich(df: DataFrame, ref: DataFrame, on: dict[str, str],
     keys = list(on.items())
     ref_keys = [r for _, r in keys]
     src_cols = sorted(set((mapping or {}).values()))
-    proj = ref.select(*ref_keys, *[c for c in src_cols if c not in ref_keys])
+    # ordering columns ride along even when they aren't copied targets —
+    # the natural dedupe-by-recency call orders by a column it never maps
+    ord_extra = [c for c in (order_by or [])
+                 if c not in ref_keys and c not in src_cols]
+    proj = ref.select(*ref_keys,
+                      *[c for c in src_cols if c not in ref_keys],
+                      *ord_extra)
     if order_by:
         picked = [F.min_by(F.struct(*[c for c in proj.columns
                                       if c not in ref_keys]),
                            F.struct(*order_by)).alias("_ref")]
         proj = (proj.groupBy(*ref_keys).agg(*picked)
-                .select(*ref_keys, "_ref.*"))
+                .select(*ref_keys, "_ref.*").drop(*ord_extra))
     cond = None
     for rec_col, ref_col in keys:
         c = df[rec_col] == proj[ref_col]

@@ -611,12 +611,21 @@ class SnapshotTable:
         base = self._expired_base_doc()
         eps = set(base["epochs"])
         manifests = list(base["manifests"])
+        # fold manifests under their natural key so a crash-rerun (ledger
+        # renamed, snapshot docs still present) is union-idempotent for the
+        # MANIFEST rows too, not just the epoch set — exactly-once writes
+        # one manifest per (epoch, partition), so the key is unique
+        seen = {(m["checkpoint_epoch"], m["partition_id"]) for m in manifests}
         dead: set[str] = set()
         sidecars: list[str] = []
         for p in expired:
             doc = self._load_snapshot_doc(p)
             self._fold_epochs(doc, eps)
-            manifests.extend(doc.get("manifests") or [])
+            for m in doc.get("manifests") or []:
+                k = (m["checkpoint_epoch"], m["partition_id"])
+                if k not in seen:
+                    seen.add(k)
+                    manifests.append(m)
             files, ref = self._doc_files(doc)
             dead.update(f["path"] for f in files if f["path"] not in live)
             if ref:
@@ -782,20 +791,46 @@ class ChangelogCursor:
     (the engine's own run-loop applied to its OUTPUT side). ``poll`` returns
     ``None`` when nothing new was committed; a rewrite-only window (pure
     compaction) advances the cursor and returns an empty frame, so consumers
-    never re-deliver across it."""
+    never re-deliver across it.
 
-    def __init__(self, table: SnapshotTable, from_version: int | None = None):
+    Delivery contract: the returned DataFrame is LAZY, so advancing the
+    cursor before the consumer has acted on it would be at-MOST-once under
+    consumer failure. Two modes:
+
+    * ``auto_ack=True`` (default): ``poll`` advances immediately — fine for
+      consumers whose downstream action is idempotent or best-effort.
+    * ``auto_ack=False``: ``poll`` leaves the cursor in place and records
+      the pending window; re-polling before ``ack()`` re-delivers the SAME
+      window (at-least-once), and ``ack()`` after the consumer's own commit
+      advances it. Process-and-ack inside the consumer's transactional sink
+      is the standard exactly-once composition (the engine's own
+      checkpoint-manifest pattern, applied client-side)."""
+
+    def __init__(self, table: SnapshotTable, from_version: int | None = None,
+                 auto_ack: bool = True):
         self.table = table
         self.version = (table.latest().version if from_version is None
                         else from_version)
+        self.auto_ack = auto_ack
+        self._pending: int | None = None
 
     def poll(self, spark: SparkSession) -> DataFrame | None:
         latest = self.table.latest().version
         if latest == self.version:
             return None
         df = self.table.read_changes(spark, self.version, latest)
-        self.version = latest
+        if self.auto_ack:
+            self.version = latest
+        else:
+            self._pending = latest
         return df
+
+    def ack(self) -> None:
+        """Commit the last un-acked ``poll`` window (no-op when nothing is
+        pending). Call AFTER the downstream effect is durable."""
+        if self._pending is not None:
+            self.version = self._pending
+            self._pending = None
 
 
 def _sid_for(prev: Snapshot, fields: list[dict]) -> str:

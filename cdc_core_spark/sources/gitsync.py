@@ -5,8 +5,9 @@ is exactly `(repo, path, commit, lang, content)`).
 
 Spark-first split of the work:
 
-* **Listing is metadata.** One ``git log --reverse --name-status`` per repo
-  yields the full `(op, path, commit, ts)` envelope — O(history) text, tiny
+* **Listing is metadata.** One ``git log --reverse --first-parent
+  --diff-merges=first-parent --name-status`` per repo yields the full
+  `(op, path, commit, ts)` envelope — O(history) text, tiny
   next to blob bytes. For a fleet of repos, run one listing per task
   (``mapInPandas`` over a repo table); a single repo's listing is a
   justified driver step the same way an epoch directory listing is.
@@ -22,7 +23,9 @@ engine applies (the key IS (repo, path); there is no rename op).
 
 Ordering: events are versioned ``(op_ts = commit seconds × 1000,
 event_seq = global running counter)`` — commits in the same second stay
-totally ordered by seq, matching the engine's LWW contract.
+totally ordered by seq, matching the engine's LWW contract. ``op_ts`` is
+clamped non-decreasing along the first-parent chain so a skewed author
+clock can never make an older mainline state win LWW.
 """
 
 from __future__ import annotations
@@ -61,7 +64,16 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
     """Commit-history listing → change-event envelope rows (no content yet).
     ``rev`` is the 0-based commit index — the per-path max rev after replay
     identifies the last commit that touched each surviving path."""
-    out = _git(repo_dir, "log", "--reverse", "--no-renames", "--name-status",
+    # --first-parent + --diff-merges=first-parent: walk the MAINLINE chain
+    # and diff every commit (merges included) against its first parent, so
+    # the event stream is the linear sequence of tree deltas ending at HEAD
+    # — side-branch work arrives as the merge commit's delta, and conflict
+    # resolutions ("evil merges") are captured instead of silently dropped
+    # (plain --name-status emits NOTHING for merge commits). Replay
+    # convergence to HEAD then holds by construction, independent of
+    # author-clock skew on side branches.
+    out = _git(repo_dir, "log", "--reverse", "--first-parent",
+               "--diff-merges=first-parent", "--no-renames", "--name-status",
                "--format=\x01%H %ct")
     rows: list[dict] = []
     commit = ts = None
@@ -70,7 +82,10 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
     for line in out.splitlines():
         if line.startswith("\x01"):
             commit, ts_s = line[1:].split()
-            ts = int(ts_s) * 1000
+            # clamp non-decreasing: git commit times are author clocks, and
+            # a skewed mainline commit must not lose LWW to its predecessor
+            # (event_seq breaks exact ties, but not a BACKWARDS clock)
+            ts = max(int(ts_s) * 1000, ts or 0)
             rev += 1
             continue
         if not line.strip():

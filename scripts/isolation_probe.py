@@ -35,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_scaling import CACHE, REPO, ensure_fixture, warm_page_cache  # noqa: F401
 import run_scaling
 
+_HEAP = "24g"  # uniform across ALL probe runs; see comment at the solo run
+
 
 def main() -> None:
     scale = sys.argv[1] if len(sys.argv) > 1 else "scale"
@@ -45,15 +47,20 @@ def main() -> None:
     subprocess.run(["zip", "-qr", pyz, "cdc_core_spark"], cwd=REPO, check=True)
     warm_page_cache(fixture)
 
-    solo = run_scaling.run_at(1, fixture, pyz)
+    # every probe run (solo, concurrent batch, local[4]) uses the SAME
+    # 24g heap via run_scaling.submit_argv, so no config difference can
+    # masquerade as host contention — 24g (not run_scaling's default 48g)
+    # because 4 concurrent JVMs must fit the box together
+    solo = run_scaling.run_at(1, fixture, pyz, driver_memory=_HEAP)
 
     # 4 concurrent independent local[1] runs, separate state dirs
     procs = []
     for i in range(4):
         state = f"/tmp/cdc_iso_run_{i}"
         shutil.rmtree(state, ignore_errors=True)
-        procs.append(subprocess.Popen(_cmd_for(1, fixture, pyz, state),
-                                      stdout=subprocess.PIPE,
+        argv = run_scaling.submit_argv(1, fixture, pyz, state,
+                                       driver_memory=_HEAP)
+        procs.append(subprocess.Popen(argv, stdout=subprocess.PIPE,
                                       stderr=subprocess.DEVNULL, text=True))
     rates, crcs = [], []
     for p in procs:
@@ -82,7 +89,7 @@ def main() -> None:
     if not local4:
         # same-window local[4]: measured immediately after the concurrent
         # batch so solo / concurrent-aggregate / local[4] share one host state
-        l4 = run_scaling.run_at(4, fixture, pyz)
+        l4 = run_scaling.run_at(4, fixture, pyz, driver_memory=_HEAP)
         assert l4["state_crc"] == solo["state_crc"]
         local4 = l4["events_per_sec"]
         out["same_window"] = True
@@ -91,25 +98,6 @@ def main() -> None:
     out["single_jvm_local4_events_per_sec"] = local4
     out["engine_attributable_efficiency"] = round(local4 / agg, 3)
     print("PROBE " + json.dumps(out))
-
-
-def _cmd_for(cores: int, fixture: str, pyz: str, state: str) -> list[str]:
-    """run_scaling.run_at's spark-submit argv with an overridable state dir."""
-    return [
-        "spark-submit", "--master", f"local[{cores}]",
-        "--driver-memory", "24g",
-        "--conf", "spark.sql.shuffle.partitions=64",
-        "--conf", "spark.sql.files.maxPartitionBytes=8m",
-        "--conf", "spark.sql.files.openCostInBytes=1m",
-        "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
-        "--conf", "spark.sql.session.timeZone=UTC",
-        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
-        "--conf", "spark.ui.enabled=false",
-        "--conf", "spark.ui.showConsoleProgress=false",
-        "--py-files", pyz,
-        os.path.join(REPO, "scripts", "scaling_driver.py"), fixture, state,
-    ]
 
 
 if __name__ == "__main__":

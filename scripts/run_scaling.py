@@ -36,11 +36,15 @@ def warm_page_cache(d: str) -> None:
                     pass
 
 
-def run_at(cores: int, fixture: str, pyz: str) -> dict:
-    state = f"/tmp/cdc_scaling_run_{cores}"
-    cmd = [
+def submit_argv(cores: int, fixture: str, pyz: str, state: str,
+                driver_memory: str = "48g") -> list[str]:
+    """The one spark-submit argv for every scaling/probe run — shared so
+    the isolation probe's concurrent runs can never drift from the solo
+    baseline they are divided by (only heap size and state dir vary, and
+    both are explicit parameters)."""
+    return [
         "spark-submit", "--master", f"local[{cores}]",
-        "--driver-memory", "48g",
+        "--driver-memory", driver_memory,
         # shuffle parallelism is sized to the DATA (8m-ish partitions), held
         # constant across cluster sizes — exactly like the fixed bucket count
         # of the target table. Scaling N→4N must not change the logical work.
@@ -58,6 +62,12 @@ def run_at(cores: int, fixture: str, pyz: str) -> dict:
         "--py-files", pyz,
         os.path.join(REPO, "scripts", "scaling_driver.py"), fixture, state,
     ]
+
+
+def run_at(cores: int, fixture: str, pyz: str, state: str | None = None,
+           driver_memory: str = "48g") -> dict:
+    state = state or f"/tmp/cdc_scaling_run_{cores}"
+    cmd = submit_argv(cores, fixture, pyz, state, driver_memory)
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):

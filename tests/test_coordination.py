@@ -74,3 +74,31 @@ def test_replay_lease_blocks_second_driver_and_beats(spark, t1, registry,
     eng.replay(f'{t1["dir"]}/change_events')
     assert coord.read_heartbeat(root, "source_repos")["state"] == "idle"
     assert not os.path.exists(os.path.join(root, "_lock.json"))
+
+
+def test_renew_and_release_respect_stolen_lease(tmp_path):
+    """Fencing: a holder that stalls past its TTL and loses the lease to a
+    stealer must (a) learn the loss on renew instead of clobbering the new
+    holder's lock, and (b) never delete the new holder's lock on release."""
+    import time
+
+    root = str(tmp_path)
+    a = coord.ProcessLock(root, owner="a", ttl_ms=10).acquire()
+    time.sleep(0.05)                       # a stalls past its TTL
+    b = coord.ProcessLock(root, owner="b").acquire()   # steals the lease
+    with pytest.raises(coord.LockHeldError, match="held by b"):
+        a.renew()
+    assert not a._held
+    a.release()                            # no-op after the failed renew
+    assert json.load(open(b.path))["owner"] == "b"
+    b.renew()                              # rightful holder still renews
+    b.release()
+    assert not os.path.exists(b.path)
+
+    # release WITHOUT a prior renew must also leave the thief's lock alone
+    c = coord.ProcessLock(root, owner="c", ttl_ms=10).acquire()
+    time.sleep(0.05)
+    d = coord.ProcessLock(root, owner="d").acquire()
+    c.release()                            # still thinks it holds — stolen
+    assert json.load(open(d.path))["owner"] == "d"
+    d.release()

@@ -160,3 +160,19 @@ def test_lookup_enrich_is_broadcast(spark):
     out = lookup_enrich(rec, ref, on={"k": "k"}, mapping={"tag": "tag"})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_lookup_enrich_order_by_uncopied_column(spark):
+    """Dedupe-by-recency: ordering by a reference column that is NOT a
+    mapping source must work (it rides through the pre-reduce and is
+    dropped afterwards, never leaking into the output)."""
+    from cdc_core_spark.functions.mapping import lookup_enrich
+    rec = spark.createDataFrame([(1, "k")], "id int, key string")
+    ref = spark.createDataFrame(
+        [("k", "old", 1), ("k", "new", 2)],
+        "key string, val string, updated_at int")
+    out = lookup_enrich(rec, ref, on={"key": "key"},
+                        mapping={"val": "val"}, order_by=["updated_at"])
+    r = out.collect()[0]
+    assert r["val"] == "old"              # min_by ascending pins first match
+    assert "updated_at" not in out.columns

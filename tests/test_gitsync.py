@@ -107,3 +107,54 @@ def test_quoted_and_spaced_paths_roundtrip(spark, registry, tmp_path):
     events = gitsync.events_from_git(spark, repo, "org/r")
     got = {r["path"]: r["content"] for r in events.collect()}
     assert got == {"sp ace.py": "x = 1\n", "unié.md": "accént\n"}
+
+
+def test_merge_commits_and_conflict_resolutions_replay_to_head(
+        spark, registry, tmp_path):
+    """Merge commits must emit change events (plain --name-status shows
+    nothing for them): side-branch work arrives as the merge's first-parent
+    delta, and an 'evil merge' conflict resolution — content matching
+    NEITHER parent — must win LWW even when the side branch carries a
+    future-skewed author clock."""
+    repo = str(tmp_path / "r")
+    os.makedirs(repo)
+    _run(repo, "init", "-q", "-b", "main")
+    _write(repo, "f.txt", "base\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "c0",
+                                 env_ts="2024-01-01T00:00:00Z")
+    _run(repo, "checkout", "-qb", "feat")
+    _write(repo, "f.txt", "feature\n")
+    _write(repo, "only_feat.txt", "side\n")
+    # side-branch clock skewed months into the future
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "f1",
+                                 env_ts="2024-06-01T00:00:00Z")
+    _run(repo, "checkout", "-q", "main")
+    _write(repo, "f.txt", "mainline\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "c1",
+                                 env_ts="2024-01-02T00:00:00Z")
+    # conflicting merge — resolve f.txt to brand-new content
+    env = dict(os.environ, GIT_AUTHOR_NAME="t", GIT_AUTHOR_EMAIL="t@x",
+               GIT_COMMITTER_NAME="t", GIT_COMMITTER_EMAIL="t@x",
+               GIT_AUTHOR_DATE="2024-01-03T00:00:00Z",
+               GIT_COMMITTER_DATE="2024-01-03T00:00:00Z")
+    merge = subprocess.run(["git", "-C", repo, "merge", "feat"],
+                           capture_output=True, env=env)
+    assert merge.returncode != 0  # conflict expected
+    _write(repo, "f.txt", "resolved\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "merge",
+                                 env_ts="2024-01-03T00:00:00Z")
+
+    events = gitsync.events_from_git(spark, repo, "org/r")
+    ev_dir = str(tmp_path / "events")
+    events.write.partitionBy("checkpoint_epoch").parquet(ev_dir)
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=4)
+    empty = spark.createDataFrame([], "repo string, path string")
+    eng.replay(ev_dir, source_df=empty, schema_version="1.1")
+
+    got = {r["path"]: r["content"] for r in eng.read_final().collect()}
+    head_files = subprocess.run(
+        ["git", "-C", repo, "ls-files"], check=True, capture_output=True,
+        text=True).stdout.split()
+    assert set(got) == set(head_files) == {"f.txt", "only_feat.txt"}
+    assert got["f.txt"] == "resolved\n"      # the evil-merge resolution
+    assert got["only_feat.txt"] == "side\n"  # side-branch work via merge

@@ -367,3 +367,63 @@ def test_block_deltas_lifecycle(spark, t1, registry, tmp_path):
     # delta files record the epoch (tnx) that produced them
     assert any(r["kind"] == "delta" and r["tnx_epoch"] is not None
                for r in rows)
+
+
+def test_changelog_cursor_ack_mode_redelivers_until_ack(
+        spark, t1, registry, tmp_path):
+    """auto_ack=False: the window is re-delivered until ack() — a consumer
+    that crashes before committing its output re-polls the same changes
+    (at-least-once), and process-then-ack composes to exactly-once."""
+    from cdc_core_spark.lake import ChangelogCursor
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1])
+    cur = ChangelogCursor(eng.table, auto_ack=False)
+
+    eng.replay(f'{t1["dir"]}/change_events', epochs=[2])
+    b1 = cur.poll(spark)
+    n1 = b1.count()
+    assert n1 > 0
+    b2 = cur.poll(spark)           # consumer "crashed": same window again
+    assert b2 is not None and b2.count() == n1
+    cur.ack()                      # downstream effect durable → commit
+    assert cur.poll(spark) is None
+    cur.ack()                      # idle ack is a no-op
+    assert cur.poll(spark) is None
+
+
+def test_expire_snapshots_crash_rerun_keeps_manifests_unique(
+        spark, t1, registry, tmp_path):
+    """Crash-rerun idempotency of retention: a crash AFTER the ledger
+    rename but BEFORE the expired snapshot docs are deleted must not
+    double-count manifests on rerun (epochs are a set; manifest rows dedupe
+    on their (epoch, partition) key)."""
+    import shutil
+
+    from cdc_core_spark.lake import SnapshotTable
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    t = eng.table
+    eng.compact()
+    want = sorted((m["checkpoint_epoch"], m["partition_id"])
+                  for m in t.all_manifests())
+
+    backup = str(tmp_path / "log_backup")
+    shutil.copytree(t.log_dir, backup)
+    t.expire_snapshots(keep_last=1)
+    # crash simulation: the ledger (expired-base.json) survives as written,
+    # but the snapshot docs + sidecars the completed run deleted come back
+    for fn in os.listdir(backup):
+        dst = os.path.join(t.log_dir, fn)
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(backup, fn), dst)
+
+    fresh = SnapshotTable(t.root)   # rerun after the "crash"
+    fresh.expire_snapshots(keep_last=1)
+    got = sorted((m["checkpoint_epoch"], m["partition_id"])
+                 for m in fresh.all_manifests())
+    assert got == want              # no duplicates, nothing lost
+    assert fresh.committed_epochs() == t.committed_epochs()

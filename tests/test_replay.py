@@ -164,6 +164,13 @@ def test_errors_df_clean_run_schema(spark, t1, registry, tmp_path):
     assert wide.columns == ["op", "repo", "path",
                             "checkpoint_epoch", "error_reason"]
     assert wide.select("repo", "error_reason").count() == 0
+    # the docstring-recommended EVENT_DDL already ends in checkpoint_epoch —
+    # it must not be duplicated (duplicate names break name resolution)
+    from cdc_core_spark.streaming.stream import EVENT_DDL
+    ev = eng.errors_df(empty_schema=EVENT_DDL)
+    assert len(ev.columns) == len(set(ev.columns))
+    assert ev.columns[-1] == "error_reason"
+    assert ev.select("checkpoint_epoch", "error_reason").count() == 0
 
 
 def test_replay_with_pipeline_transform(spark, t1, registry, tmp_path):
