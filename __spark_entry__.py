@@ -1762,8 +1762,8 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk
             FROM (SELECT doc_id, text,
                          unnest(generate_series(0,
-                             CAST(floor((greatest(length(text), 1) - 1) / 160.0)
-                                  AS BIGINT))) AS i
+                             CAST(greatest(floor((length(text) - 41) / 160.0),
+                                           0) AS BIGINT))) AS i
                   FROM documents)
         """,
         "pack_documents": """

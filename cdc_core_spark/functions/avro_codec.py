@@ -198,13 +198,17 @@ def to_avro_envelope(df: DataFrame,
         return df.select(
             to_avro(F.struct(*cols), schema_json).alias("value"))
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = pdf.to_dict("records")
-            yield pd.DataFrame(
-                {"value": [encode_record(fields, r) for r in recs]})
+    # mapInArrow, NOT mapInPandas: a nullable long column with any NULL
+    # becomes float64 in pandas, silently rounding values above 2^53
+    # before the encoder sees them — Arrow's to_pylist keeps exact ints
+    def enc(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+        for b in batches:
+            vals = [encode_record(fields, r) for r in b.to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vals, type=pa.binary())], ["value"])
 
-    return df.select(cols).mapInPandas(enc, schema="value binary")
+    return df.select(cols).mapInArrow(enc, schema="value binary")
 
 
 def from_avro_envelope(df: DataFrame, value_col: str = "value",

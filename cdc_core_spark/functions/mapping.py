@@ -42,8 +42,18 @@ def compile_mapping(df: DataFrame, spec: list[dict],
     for ent in spec:
         parts = ent["target"].split(".")
         node = tree
-        for p in parts[:-1]:
+        for i, p in enumerate(parts[:-1]):
             node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"conflicting mapping targets: {ent['target']!r} nests "
+                    f"under {'.'.join(parts[:i + 1])!r}, which an earlier "
+                    "spec entry already assigned as a leaf column")
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(
+                f"conflicting mapping targets: {ent['target']!r} would "
+                "overwrite a struct built by earlier nested entries "
+                f"(e.g. {ent['target']}.<child>)")
         if "source" in ent:
             node[parts[-1]] = F.col(ent["source"])
             used_sources.add(ent["source"])
@@ -133,6 +143,7 @@ def apply_rules(df: DataFrame, rules: list[Rule],
 def lookup_enrich(df: DataFrame, ref: DataFrame, on: dict[str, str],
                   mapping: dict[str, str] | None = None,
                   order_by: list[str] | None = None,
+                  descending: bool = False,
                   exists_col: str | None = None) -> DataFrame:
     """Entity-reference lookup rule — the DB-rule family compiled to one
     broadcast left join (mapping/.../rules/db/): ``DBExistsRule`` (record
@@ -151,10 +162,13 @@ def lookup_enrich(df: DataFrame, ref: DataFrame, on: dict[str, str],
     * ``order_by``: pins "first match" when the reference has duplicate
       keys — the reference takes ``entities.get(0)`` in store order, which
       is nondeterministic under parallelism; we require an explicit order
-      (ascending) and pre-reduce the reference to one row per key with
-      ``min_by``, so the join stays 1:1 and never multiplies records.
-      Omit it only when the reference is already unique per key (enforced
-      neither here nor in the reference — document your dimension).
+      and pre-reduce the reference to one row per key with ``min_by``
+      (ascending — smallest wins) or ``max_by`` when ``descending=True``
+      (the dedupe-by-recency form: ``order_by=["updated_at"],
+      descending=True`` keeps the LATEST reference row), so the join stays
+      1:1 and never multiplies records. Omit it only when the reference is
+      already unique per key (enforced neither here nor in the reference —
+      document your dimension).
     * ``exists_col``: optional boolean match flag (DBExistsRule) — use it
       in a downstream validation rule to quarantine unmatched records.
 
@@ -172,9 +186,10 @@ def lookup_enrich(df: DataFrame, ref: DataFrame, on: dict[str, str],
                       *[c for c in src_cols if c not in ref_keys],
                       *ord_extra)
     if order_by:
-        picked = [F.min_by(F.struct(*[c for c in proj.columns
-                                      if c not in ref_keys]),
-                           F.struct(*order_by)).alias("_ref")]
+        pick = F.max_by if descending else F.min_by
+        picked = [pick(F.struct(*[c for c in proj.columns
+                                  if c not in ref_keys]),
+                       F.struct(*order_by)).alias("_ref")]
         proj = (proj.groupBy(*ref_keys).agg(*picked)
                 .select(*ref_keys, "_ref.*").drop(*ord_extra))
     cond = None

@@ -34,14 +34,19 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
                chunk_chars: int = 512, overlap: int = 64) -> DataFrame:
     """One row per window: (id, chunk_index, chunk). Windows start every
     ``chunk_chars - overlap`` characters; the last window is the remainder
-    (≤ chunk_chars). Empty docs yield one empty chunk."""
+    (≤ chunk_chars). A tail window whose remainder is ≤ ``overlap`` is NOT
+    emitted — it would be a strict substring of the previous chunk,
+    duplicating training text for no coverage gain. Empty docs yield one
+    empty chunk."""
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
     n = F.length(F.col(text_col))
-    # number of windows: 1 + floor((max(len,1) - 1) / step) — covers the tail
-    last_start = F.floor((F.greatest(n, F.lit(1)) - 1) / step) * step
-    idx = F.explode(F.sequence(F.lit(0), (last_start / step).cast("int")))
+    # last start index: largest i with i*step + overlap < len (the window
+    # contributes at least one character beyond the previous one), clamped
+    # to 0 so every doc yields ≥ 1 chunk
+    last_idx = F.greatest(F.floor((n - F.lit(overlap) - 1) / step), F.lit(0))
+    idx = F.explode(F.sequence(F.lit(0), last_idx.cast("int")))
     out = (df.select(F.col(id_col), F.col(text_col))
            .withColumn("chunk_index", idx)
            .withColumn("chunk",

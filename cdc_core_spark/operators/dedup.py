@@ -349,14 +349,34 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3, max_bucket: int = 256) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k, blocked on 4 16-bit
-    bands (pigeonhole: any pair within hamming ≤ 3 collides in ≥1 band);
-    oversized buckets capped like every LSH path here."""
+    """Near-dup pairs by SimHash hamming distance ≤ k, blocked on
+    ``max_hamming + 1`` bit-slice bands (pigeonhole: k differing bits can
+    dirty at most k of k+1 bands, so every qualifying pair collides in ≥1
+    clean band — the guarantee holds for ANY ``max_hamming``, not just the
+    default 3/4×16-bit split); oversized buckets capped like every LSH path
+    here. Larger ``max_hamming`` → narrower bands → bigger candidate
+    buckets; 15 (4-bit bands) is the practical ceiling before blocking
+    stops pruning."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming must be in [0, 15], got {max_hamming} — beyond 15 "
+            "the 64-bit fingerprint's bands get too narrow to prune")
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + 1 if i < extra else base for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sh = simhash64(df, id_col, text_col)
+
+    def _slice(off: int, w: int):
+        c = F.shiftrightunsigned(F.col("simhash"), off)
+        # a 64-bit mask doesn't fit a signed long literal; w == 64 means
+        # the single-band (exact-duplicate) case — the key is the hash
+        return c if w == 64 else c.bitwiseAND(F.lit((1 << w) - 1))
+
     band = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"))
-        for b in range(4)
+                 _slice(offsets[b], widths[b]).alias("bkey"))
+        for b in range(n_bands)
     ])
     bdf = sh.select("doc", F.explode(band).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
@@ -406,6 +426,11 @@ def embedding_near_dupes(df: DataFrame, id_col: str, vec_col: str,
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
-    return (pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
-                 .filter(F.col("cosine") >= threshold)
-                 .select("doc_a", "doc_b", "cosine"))
+    # norm floor: zero vectors must not produce NaN (NaN >= t is TRUE under
+    # Spark's NaN-greatest ordering). Threshold the UNROUNDED cosine — the
+    # same boundary invariant ngram_jaccard_pairs documents above; rounding
+    # first would admit pairs up to 5e-7 below threshold
+    cos = dot / (F.greatest(na, F.lit(1e-12)) * F.greatest(nb, F.lit(1e-12)))
+    return (pairs.withColumn("_cos", cos)
+                 .filter(F.col("_cos") >= threshold)
+                 .select("doc_a", "doc_b", F.round("_cos", 6).alias("cosine")))

@@ -37,9 +37,12 @@ def _norm(vec_col) -> "F.Column":
 
 def cosine_scores(df: DataFrame, id_col: str, vec_col: str,
                   query: list[float]) -> DataFrame:
-    qn = float(np.linalg.norm(query))
+    # norm floors: a zero vector (padding / failed encode) must score 0.0,
+    # not 0/0 = NaN — Spark sorts NaN ABOVE every double, so an unguarded
+    # zero vector would rank #1 in every top-k and pass >= thresholds
+    qn = max(float(np.linalg.norm(query)), 1e-12)
     v = F.col(vec_col).cast("array<double>")
-    cos = _dot_with_lit(v, query) / (_norm(v) * F.lit(qn))
+    cos = _dot_with_lit(v, query) / (F.greatest(_norm(v), F.lit(1e-12)) * F.lit(qn))
     return df.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
 
 

@@ -55,7 +55,6 @@ def lang_id(col) -> Column:
     (alphabetical language order; 'und' = undetermined when no marker hits)."""
     scores = {lang: sum_cols([occurrences(col, m) for m in ms])
               for lang, ms in LANG_MARKERS.items()}
-    best = None
     expr = F.lit("und")
     # evaluate in reverse-alphabetical so earlier langs win ties via >=
     for lang in sorted(LANG_MARKERS, reverse=True):
@@ -69,7 +68,6 @@ def lang_id(col) -> Column:
             if other > lang:
                 cond = cond & (s >= scores[other])  # ties go to earlier
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-        best = s if best is None else best
     return expr
 
 

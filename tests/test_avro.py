@@ -149,3 +149,21 @@ def test_codec_roundtrip_property():
         assert A.decode_record(FIELDS, A.encode_record(FIELDS, row)) == row
 
     check()
+
+
+def test_fallback_dataframe_roundtrip_exact_longs(spark, monkeypatch):
+    """The FALLBACK DataFrame codec (no spark-avro jar) must keep longs
+    above 2^53 exact even when the column also carries NULLs — the pandas
+    path would coerce such a column to float64 and silently round; the
+    Arrow path must not."""
+    monkeypatch.setattr(A, "native_avro_available", lambda _s: False)
+    big = (1 << 53) + 1
+    row_big = dict(ROW, size_bytes=big, rev=big + 2)
+    ddl = A.spark_ddl(A.ENVELOPE_AVRO_SCHEMA)
+    rows = [tuple(r[n] for n, _t, _x in FIELDS) for r in (row_big, ROW_NULLS)]
+    df = spark.createDataFrame(rows, ddl)
+    back = A.from_avro_envelope(A.to_avro_envelope(df))
+    got = {r["op"]: r.asDict() for r in back.collect()}
+    assert got[row_big["op"]]["size_bytes"] == big
+    assert got[row_big["op"]]["rev"] == big + 2
+    assert got[ROW_NULLS["op"]]["size_bytes"] is None

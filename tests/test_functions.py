@@ -176,3 +176,31 @@ def test_lookup_enrich_order_by_uncopied_column(spark):
     r = out.collect()[0]
     assert r["val"] == "old"              # min_by ascending pins first match
     assert "updated_at" not in out.columns
+
+
+def test_lookup_enrich_descending_keeps_latest(spark):
+    """descending=True is the dedupe-by-recency form: fields come from the
+    reference row with the LARGEST ordering value."""
+    from cdc_core_spark.functions.mapping import lookup_enrich
+    rec = spark.createDataFrame([(1, "k")], "id int, key string")
+    ref = spark.createDataFrame(
+        [("k", "old", 1), ("k", "new", 2)],
+        "key string, val string, updated_at int")
+    out = lookup_enrich(rec, ref, on={"key": "key"}, mapping={"val": "val"},
+                        order_by=["updated_at"], descending=True)
+    assert out.collect()[0]["val"] == "new"
+
+
+def test_compile_mapping_conflicting_targets_raise(spark):
+    """Mapping both a column and a child of it must fail with a clear
+    validation error, not an opaque TypeError from the struct walk."""
+    import pytest
+
+    from cdc_core_spark.functions.mapping import compile_mapping
+    df = spark.createDataFrame([(1, 2)], "x int, y int")
+    with pytest.raises(ValueError, match="conflicting mapping targets"):
+        compile_mapping(df, [{"target": "a", "source": "x"},
+                             {"target": "a.b", "source": "y"}])
+    with pytest.raises(ValueError, match="conflicting mapping targets"):
+        compile_mapping(df, [{"target": "a.b", "source": "y"},
+                             {"target": "a", "source": "x"}])

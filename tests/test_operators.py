@@ -267,9 +267,10 @@ def test_chunk_text_windows(spark):
         [(1, "abcdefghij"), (2, "xy"), (3, "")], "doc_id long, text string")
     out = chunking.chunk_text(df, "doc_id", "text", chunk_chars=4, overlap=1)
     got = {(r["doc_id"], r["chunk_index"]): r["chunk"] for r in out.collect()}
-    # step=3: windows at 0,3,6,9 for len 10
+    # step=3: windows at 0,3,6 for len 10 — a start at 9 would yield 'j',
+    # a strict substring of 'ghij', and is suppressed
     assert got[(1, 0)] == "abcd" and got[(1, 1)] == "defg"
-    assert got[(1, 2)] == "ghij" and got[(1, 3)] == "j"
+    assert got[(1, 2)] == "ghij" and (1, 3) not in got
     assert got[(2, 0)] == "xy" and got[(3, 0)] == ""
     # overlap: consecutive windows share `overlap` chars
     assert got[(1, 0)][-1] == got[(1, 1)][0]
@@ -521,3 +522,82 @@ def test_repetition_ratio_flags_looping_text(spark):
     rep = {r["doc_id"]: r["rep"] for r in
            df.select("doc_id", text.repetition_ratio("text", k=3).alias("rep")).collect()}
     assert rep[1] > 0.8 and rep[2] == 0.0
+
+
+def test_zero_vector_never_tops_similarity(spark):
+    """A zero embedding (padding / failed-encode artifact) must score 0.0
+    cosine, not NaN — Spark sorts NaN above every double, so an unguarded
+    zero vector would rank #1 in every top-k and pass every threshold."""
+    from cdc_core_spark.operators import similarity
+
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(df, "vec_id", "embedding",
+                                 [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 0]
+    assert top[-1]["cosine"] == 0.0  # zero vector scores 0, ranks last
+
+    pairs = dedup.embedding_near_dupes(df, "vec_id", "embedding", dim=3,
+                                       threshold=0.5)
+    for r in pairs.collect():
+        assert 0 not in (r["doc_a"], r["doc_b"])  # no NaN-admitted pairs
+
+
+def test_embedding_near_dupes_thresholds_unrounded_cosine(spark):
+    """Boundary invariant: a pair whose true cosine is a hair BELOW the
+    threshold must be excluded even though round(·, 6) would land exactly
+    ON it (rounding before thresholding would admit it)."""
+    import math
+
+    theta = math.acos(0.9499996)  # rounds to 0.950000 at 6 places
+    rows = [(0, [1.0, 0.0]), (1, [math.cos(theta), math.sin(theta)]),
+            (2, [1.0, 1e-9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.embedding_near_dupes(df, "vec_id", "embedding", dim=2,
+                                        threshold=0.95).collect()}
+    assert (0, 1) not in pairs   # 0.9499996 < 0.95 — must stay out
+    assert (0, 2) in pairs       # sanity: a true near-dup is found
+
+
+def test_simhash_near_dupes_any_max_hamming_is_exact(spark):
+    """Dynamic banding: for ANY max_hamming the banded candidates must
+    recover exactly the brute-force hamming-≤k pairs (the old fixed 4×16
+    split silently lost pairs for k ≥ 4)."""
+    import itertools
+
+    rows = [(i, f"doc number {i} with shared vocabulary plus "
+                + " ".join(f"tok{j}" for j in range(i % 5)))
+            for i in range(14)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {r["doc"]: r["simhash"] for r in
+              dedup.simhash64(docs, "doc_id", "text").collect()}
+    for k in (4, 6):
+        want = {(a, b) for a, b in itertools.combinations(sorted(hashes), 2)
+                if bin((hashes[a] ^ hashes[b]) & (1 << 64) - 1).count("1") <= k}
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=k,
+                                        max_bucket=10_000).collect()}
+        assert got == want, f"k={k}"
+    import pytest
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=16)
+
+
+def test_search_text_normalizes_query_like_index(spark):
+    """A punctuated query term ('e-mail') must match documents through the
+    SAME normalization the index build used — it expands to its tokens
+    instead of comparing a string no index entry can equal."""
+    from cdc_core_spark.operators import textsearch
+
+    docs = spark.createDataFrame(
+        [(1, "Contact us by e-mail today"), (2, "snail mail only"),
+         (3, "nothing relevant")],
+        "doc_id long, text string")
+    idx = textsearch.build_text_index(docs, "doc_id", "text")
+    hits = {r["doc"] for r in
+            textsearch.search_text(idx, ["e-mail"], mode="all").collect()}
+    assert hits == {1}
+    any_hits = {r["doc"] for r in
+                textsearch.search_text(idx, ["E-Mail"], mode="any").collect()}
+    assert any_hits == {1, 2}  # token 'mail' also matches doc 2
