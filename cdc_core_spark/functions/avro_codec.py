@@ -13,8 +13,11 @@ Two paths, auto-selected:
 * **Fallback** — a spec-faithful Avro *binary encoding* codec (Apache Avro
   1.11 specification, "Binary encoding": zigzag-varint ints/longs,
   length-prefixed UTF-8 strings/bytes, union-index prefix, IEEE-754
-  little-endian floats) executed in Arrow-batched ``mapInPandas``. Per-row
-  Python inside the batch loop is the cost any Python Avro codec pays; tests
+  little-endian floats) executed in Arrow-batched ``mapInArrow`` (NOT
+  ``mapInPandas``: pandas coerces a nullable long column containing any NULL
+  to float64, silently rounding values above 2^53 — Arrow keeps exact ints
+  in both directions). Per-row Python inside the batch loop is the cost any
+  Python Avro codec pays; tests
   cross-validate the produced bytes against the JVM's real
   ``org.apache.avro`` GenericDatumReader, so the fallback speaks genuine
   wire format, not a lookalike.
@@ -223,11 +226,20 @@ def from_avro_envelope(df: DataFrame, value_col: str = "value",
         return (df.select(from_avro(F.col(value_col), schema_json).alias("r"))
                 .select("r.*"))
 
-    names = [n for n, _, _ in fields]
+    # mapInArrow for the same reason as the encode side: pd.DataFrame(rows)
+    # would coerce a nullable long column with any NULL to float64 and round
+    # decoded values above 2^53 before Spark ever saw them
+    _PA = {"int": "int32", "long": "int64", "boolean": "bool_",
+           "double": "float64", "string": "string", "bytes": "binary"}
 
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [decode_record(fields, bytes(v)) for v in pdf[value_col]]
-            yield pd.DataFrame(rows, columns=names)
+    def dec(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+        types = [(n, getattr(pa, _PA[t])()) for n, t, _ in fields]
+        for b in batches:
+            rows = [decode_record(fields, bytes(v))
+                    for v in b.column(0).to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[n] for r in rows], type=t) for n, t in types],
+                [n for n, _ in types])
 
-    return df.select(value_col).mapInPandas(dec, schema=ddl)
+    return df.select(value_col).mapInArrow(dec, schema=ddl)

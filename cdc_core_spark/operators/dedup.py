@@ -356,7 +356,16 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     default 3/4×16-bit split); oversized buckets capped like every LSH path
     here. Larger ``max_hamming`` → narrower bands → bigger candidate
     buckets; 15 (4-bit bands) is the practical ceiling before blocking
-    stops pruning."""
+    stops pruning.
+
+    **Cap/width interaction**: a band of width ``w`` has only ``2^w``
+    possible keys, so expected bucket size is ~``n_docs / 2^w`` — once that
+    exceeds ``max_bucket``, EVERY bucket in the band is dropped and the band
+    contributes zero candidates (silent recall loss, the documented price of
+    the cap). The default 16-bit bands (k ≤ 3) keep buckets tiny up to ~10M
+    docs; for k ≥ 4 size ``max_bucket ≳ a·n_docs/2^min_width`` (a few × the
+    expected load) or pre-shard the corpus. A runtime warning fires for
+    narrow bands as a reminder."""
     if not 0 <= max_hamming <= 15:
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming} — beyond 15 "
@@ -365,7 +374,19 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     base, extra = divmod(64, n_bands)
     widths = [base + 1 if i < extra else base for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sh = simhash64(df, id_col, text_col)
+    if min(widths) < 16:
+        import warnings
+        warnings.warn(
+            f"simhash_near_dupes: max_hamming={max_hamming} gives "
+            f"{min(widths)}-bit bands (only {2 ** min(widths)} keys/band); "
+            f"corpora larger than ~max_bucket*2^{min(widths)} "
+            f"(= {max_bucket * 2 ** min(widths):,} docs) will saturate every "
+            "bucket and the cap will drop ALL candidates — raise max_bucket "
+            "accordingly", stacklevel=2)
+    # lazy localCheckpoint: the fingerprint pipeline (tokenize + xxhash +
+    # Arrow bit-fold, the dominant cost) feeds the band explode AND both
+    # sides of the verify join — unmaterialized it would run 3×
+    sh = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
 
     def _slice(off: int, w: int):
         c = F.shiftrightunsigned(F.col("simhash"), off)

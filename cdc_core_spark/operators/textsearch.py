@@ -31,19 +31,28 @@ from pyspark.sql import functions as F
 from cdc_core_spark.operators.dedup import tokens
 
 
-def _normalize_terms(terms: list[str]) -> list[str]:
+def _normalize_terms(terms: list[str]) -> tuple[list[str], bool]:
     """Normalize query terms EXACTLY like the index side
     (dedup.normalize_text: lowercase, non-alphanumerics → space) — a
     punctuated term like "e-mail" expands to its index tokens ('e',
     'mail') instead of a string no index entry can ever equal;
     ``mode="all"`` then requires every derived token. Shared by the
     in-plan query AND the stored-index bucket probe so both hash the same
-    strings the writer indexed."""
-    norm = sorted({tok for t in terms if t
-                   for tok in re.sub(r"[^a-z0-9\s]", " ", t.lower()).split()})
-    if not norm:
+    strings the writer indexed.
+
+    Returns ``(tokens, unsatisfiable)``: a non-empty term that normalizes
+    to ZERO tokens (all punctuation, e.g. ``"!!!"``) can never match any
+    index entry, so it flips ``unsatisfiable`` — under ``mode="all"`` the
+    whole query must then return empty (dropping the term would silently
+    widen AND semantics); under ``"any"`` it simply contributes nothing.
+    Raises only when no term has any content at all (empty/whitespace
+    strings), matching the pre-normalization contract."""
+    if not any(t and t.strip() for t in terms):
         raise ValueError("search needs at least one non-empty term")
-    return norm
+    per_term = {t: re.sub(r"[^a-z0-9\s]", " ", t.lower()).split()
+                for t in terms if t and t.strip()}
+    unsat = any(not toks for toks in per_term.values())
+    return sorted({tok for toks in per_term.values() for tok in toks}), unsat
 
 
 def build_text_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -69,7 +78,7 @@ def search_text(index: DataFrame, terms: list[str], mode: str = "any",
     """
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
-    norm = _normalize_terms(terms)
+    norm, unsat = _normalize_terms(terms)
     q = index.sparkSession.createDataFrame([(t,) for t in norm],
                                            "term string")
     hits = (index.join(F.broadcast(q), "term")
@@ -78,6 +87,9 @@ def search_text(index: DataFrame, terms: list[str], mode: str = "any",
                  F.sum("tf").alias("score")))
     if mode == "all":
         hits = hits.filter(F.col("n_terms_matched") == len(norm))
+        if unsat or not norm:
+            # an all-punctuation term can never match: AND is unsatisfiable
+            hits = hits.filter(F.lit(False))
     out = hits.orderBy(F.col("score").desc(), F.col("doc").asc())
     return out.limit(limit) if limit is not None else out
 
@@ -120,7 +132,7 @@ def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
     import os
     with open(os.path.join(path, "_index_meta.json")) as f:
         n_buckets = json.load(f)["n_buckets"]
-    norm = _normalize_terms(terms)
+    norm, _unsat = _normalize_terms(terms)
     probe = spark.createDataFrame([(t,) for t in norm], "term string")
     buckets = sorted({r["b"] for r in probe.select(
         F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")

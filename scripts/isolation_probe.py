@@ -37,11 +37,13 @@ import run_scaling
 
 # PER-CORE-CONSTANT heap: every run gets 24g per core (local[1] → 24g,
 # local[4] → 96g), the same way a real 4N-executor cluster brings 4N
-# executors' memory. A fixed per-JVM heap would hand the 4 independent
-# processes 4× the single JVM's aggregate memory and bias the
-# engine-attributable ratio against the single JVM (measured: that bias
-# alone moves the ratio ~0.1); a fixed 48g-for-solo / 24g-for-concurrent
-# split (the previous protocol) skews the other way.
+# executors' memory. The previous protocol gave every probe JVM a uniform
+# 24g — which ran the single local[4] at 6g/core while each independent
+# local[1] enjoyed 24g/core, handing the 4 independent processes 4× the
+# single JVM's aggregate memory and biasing the engine-attributable ratio
+# against the single JVM. (The published 0.967 was measured under that
+# uniform-24g protocol; the per-core protocol measured 1.062 — both
+# windows are kept in BENCH_SCALING.json.)
 _HEAP_PER_CORE_G = 24
 
 

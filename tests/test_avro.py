@@ -161,7 +161,10 @@ def test_fallback_dataframe_roundtrip_exact_longs(spark, monkeypatch):
     row_big = dict(ROW, size_bytes=big, rev=big + 2)
     ddl = A.spark_ddl(A.ENVELOPE_AVRO_SCHEMA)
     rows = [tuple(r[n] for n, _t, _x in FIELDS) for r in (row_big, ROW_NULLS)]
-    df = spark.createDataFrame(rows, ddl)
+    # coalesce(1): the big long and the NULL MUST share one Arrow batch —
+    # in separate partitions each batch is all-null or all-value and the
+    # pandas float64 coercion this test exists to catch never triggers
+    df = spark.createDataFrame(rows, ddl).coalesce(1)
     back = A.from_avro_envelope(A.to_avro_envelope(df))
     got = {r["op"]: r.asDict() for r in back.collect()}
     assert got[row_big["op"]]["size_bytes"] == big

@@ -601,3 +601,47 @@ def test_search_text_normalizes_query_like_index(spark):
     any_hits = {r["doc"] for r in
                 textsearch.search_text(idx, ["E-Mail"], mode="any").collect()}
     assert any_hits == {1, 2}  # token 'mail' also matches doc 2
+
+
+def test_search_text_unsatisfiable_and_empty_terms(spark):
+    """An all-punctuation term has no index tokens: under mode='all' the
+    query is unsatisfiable (empty result — dropping the term would silently
+    widen AND semantics); under 'any' it contributes nothing. Only a query
+    with no content at all raises."""
+    import pytest
+
+    from cdc_core_spark.operators import textsearch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    idx = textsearch.build_text_index(docs, "doc_id", "text")
+    # 'all' with a dead term: empty, even though 'alpha' matches doc 1
+    assert textsearch.search_text(idx, ["alpha", "!!!"], mode="all").count() == 0
+    # 'any' with the same mix: the live term still matches
+    hits = {r["doc"] for r in
+            textsearch.search_text(idx, ["alpha", "!!!"], mode="any").collect()}
+    assert hits == {1}
+    # all-punctuation query: empty result (schema intact), NOT an exception
+    empty = textsearch.search_text(idx, ["???"], mode="any")
+    assert empty.count() == 0
+    assert empty.columns == ["doc", "n_terms_matched", "score"]
+    # truly contentless query still raises
+    with pytest.raises(ValueError, match="non-empty term"):
+        textsearch.search_text(idx, ["", "   "])
+
+
+def test_simhash_narrow_band_warns(spark):
+    """Narrow bands (max_hamming >= 4 -> < 16-bit band keys) saturate the
+    bucket cap on large corpora; the operator must say so at call time."""
+    import warnings
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
+                                 "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=5)
+        assert any("saturate" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=3)
+        assert not any("saturate" in str(x.message) for x in w)
