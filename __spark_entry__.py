@@ -707,12 +707,22 @@ def q_grouping_sets(spark, sf_dir):
 def q_text_search(spark, sf_dir):
     """Full-text term query (SolrDataStore/SolrCursor analog, SURVEY §2.2
     search store): inverted-index build (explode+groupBy TF) + broadcast
-    OR-of-terms query with deterministic TF-sum relevance. The oracle
-    recomputes the same inverted index in SQL."""
+    OR-of-terms query, under BOTH relevance contracts — raw TF-sum and
+    TF·IDF (``sum(tf · ln(N/df))``, rounded to 4 decimals) — tagged by a
+    ``scoring`` column. The oracle recomputes the same inverted index,
+    document frequencies, and corpus count in SQL."""
     from cdc_core_spark.operators import textsearch as ts
     d = _t(spark, sf_dir, "documents")
     idx = ts.build_text_index(d, "doc_id", "text")
-    return ts.search_text(idx, ["merge", "stream", "vector"], mode="any")
+    terms = ["merge", "stream", "vector"]
+    tf_r = (ts.search_text(idx, terms, mode="any")
+            .select("doc", "n_terms_matched",
+                    F.col("score").cast("double").alias("score"),
+                    F.lit("tf").alias("scoring")))
+    tfidf_r = (ts.search_text(idx, terms, mode="any", scoring="tfidf")
+               .select("doc", "n_terms_matched", "score",
+                       F.lit("tfidf").alias("scoring")))
+    return tf_r.unionByName(tfidf_r)
 
 
 # ---------------------------------------------------------------------------
@@ -1443,11 +1453,30 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
               FROM documents
-            )
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('merge', 'stream', 'vector')
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ),
+            -- term <> '': the index drops empty tokens, so a doc whose
+            -- normalized text is empty is NOT in the corpus count
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+                  WHERE term <> '')
             SELECT doc_id AS doc, count(DISTINCT term) AS n_terms_matched,
-                   count(*) AS score
+                   CAST(count(*) AS DOUBLE) AS score, 'tf' AS scoring
             FROM toks WHERE term IN ('merge', 'stream', 'vector')
             GROUP BY doc_id
+            UNION ALL
+            SELECT tf.doc_id AS doc, count(*) AS n_terms_matched,
+                   round(sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / tf_df.df)), 4)
+                       AS score,
+                   'tfidf' AS scoring
+            FROM tf JOIN dfreq tf_df USING (term) CROSS JOIN n
+            GROUP BY tf.doc_id
         """,
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,

@@ -15,10 +15,13 @@ owns the plan:
 * **Query** — the query's terms are a literal handful → broadcast inner
   join against the index (no corpus scan at all: only index rows for the
   queried terms move), aggregate per doc, rank.
-* **Scoring** — deterministic sum of per-term TF (optionally
-  TF·log(N/DF)), doc-id tiebreak, so results are stable and
-  oracle-checkable; ``mode="all"`` keeps only docs matching EVERY term
-  (the AND-of-terms form), ``mode="any"`` is the OR form.
+* **Scoring** — deterministic, doc-id tiebreak, so results are stable and
+  oracle-checkable: ``scoring="tf"`` sums per-term TF (exact integers);
+  ``scoring="tfidf"`` weights by inverse document frequency
+  (``sum(tf · ln(N/df))`` rounded to 4 decimals — df comes free from the
+  matched rows, N from the stored index's metadata sidecar so no query
+  ever re-counts the corpus). ``mode="all"`` keeps only docs matching
+  EVERY term (the AND-of-terms form), ``mode="any"`` is the OR form.
 """
 
 from __future__ import annotations
@@ -66,7 +69,8 @@ def build_text_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def search_text(index: DataFrame, terms: list[str], mode: str = "any",
-                limit: int | None = None) -> DataFrame:
+                limit: int | None = None, scoring: str = "tf",
+                n_docs: int | None = None) -> DataFrame:
     """Term query over the inverted index (SolrDataStore search analog).
 
     Returns ``(doc, n_terms_matched, score)`` ordered by score desc with a
@@ -75,16 +79,40 @@ def search_text(index: DataFrame, terms: list[str], mode: str = "any",
     term list is literal and tiny, so the join broadcasts — the only index
     rows that move are those for the queried terms (partition-pruned when
     the index is stored bucketed by term hash).
+
+    ``scoring``: ``"tf"`` (default) sums raw term frequencies (exact
+    integer — fully order-insensitive). ``"tfidf"`` weights each term by
+    its inverse document frequency, ``sum(tf · ln(N / df))`` rounded to 4
+    decimals, where ``df`` is computed from the matched index rows (every
+    row for a matched term is in the broadcast-join output, so no second
+    corpus pass) and ``N`` is the corpus document count — pass ``n_docs``
+    when known (the stored-index path reads it from ``_index_meta.json``);
+    when omitted it costs one ``countDistinct(doc)`` pass over the index,
+    which is exactly what you should NOT do per-query at 100 TB.
     """
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    if scoring not in ("tf", "tfidf"):
+        raise ValueError(f"scoring must be 'tf' or 'tfidf', got {scoring!r}")
     norm, unsat = _normalize_terms(terms)
     q = index.sparkSession.createDataFrame([(t,) for t in norm],
                                            "term string")
-    hits = (index.join(F.broadcast(q), "term")
-            .groupBy("doc")
-            .agg(F.count("*").alias("n_terms_matched"),
-                 F.sum("tf").alias("score")))
+    matched = index.join(F.broadcast(q), "term")
+    if scoring == "tf":
+        hits = (matched.groupBy("doc")
+                .agg(F.count("*").alias("n_terms_matched"),
+                     F.sum("tf").alias("score")))
+    else:
+        dfreq = matched.groupBy("term").agg(
+            F.count_distinct("doc").alias("df"))
+        nd = (int(n_docs) if n_docs is not None
+              else index.select(F.count_distinct("doc")).first()[0])
+        hits = (matched.join(F.broadcast(dfreq), "term")
+                .groupBy("doc")
+                .agg(F.count("*").alias("n_terms_matched"),
+                     F.round(F.sum(F.col("tf")
+                                   * F.log(F.lit(float(nd)) / F.col("df"))),
+                             4).alias("score")))
     if mode == "all":
         hits = hits.filter(F.col("n_terms_matched") == len(norm))
         if unsat or not norm:
@@ -96,11 +124,12 @@ def search_text(index: DataFrame, terms: list[str], mode: str = "any",
 
 def search_documents(df: DataFrame, id_col: str, text_col: str,
                      terms: list[str], mode: str = "any",
-                     limit: int | None = None) -> DataFrame:
+                     limit: int | None = None,
+                     scoring: str = "tf") -> DataFrame:
     """One-shot convenience: build the index in-plan and query it (for ad-hoc
     search; repeated queries should persist ``build_text_index`` output)."""
     return search_text(build_text_index(df, id_col, text_col), terms,
-                       mode=mode, limit=limit)
+                       mode=mode, limit=limit, scoring=scoring)
 
 
 def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
@@ -119,8 +148,11 @@ def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
     (bucketed.repartition(n_buckets, "term_bucket")
      .sortWithinPartitions("term", "doc")
      .write.partitionBy("term_bucket").mode("overwrite").parquet(path))
+    # corpus doc count rides the sidecar so tfidf queries never pay a
+    # full-index countDistinct pass (one extra job HERE, at write time)
+    n_docs = index.select(F.count_distinct("doc")).first()[0]
     with open(os.path.join(path, "_index_meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+        json.dump({"n_buckets": n_buckets, "n_docs": n_docs}, f)
 
 
 def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
@@ -142,9 +174,20 @@ def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
 
 
 def search_text_stored(spark, path: str, terms: list[str], mode: str = "any",
-                       limit: int | None = None) -> DataFrame:
+                       limit: int | None = None,
+                       scoring: str = "tf") -> DataFrame:
     """Term query over a stored term-bucketed index written by
     ``write_text_index`` — identical results to ``search_text`` on the full
-    index, but the scan reads only the probed terms' bucket directories."""
+    index, but the scan reads only the probed terms' bucket directories.
+    ``scoring="tfidf"`` reads the corpus doc count from the index sidecar
+    (the pruned scan can't see other buckets' docs, and counting them would
+    defeat the pruning)."""
+    import json
+    import os
     pruned = probe_index_scan(spark, path, terms).drop("term_bucket")
-    return search_text(pruned, terms, mode=mode, limit=limit)
+    n_docs = None
+    if scoring == "tfidf":
+        with open(os.path.join(path, "_index_meta.json")) as f:
+            n_docs = json.load(f)["n_docs"]
+    return search_text(pruned, terms, mode=mode, limit=limit,
+                       scoring=scoring, n_docs=n_docs)

@@ -645,3 +645,30 @@ def test_simhash_narrow_band_warns(spark):
         warnings.simplefilter("always")
         dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=3)
         assert not any("saturate" in str(x.message) for x in w)
+
+
+def test_search_text_tfidf(spark, tmp_path):
+    """TF-IDF scoring: rarer terms weigh more. 'alpha' appears in 1 of 3
+    docs (idf = ln 3), 'beta' in all 3 (idf = 0) — under tfidf doc 1 must
+    outrank docs that only match the ubiquitous term, and the stored-index
+    path (N from the metadata sidecar) must agree exactly."""
+    import math
+
+    from cdc_core_spark.operators import textsearch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta beta beta"), (3, "beta")],
+        "doc_id long, text string")
+    idx = textsearch.build_text_index(docs, "doc_id", "text")
+    got = {r["doc"]: r["score"] for r in
+           textsearch.search_text(idx, ["alpha", "beta"],
+                                  scoring="tfidf").collect()}
+    assert got[1] == round(1 * math.log(3 / 1) + 1 * math.log(3 / 3), 4)
+    assert got[2] == 0.0 and got[3] == 0.0  # ubiquitous term carries no weight
+
+    path = str(tmp_path / "tsidx")
+    textsearch.write_text_index(idx, path, n_buckets=4)
+    stored = {r["doc"]: r["score"] for r in
+              textsearch.search_text_stored(spark, path, ["alpha", "beta"],
+                                            scoring="tfidf").collect()}
+    assert stored == got
