@@ -13,7 +13,10 @@ two delta bursts.
 
 from __future__ import annotations
 
+import os
 import random
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -51,8 +54,12 @@ def _assert_state(spark, t, model):
     assert got == model
 
 
-def test_randomized_maintenance_interleaving(spark, tmp_path):
-    rng = random.Random(42)
+_SOAK = [int(x) for x in os.environ.get("CDC_MODEL_SEEDS", "").split(",") if x]
+
+
+@pytest.mark.parametrize("seed", [42] + _SOAK)
+def test_randomized_maintenance_interleaving(spark, tmp_path, seed):
+    rng = random.Random(seed)
     t = SnapshotTable.create(str(tmp_path / "t"), FIELDS, ["k"], n_buckets=4)
     model: dict[str, int] = {}
     committed: set[int] = set()
