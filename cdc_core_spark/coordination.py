@@ -34,7 +34,11 @@ import time
 import uuid
 
 
-def _atomic_write_json(path: str, doc: dict) -> None:
+def _atomic_write_json(path: str, doc) -> None:
+    """Temp-file + rename JSON publish — THE single copy of this pattern
+    (lake's snapshot/sidecar/retention-ledger writes import it too); any
+    future hardening (fsync-before-rename, tmp cleanup on exception)
+    belongs here and nowhere else."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -132,11 +136,21 @@ class ProcessLock:
                 ttl = int((holder or {}).get("ttl_ms") or self.ttl_ms)
                 if holder is None or (self.steal_stale and age > ttl):
                     # crashed holder: break the stale lease, retry the
-                    # atomic create once (a concurrent stealer may win it)
-                    try:
-                        os.remove(self.path)
-                    except FileNotFoundError:
-                        pass
+                    # atomic create once (a concurrent stealer may win it).
+                    # Re-read IMMEDIATELY before the remove and require the
+                    # doc to be bit-identical to the one judged stale — a
+                    # holder that renewed in between changed acquired_ms,
+                    # and deleting its fresh lock would leave two live
+                    # holders. POSIX has no compare-and-delete, so a
+                    # microsecond re-read→remove window remains; it is
+                    # backstopped by renew()'s token check (the victim's
+                    # next renew raises) and by the snapshot CAS, which
+                    # arbitrates any double-commit regardless of leases.
+                    if holder is None or self._holder() == holder:
+                        try:
+                            os.remove(self.path)
+                        except FileNotFoundError:
+                            pass
                     if attempt == 0:
                         continue
                 if holder is not None:

@@ -104,11 +104,21 @@ def apply_decision_table_fixpoint(df: DataFrame, rules: list[DecisionRule],
                                   max_passes: int = 10,
                                   fired_col: str | None = None) -> DataFrame:
     """Forward-chain to quiescence: repeat the agenda pass until a pass
-    leaves the table bit-identical (cheap order-insensitive state checksum —
-    one sum-of-hash aggregate per pass, no exceptAll shuffle-join). Raises
-    RuntimeError if ``max_passes`` passes don't converge — silent partial
-    state is worse than failing loudly. ``fired_col`` reflects the LAST
-    pass only (at quiescence that is the stable activation set)."""
+    leaves the table unchanged AS A MULTISET (cheap order-insensitive
+    sum-of-row-hash checksum — one aggregate per pass, no exceptAll
+    shuffle-join). Multiset equality is the right fixpoint notion here:
+    a DataFrame has no row identity, and the pass is a deterministic
+    row-wise function, so a pass-invariant multiset stays invariant under
+    every further pass even if individual tuples exchange states (e.g. two
+    otherwise-identical rows with opposite flags that a rule flips — the
+    relation is stable, and we correctly declare quiescence rather than
+    oscillation). The checksum is probabilistic: two different multisets
+    collide with probability ~2^-64 per comparison (sum of xxhash64) —
+    the standard sketch trade, chosen over an exact exceptAll that would
+    shuffle the full table once per pass. Raises RuntimeError if
+    ``max_passes`` passes don't converge — silent partial state is worse
+    than failing loudly. ``fired_col`` reflects the LAST pass only (at
+    quiescence that is the stable activation set)."""
     in_cols = df.columns
 
     def _crc(d: DataFrame) -> int:

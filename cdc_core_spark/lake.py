@@ -80,6 +80,8 @@ import os
 import shutil
 import tempfile
 import uuid
+
+from cdc_core_spark.coordination import _atomic_write_json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -270,15 +272,9 @@ class SnapshotTable:
             # sidecar first, snapshot rename last — a crash in between
             # leaves an unreferenced sidecar, never a dangling ref
             ref = f"v{snap.version:012d}-files.json"
-            fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                json.dump(snap.files, f)
-            os.rename(tmp, os.path.join(self.log_dir, ref))
+            _atomic_write_json(os.path.join(self.log_dir, ref), snap.files)
             doc["files"] = {"ref": ref, "n": len(snap.files)}
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(doc, f)
-        os.rename(tmp, path)  # atomic publish
+        _atomic_write_json(path, doc)  # atomic publish
         if self._epochs_cache is not None:
             # fold our own commit into the cache incrementally — the hot
             # streaming path never re-reads the snapshot log
@@ -630,24 +626,33 @@ class SnapshotTable:
             dead.update(f["path"] for f in files if f["path"] not in live)
             if ref:
                 sidecars.append(ref)
-        # 1) persist the ledger, 2) delete data files, 3) delete snapshot
-        # docs — ordered so any crash point leaves a rerunnable state
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"epochs": sorted(eps), "manifests": manifests}, f)
-        os.rename(tmp, os.path.join(self.log_dir, "expired-base.json"))
+        # 1) persist the ledger, 2) delete data files, 3) delete each
+        # snapshot DOC then its manifest-list sidecar — doc strictly before
+        # sidecar, because the doc holds the {"ref": ...} pointer: a crash
+        # in between leaves an unreferenced sidecar (harmless debris the
+        # sweep below collects on rerun), never a live doc whose sidecar is
+        # gone (which would wedge every metadata walk with FileNotFoundError)
+        _atomic_write_json(os.path.join(self.log_dir, "expired-base.json"),
+                           {"epochs": sorted(eps), "manifests": manifests})
         for rel in dead:
             try:
                 os.remove(os.path.join(self.root, rel))
             except FileNotFoundError:
                 pass
+        for p in expired:
+            os.remove(p)
         for rel in sidecars:
             try:
                 os.remove(os.path.join(self.log_dir, rel))
             except FileNotFoundError:
                 pass
-        for p in expired:
-            os.remove(p)
+        # sweep sidecars orphaned by a crash inside the loop above (their
+        # doc is gone, so nothing references them and nothing else will
+        # ever delete them)
+        live_docs = {os.path.basename(p) for p in self._snapshot_paths()}
+        for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files.json")):
+            if os.path.basename(abs_sc).replace("-files", "") not in live_docs:
+                os.remove(abs_sc)
         self._epochs_cache = None
         return {"snapshots_removed": len(expired), "files_removed": len(dead)}
 

@@ -272,7 +272,11 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     labels = nodes.select(F.col(node_col).alias("node"),
                           F.col(node_col).alias("label")).localCheckpoint(eager=False)
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1: the budget counts label-CHANGING rounds (= diameter);
+    # fixpoint DETECTION needs one further no-change round, which runs
+    # outside the budget — otherwise a graph converging exactly at round
+    # max_iters would raise on a correct result
+    for _ in range(max_iters + 1):
         # neighbor labels: for each edge dst, the src's current label
         nbr = (sym.join(labels.withColumnRenamed("node", "src"), "src")
                .groupBy(F.col("dst").alias("node"))

@@ -110,9 +110,14 @@ def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
     payload = [c for c in df.columns
                if c not in key_cols and c != deleted_col]
     doc = F.to_json(F.struct(*payload)) if payload else F.lit("{}")
+    # coalesce: a NULL delete flag means "not a delete" — under three-valued
+    # logic an un-coalesced NULL would fail BOTH filter(~_del) and any
+    # filter(_del), so the row would vanish from the replace set while its
+    # key still anti-joined the stored doc away: a silent delete
     incoming = df.select(
         *key_cols, doc.alias("doc"),
-        (F.col(deleted_col) if deleted_col else F.lit(False)).alias("_del"))
+        (F.coalesce(F.col(deleted_col), F.lit(False)) if deleted_col
+         else F.lit(False)).alias("_del"))
 
     tbl = SnapshotTable(root)
     if not tbl.exists():

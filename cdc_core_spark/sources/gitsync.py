@@ -94,7 +94,17 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
         op = _STATUS_OP.get(status[:1])
         if op is None:   # T (typechange) et al.: treat as update
             op = OP_UPDATE
-        rows.append({"op": op, "repo": repo_name, "path": _unquote(path),
+        upath = _unquote(path)
+        if "\n" in upath:
+            # `cat-file --batch` input is newline-delimited and this git
+            # (< 2.42) has no -Z mode, so a decoded newline would split one
+            # hydration query into two bogus ones and desync the stream —
+            # fail loudly at LISTING time, before any event is emitted
+            raise ValueError(
+                f"git path {path!r} in commit {commit} contains a newline; "
+                "the cat-file batch protocol cannot query it (needs git >= "
+                "2.42 -Z) — rename the file or exclude it upstream")
+        rows.append({"op": op, "repo": repo_name, "path": upath,
                      "commit": commit, "rev": rev, "op_ts": ts,
                      "event_seq": seq})
         seq += 1

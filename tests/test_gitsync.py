@@ -158,3 +158,25 @@ def test_merge_commits_and_conflict_resolutions_replay_to_head(
     assert set(got) == set(head_files) == {"f.txt", "only_feat.txt"}
     assert got["f.txt"] == "resolved\n"      # the evil-merge resolution
     assert got["only_feat.txt"] == "side\n"  # side-branch work via merge
+
+
+def test_newline_path_rejected_at_listing(spark, tmp_path):
+    """git permits a committed path containing a newline, but this git's
+    cat-file batch protocol (< 2.42, no -Z) cannot query it — the listing
+    must fail loudly BEFORE emitting events, not desync hydration later."""
+    import pytest
+
+    import subprocess
+
+    repo = str(tmp_path / "nl")
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    with open(os.path.join(repo, "a\nb.txt"), "w") as f:
+        f.write("x")
+    env = {**os.environ,
+           "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"}
+    subprocess.run(["git", "-C", repo, "add", "-A"], check=True, env=env)
+    subprocess.run(["git", "-C", repo, "commit", "-qm", "c"],
+                   check=True, env=env)
+    with pytest.raises(ValueError, match="newline"):
+        gitsync.list_change_events(repo, "org/nl")

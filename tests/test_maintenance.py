@@ -427,3 +427,36 @@ def test_expire_snapshots_crash_rerun_keeps_manifests_unique(
                  for m in fresh.all_manifests())
     assert got == want              # no duplicates, nothing lost
     assert fresh.committed_epochs() == t.committed_epochs()
+
+
+def test_expire_sweeps_orphaned_sidecars_and_never_dangles_refs(
+        spark, t1, registry, tmp_path):
+    """Deletion order inside expire_snapshots is doc-then-sidecar: a crash
+    between the two leaves an unreferenced sidecar (harmless, swept by the
+    next expire), never a live doc whose manifest-list file is gone (which
+    would wedge every metadata walk). Simulate the crash debris directly."""
+    import json as _json
+
+    from cdc_core_spark.lake import SnapshotTable
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    t = eng.table
+
+    # crash debris: a sidecar whose snapshot doc no longer exists
+    stray = os.path.join(t.log_dir, "v000000000099-files.json")
+    with open(stray, "w") as f:
+        _json.dump([], f)
+
+    # every metadata walk must shrug the orphan off ...
+    t2 = SnapshotTable(t.root)
+    t2.read(spark).count()
+    t2.block_deltas()
+    t2.remove_orphan_files(grace_s=0, dry_run=True)
+    # ... and retention sweeps it
+    t2.expire_snapshots(keep_last=1)
+    assert not os.path.exists(stray)
+    # retained snapshots' sidecars (if any) still resolve
+    for p in t2._snapshot_paths():
+        t2._doc_files(t2._load_snapshot_doc(p))

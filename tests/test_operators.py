@@ -672,3 +672,20 @@ def test_search_text_tfidf(spark, tmp_path):
               textsearch.search_text_stored(spark, path, ["alpha", "beta"],
                                             scoring="tfidf").collect()}
     assert stored == got
+
+
+def test_connected_components_converges_exactly_at_diameter(spark):
+    """max_iters counts label-CHANGING rounds (= diameter); the no-change
+    confirmation round runs outside the budget, so a path graph whose
+    propagation needs exactly max_iters rounds must succeed, and one round
+    fewer must raise."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc long")
+    got = {r["doc"]: r["cluster_id"] for r in
+           dedup.connected_components(pairs, nodes, max_iters=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, nodes, max_iters=2)

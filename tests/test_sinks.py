@@ -278,3 +278,24 @@ def test_docstore_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         docstore.find_document(spark, root, {"repo": "r7", "path": "p7.py"}),
         "content string").first()
     assert got["content"] == "body-7b"
+
+
+def test_docstore_null_delete_flag_is_not_a_delete(spark, tmp_path):
+    """A NULL value in deleted_col means 'not a delete' — under three-valued
+    logic an un-coalesced NULL would vanish from the replace set while its
+    key still anti-joined the stored doc away: a silent delete."""
+    from cdc_core_spark.sinks import docstore
+
+    root = str(tmp_path / "docs")
+    docstore.upsert_documents(
+        spark.createDataFrame([("r1", "a.py", "v1")],
+                              "repo string, path string, content string"),
+        root, ["repo", "path"])
+    batch = spark.createDataFrame(
+        [("r1", "a.py", "v2", None)],
+        "repo string, path string, content string, deleted boolean")
+    docstore.upsert_documents(batch, root, ["repo", "path"],
+                              deleted_col="deleted")
+    rows = docstore.read_documents(spark, root).collect()
+    assert len(rows) == 1
+    assert '"content":"v2"' in rows[0]["doc"].replace(" ", "")
