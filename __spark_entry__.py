@@ -725,6 +725,18 @@ def q_text_search(spark, sf_dir):
     return tf_r.unionByName(tfidf_r)
 
 
+def q_text_search_bench(spark, sf_dir):
+    """Bench-only single-contract search: the GATE query above runs both
+    scoring contracts for oracle coverage; a user runs one query with one
+    scoring, and that is the wall time bench.py reports (same convention
+    as every other bench entry — pure operator, no verification overhead).
+    Not registered in queries()."""
+    from cdc_core_spark.operators import textsearch as ts
+    d = _t(spark, sf_dir, "documents")
+    idx = ts.build_text_index(d, "doc_id", "text")
+    return ts.search_text(idx, ["merge", "stream", "vector"], mode="any")
+
+
 # ---------------------------------------------------------------------------
 # transform / mapping / checksum (SURVEY §2.3)
 # ---------------------------------------------------------------------------

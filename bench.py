@@ -55,7 +55,7 @@ HEADLINE_QUERIES = [
     ("cube", "q_cube"),
     ("rules_pipeline", "q_rules_pipeline"),
     ("decision_table", "q_decision_table"),
-    ("text_search", "q_text_search"),
+    ("text_search", "q_text_search_bench"),
     ("dedup_exact", "q_dedup_exact"),
     ("minhash_near_dupes", "q_minhash_near_dupes"),
     ("text_stats", "q_text_stats"),
