@@ -134,7 +134,16 @@ class ProcessLock:
                 # lease term it promised to renew within — not the would-be
                 # stealer's own setting
                 ttl = int((holder or {}).get("ttl_ms") or self.ttl_ms)
-                if holder is None or (self.steal_stale and age > ttl):
+                if holder is None:
+                    # unreadable/vanished lock: either a racing steal's
+                    # remove→create window or another acquirer mid-initial-
+                    # write. NEVER remove here — the file may be a LIVE lock
+                    # we simply couldn't read; just retry the O_EXCL create
+                    # (if the racer won, attempt 1 reads its doc and raises)
+                    if attempt == 0:
+                        continue
+                    raise LockHeldError(self.path, {})
+                if self.steal_stale and age > ttl:
                     # crashed holder: break the stale lease, retry the
                     # atomic create once (a concurrent stealer may win it).
                     # Re-read IMMEDIATELY before the remove and require the
@@ -146,7 +155,7 @@ class ProcessLock:
                     # backstopped by renew()'s token check (the victim's
                     # next renew raises) and by the snapshot CAS, which
                     # arbitrates any double-commit regardless of leases.
-                    if holder is None or self._holder() == holder:
+                    if self._holder() == holder:
                         try:
                             os.remove(self.path)
                         except FileNotFoundError:

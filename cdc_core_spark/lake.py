@@ -597,6 +597,14 @@ class SnapshotTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         paths = self._snapshot_paths()
+        # sweep sidecars orphaned by a previous run's crash between its
+        # doc-delete and sidecar-delete loops — BEFORE the no-work early
+        # return, because exactly that rerun usually has nothing left to
+        # expire (the crashed run already deleted the docs)
+        live_docs = {os.path.basename(p) for p in paths}
+        for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files.json")):
+            if os.path.basename(abs_sc).replace("-files", "") not in live_docs:
+                os.remove(abs_sc)
         expired, retained = paths[:-keep_last], paths[-keep_last:]
         if not expired:
             return {"snapshots_removed": 0, "files_removed": 0}
@@ -646,13 +654,8 @@ class SnapshotTable:
                 os.remove(os.path.join(self.log_dir, rel))
             except FileNotFoundError:
                 pass
-        # sweep sidecars orphaned by a crash inside the loop above (their
-        # doc is gone, so nothing references them and nothing else will
-        # ever delete them)
-        live_docs = {os.path.basename(p) for p in self._snapshot_paths()}
-        for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files.json")):
-            if os.path.basename(abs_sc).replace("-files", "") not in live_docs:
-                os.remove(abs_sc)
+        # (a crash between the doc loop and the sidecar loop leaves orphan
+        # sidecars; the entry sweep above collects them on the next call)
         self._epochs_cache = None
         return {"snapshots_removed": len(expired), "files_removed": len(dead)}
 

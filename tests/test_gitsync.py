@@ -166,8 +166,6 @@ def test_newline_path_rejected_at_listing(spark, tmp_path):
     must fail loudly BEFORE emitting events, not desync hydration later."""
     import pytest
 
-    import subprocess
-
     repo = str(tmp_path / "nl")
     subprocess.run(["git", "init", "-q", repo], check=True)
     with open(os.path.join(repo, "a\nb.txt"), "w") as f:

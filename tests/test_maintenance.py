@@ -460,3 +460,12 @@ def test_expire_sweeps_orphaned_sidecars_and_never_dangles_refs(
     # retained snapshots' sidecars (if any) still resolve
     for p in t2._snapshot_paths():
         t2._doc_files(t2._load_snapshot_doc(p))
+
+    # the crash-rerun shape specifically: debris exists but there is
+    # NOTHING left to expire — the sweep must run before the no-work
+    # early return, or the orphan leaks forever
+    with open(stray, "w") as f:
+        _json.dump([], f)
+    out = t2.expire_snapshots(keep_last=1)
+    assert out["snapshots_removed"] == 0
+    assert not os.path.exists(stray)

@@ -679,8 +679,6 @@ def test_connected_components_converges_exactly_at_diameter(spark):
     confirmation round runs outside the budget, so a path graph whose
     propagation needs exactly max_iters rounds must succeed, and one round
     fewer must raise."""
-    import pytest
-
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc long")
