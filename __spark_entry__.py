@@ -867,10 +867,25 @@ def q_scalar_transformers(spark, sf_dir):
 
 
 def q_checksum(spark, sf_dir):
-    """Per-row sha256 content checksum — the engine's correctness invariant
-    (ChecksumUtils.computeSHA256 analog)."""
+    """Integrity + crypto utility surface in one pass (the reference's
+    sibling utils ChecksumUtils + CypherUtils): per-row sha256 content
+    checksum (the engine's correctness invariant), Base64(MD5) key-hash
+    fingerprint (CypherUtils.getHash), and the AES/CBC/PKCS field-encrypt →
+    decrypt roundtrip. DuckDB has no AES, so the oracle checks the
+    roundtrip IDENTITY (decrypted == original), the deterministic
+    ciphertext length closed form (IV || C ⇒ 16 + 16·(⌊bytes/16⌋+1)), and
+    recomputes the two hashes exactly."""
+    from cdc_core_spark.functions import crypto
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.sha2("text", 256).alias("text_sha256"))
+    key = crypto.derive_key("correct horse battery staple", "docs")
+    enc = crypto.encrypt_field("text", key, "0123456789abcdef")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_sha256"),
+        crypto.key_hash("text").alias("text_md5_b64"),
+        F.octet_length(F.unbase64(enc)).cast("bigint").alias("cipher_len"),
+        crypto.decrypt_field(enc, key).alias("roundtrip"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1621,7 +1636,16 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS o_totalprice
             FROM orders
         """,
-        "checksum": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
+        "checksum": """
+            SELECT doc_id, sha256(text) AS text_sha256,
+                   to_base64(from_hex(md5(text))) AS text_md5_b64,
+                   -- Spark AES-CBC output is IV || ciphertext with PKCS
+                   -- padding: 16 + 16*(floor(bytes/16)+1), a closed form
+                   CAST(16 + 16 * (octet_length(encode(text)) // 16 + 1) AS BIGINT)
+                       AS cipher_len,
+                   text AS roundtrip
+            FROM documents
+        """,
         "reader_csv_json": """
             SELECT 'csv' AS fmt, p_partkey, p_name, p_brand, p_type, p_size,
                    round(p_retailprice, 2) AS p_retailprice FROM part

@@ -204,3 +204,56 @@ def test_compile_mapping_conflicting_targets_raise(spark):
     with pytest.raises(ValueError, match="conflicting mapping targets"):
         compile_mapping(df, [{"target": "a.b", "source": "y"},
                              {"target": "a", "source": "x"}])
+
+
+def test_crypto_field_roundtrip_and_key_rules(spark):
+    """CypherUtils parity: AES/CBC/PKCS roundtrip (unicode + empty +
+    block-boundary strings), deterministic fixed-IV ciphertexts, Base64(MD5)
+    key hash, checkPassword key-derivation truncation, wrong-key behavior."""
+    import pytest
+
+    from cdc_core_spark.functions import crypto
+
+    # key derivation mirrors checkPassword's strictly-greater thresholds:
+    # 43 bytes -> 32; 28 -> 24; 23 -> 16; and the reference quirk that an
+    # exactly-32-byte input truncates to 24
+    assert len(crypto.derive_key("p" * 40, "n").encode()) == 32
+    assert len(crypto.derive_key("p" * 25, "n").encode()) == 24
+    assert len(crypto.derive_key("p" * 20, "n").encode()) == 16
+    assert len(crypto.derive_key("p" * 29, "n").encode()) == 24  # 32 -> 24
+    assert len(crypto.derive_key("p" * 13, "n").encode()) == 16  # exactly 16
+    with pytest.raises(ValueError, match="16 bytes"):
+        crypto.derive_key("short", "n")
+    with pytest.raises(ValueError, match="IV"):
+        crypto.format_iv("tooshort")
+
+    key = crypto.derive_key("correct horse battery staple", "t")
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, ""), (3, "x" * 32), (4, "a")],
+        "id long, t string")
+    enc = crypto.encrypt_field("t", key, "0123456789abcdef")
+    out = df.select("id", "t", enc.alias("c"),
+                    crypto.decrypt_field(enc, key).alias("rt")).collect()
+    for r in out:
+        assert r["rt"] == r["t"]
+    # deterministic: re-encrypting yields the identical ciphertext
+    again = {r["id"]: r["c"] for r in
+             df.select("id", enc.alias("c")).collect()}
+    assert again == {r["id"]: r["c"] for r in out}
+
+    # wrong key: strict decrypt raises, try_ variant yields NULL rows
+    wrong = crypto.derive_key("another password here!", "t")
+    ct = df.select(enc.alias("c"))
+    with pytest.raises(Exception):
+        ct.select(crypto.decrypt_field("c", wrong)).collect()
+    nulls = ct.select(crypto.try_decrypt_field("c", wrong).alias("d")).collect()
+    assert all(r["d"] is None for r in nulls)
+
+    # key hash: Base64 of the RAW md5 digest, cross-checked in python
+    import base64
+    import hashlib
+    got = df.select("t", crypto.key_hash("t").alias("h")).collect()
+    for r in got:
+        want = base64.b64encode(
+            hashlib.md5(r["t"].encode()).digest()).decode()
+        assert r["h"] == want
