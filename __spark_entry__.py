@@ -863,6 +863,14 @@ def q_scalar_transformers(spark, sf_dir):
         F.date_format(T.epoch_days_to_date(epoch_days),
                       "yyyy-MM-dd").alias("date_rt"),
         F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        # UnitsParser analog: synthesize "<n> <unit>" strings covering bare
+        # bytes + mixed-case units, parse back to bytes
+        T.data_size(F.concat(
+            (F.col("o_orderkey") % 977).cast("string"), F.lit(" "),
+            F.element_at(F.array(F.lit(""), F.lit("KB"), F.lit("mb"),
+                                 F.lit("G"), F.lit("TB")),
+                         (F.col("o_orderkey") % 5 + 1).cast("int")),
+        )).alias("size_bytes"),
     )
 
 
@@ -1633,7 +1641,12 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS price_reparsed,
                    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_days,
                    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_rt,
-                   round(o_totalprice, 2) AS o_totalprice
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST((o_orderkey % 977) *
+                        CASE o_orderkey % 5 WHEN 0 THEN 1
+                             WHEN 1 THEN 1024 WHEN 2 THEN 1048576
+                             WHEN 3 THEN 1073741824
+                             ELSE 1099511627776 END AS BIGINT) AS size_bytes
             FROM orders
         """,
         "checksum": """

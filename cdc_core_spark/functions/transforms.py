@@ -101,3 +101,26 @@ def decision_tree(branches: list[tuple[str, object]], default=None) -> Column:
         expr = F.when(F.expr(pred), v) if expr is None else expr.when(F.expr(pred), v)
     d = default if isinstance(default, Column) else F.lit(default)
     return expr.otherwise(d) if expr is not None else d
+
+
+def data_size(col) -> Column:
+    """UnitsParser analog (common/.../utils/UnitsParser.java:39-75,
+    ``parse`` regex + ``dataSize`` unit table): ``"<int> <unit>"`` →
+    bytes as bigint; units K/KB, M/MB, G/GB, T/TB case-insensitive,
+    optional whitespace, bare integers = bytes; unparseable / unknown
+    unit → null. Pure built-ins (regexp_extract + CASE), codegen-folded.
+
+    Two DOCUMENTED divergences from the reference, both on inputs it
+    mishandles: (1) its TB branch multiplies 1024^3 — identical to GB, an
+    apparent copy-paste slip (UnitsParser.java:71-74) — we use 1024^4;
+    (2) its ``(\\d*)(\\w+)`` regex tokenizes a bare "512" as value=51 +
+    unit="2" and returns -1 — we parse plain integers as bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    num = F.regexp_extract(c, r"^\s*(\d+)\s*([A-Za-z]*)\s*$", 1)
+    unit = F.upper(F.regexp_extract(c, r"^\s*(\d+)\s*([A-Za-z]*)\s*$", 2))
+    mult = (F.when(unit == "", F.lit(1))
+            .when(unit.isin("K", "KB"), F.lit(1024))
+            .when(unit.isin("M", "MB"), F.lit(1024 ** 2))
+            .when(unit.isin("G", "GB"), F.lit(1024 ** 3))
+            .when(unit.isin("T", "TB"), F.lit(1024 ** 4)))
+    return F.when(num != "", num.cast("bigint") * mult).cast("bigint")

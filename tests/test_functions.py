@@ -257,3 +257,25 @@ def test_crypto_field_roundtrip_and_key_rules(spark):
         want = base64.b64encode(
             hashlib.md5(r["t"].encode()).digest()).decode()
         assert r["h"] == want
+
+
+def test_data_size_units(spark):
+    """UnitsParser analog: unit table, case-insensitivity, bare bytes,
+    nulls for garbage/unknown units; documented divergences (TB = 1024^4,
+    bare integers parse) covered explicitly."""
+    from cdc_core_spark.functions import transforms as T
+
+    rows = [(1, "512 MB"), (2, "2kb"), (3, "3 G"), (4, "1 TB"), (5, "123"),
+            (6, "1.5 MB"), (7, "12 XB"), (8, ""), (9, None), (10, " 7 k ")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r["id"]: r["b"] for r in
+           df.select("id", T.data_size("s").alias("b")).collect()}
+    assert got[1] == 512 * 1024 ** 2
+    assert got[2] == 2 * 1024
+    assert got[3] == 3 * 1024 ** 3
+    assert got[4] == 1024 ** 4          # divergence: reference TB == GB bug
+    assert got[5] == 123                # divergence: reference regex chokes
+    assert got[6] is None               # reference regex has no decimals
+    assert got[7] is None               # unknown unit
+    assert got[8] is None and got[9] is None
+    assert got[10] == 7 * 1024
