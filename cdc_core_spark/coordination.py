@@ -135,11 +135,26 @@ class ProcessLock:
                 # stealer's own setting
                 ttl = int((holder or {}).get("ttl_ms") or self.ttl_ms)
                 if holder is None:
-                    # unreadable/vanished lock: either a racing steal's
-                    # remove→create window or another acquirer mid-initial-
-                    # write. NEVER remove here — the file may be a LIVE lock
-                    # we simply couldn't read; just retry the O_EXCL create
-                    # (if the racer won, attempt 1 reads its doc and raises)
+                    # unreadable/vanished lock: a racing steal's remove→
+                    # create window, another acquirer mid-initial-write, or
+                    # a writer that CRASHED mid-initial-write (empty/torn
+                    # doc left behind forever). The doc carries no readable
+                    # acquired_ms, so judge staleness by file mtime: a
+                    # fresh mtime means a live racer (retry, fail closed);
+                    # an mtime older than our own ttl means nobody is
+                    # mid-write — remove the husk or every future acquire
+                    # would raise LockHeldError until manual cleanup
+                    try:
+                        mtime_ms = int(os.stat(self.path).st_mtime * 1000)
+                    except FileNotFoundError:
+                        if attempt == 0:
+                            continue  # racer's window — retry the create
+                        raise LockHeldError(self.path, {})
+                    if self.steal_stale and now - mtime_ms > self.ttl_ms:
+                        try:
+                            os.remove(self.path)
+                        except FileNotFoundError:
+                            pass
                     if attempt == 0:
                         continue
                     raise LockHeldError(self.path, {})

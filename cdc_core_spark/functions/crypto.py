@@ -26,15 +26,18 @@ from pyspark.sql import functions as F
 _AES_KEY_LENGTHS = (32, 24, 16)
 
 
-def derive_key(password: str, name: str) -> str:
+def derive_key(password: str, name: str) -> bytes:
     """``CypherUtils.checkPassword`` (:58-73): key material is
     ``"{name}--{password}"``; under 16 bytes is an error, and longer keys
     truncate with the reference's STRICTLY-GREATER thresholds — ``>32 → 32,
-    >24 → 24, >16 → 16`` — reproduced exactly, including the quirk that an
-    exactly-32-byte input truncates to 24 (AES-192) rather than staying
-    AES-256, because ciphertexts must interoperate with the reference.
-    Byte-truncation on the UTF-8 encoding, like the Java original's
-    substring-on-bytes intent."""
+    >24 → 24, >16 → 16`` — including the quirk that an exactly-32-byte
+    input truncates to 24 (AES-192) rather than staying AES-256, because
+    ciphertexts must interoperate with the reference.
+
+    Returns BYTES, truncated on the UTF-8 encoding: AES demands exactly
+    16/24/32 KEY BYTES, and a multi-byte character split by the cut must
+    stay as its leading bytes — decoding back to str would drop the
+    fragment and hand AES a 30-byte key it rejects at runtime."""
     raw = f"{name}--{password}".encode("utf-8")
     if len(raw) < 16:
         raise ValueError(
@@ -42,46 +45,55 @@ def derive_key(password: str, name: str) -> str:
             f"(expected lengths 16/24/32), got {len(raw)}")
     for n in _AES_KEY_LENGTHS:
         if len(raw) > n:
-            return raw[:n].decode("utf-8", errors="ignore")
-    return raw.decode("utf-8", errors="ignore")  # exactly 16
+            return raw[:n]
+    return raw  # exactly 16
 
 
-def format_iv(iv: str) -> str:
-    """``CypherUtils.formatIvString`` (:75-85): exactly 16 bytes — longer
-    IVs truncate, shorter raise."""
-    raw = iv.encode("utf-8")
+def format_iv(iv: str | bytes) -> bytes:
+    """``CypherUtils.formatIvString`` (:75-85): exactly 16 BYTES — longer
+    IVs truncate (on bytes, see :func:`derive_key`), shorter raise."""
+    raw = iv if isinstance(iv, bytes) else iv.encode("utf-8")
     if len(raw) < 16:
         raise ValueError(f"IV must be at least 16 bytes, got {len(raw)}")
-    return raw[:16].decode("utf-8", errors="ignore")
+    return raw[:16]
 
 
-def encrypt_field(col, key: str, iv: str) -> Column:
+def _key_bytes(key: str | bytes) -> bytes:
+    raw = key if isinstance(key, bytes) else key.encode("utf-8")
+    if len(raw) not in _AES_KEY_LENGTHS:
+        raise ValueError(
+            f"AES key must be 16/24/32 bytes, got {len(raw)} — derive it "
+            "with derive_key()")
+    return raw
+
+
+def encrypt_field(col, key: str | bytes, iv: str | bytes) -> Column:
     """AES/CBC/PKCS-encrypt a string column → Base64 string (the
     ``encryptAsString`` form CypherUtils returns). Deterministic: the
     explicit IV is the reference's fixed-IV contract — same input, same
     ciphertext, so encrypted columns stay joinable/groupable. Use a
     per-dataset random IV where that linkability is itself a leak."""
     c = F.aes_encrypt(F.col(col) if isinstance(col, str) else col,
-                      F.lit(key), F.lit("CBC"), F.lit("PKCS"),
-                      F.lit(format_iv(iv).encode("utf-8")))
+                      F.lit(_key_bytes(key)), F.lit("CBC"), F.lit("PKCS"),
+                      F.lit(format_iv(iv)))
     return F.base64(c)
 
 
-def decrypt_field(col, key: str) -> Column:
+def decrypt_field(col, key: str | bytes) -> Column:
     """Inverse of :func:`encrypt_field` (Base64 → AES/CBC/PKCS decrypt →
     string). The IV rides the ciphertext (Spark's IV || C layout), so only
     the key is needed."""
     c = F.unbase64(F.col(col) if isinstance(col, str) else col)
-    return F.aes_decrypt(c, F.lit(key), F.lit("CBC"), F.lit("PKCS")) \
-        .cast("string")
+    return F.aes_decrypt(c, F.lit(_key_bytes(key)), F.lit("CBC"),
+                         F.lit("PKCS")).cast("string")
 
 
-def try_decrypt_field(col, key: str) -> Column:
+def try_decrypt_field(col, key: str | bytes) -> Column:
     """NULL-on-failure variant (wrong key / corrupt ciphertext) — the
     quarantine-friendly form for DLQ routing instead of a failed job."""
     c = F.unbase64(F.col(col) if isinstance(col, str) else col)
-    return F.try_aes_decrypt(c, F.lit(key), F.lit("CBC"), F.lit("PKCS")) \
-        .cast("string")
+    return F.try_aes_decrypt(c, F.lit(_key_bytes(key)), F.lit("CBC"),
+                             F.lit("PKCS")).cast("string")
 
 
 def key_hash(col) -> Column:

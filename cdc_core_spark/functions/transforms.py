@@ -123,4 +123,9 @@ def data_size(col) -> Column:
             .when(unit.isin("M", "MB"), F.lit(1024 ** 2))
             .when(unit.isin("G", "GB"), F.lit(1024 ** 3))
             .when(unit.isin("T", "TB"), F.lit(1024 ** 4)))
-    return F.when(num != "", num.cast("bigint") * mult).cast("bigint")
+    # try_cast/try_multiply, NOT cast/*: Spark 4 runs ANSI mode, where a
+    # single out-of-range row ('9' * 20, '9000000000 TB') would CRASH the
+    # job instead of honoring the null-on-unparseable contract
+    val = num.try_cast("bigint")
+    return (F.when(num != "", F.try_multiply(val, mult.cast("bigint")))
+            .cast("bigint"))

@@ -102,3 +102,33 @@ def test_renew_and_release_respect_stolen_lease(tmp_path):
     c.release()                            # still thinks it holds — stolen
     assert json.load(open(d.path))["owner"] == "d"
     d.release()
+
+
+def test_unreadable_lock_husk_is_stealable_by_mtime(tmp_path):
+    """A writer killed mid-initial-write leaves an empty/torn _lock.json
+    with no readable doc. A fresh husk must fail closed (a racer may be
+    mid-write), but once its mtime is older than the ttl it must be
+    stolen — otherwise every future acquire raises until manual cleanup."""
+    import os
+    import time
+
+    import pytest
+
+    from cdc_core_spark.coordination import LockHeldError, ProcessLock
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    husk = os.path.join(root, "_lock.json")
+    with open(husk, "w") as f:
+        f.write("{\"truncat")          # torn doc: json.load fails
+
+    # fresh husk: fail closed
+    with pytest.raises(LockHeldError):
+        ProcessLock(root, ttl_ms=60_000).acquire()
+
+    # stale husk (mtime pushed past ttl): steal succeeds
+    old = time.time() - 120
+    os.utime(husk, (old, old))
+    lock = ProcessLock(root, ttl_ms=60_000).acquire()
+    assert lock._held
+    lock.release()

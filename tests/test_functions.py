@@ -216,12 +216,16 @@ def test_crypto_field_roundtrip_and_key_rules(spark):
 
     # key derivation mirrors checkPassword's strictly-greater thresholds:
     # 43 bytes -> 32; 28 -> 24; 23 -> 16; and the reference quirk that an
-    # exactly-32-byte input truncates to 24
-    assert len(crypto.derive_key("p" * 40, "n").encode()) == 32
-    assert len(crypto.derive_key("p" * 25, "n").encode()) == 24
-    assert len(crypto.derive_key("p" * 20, "n").encode()) == 16
-    assert len(crypto.derive_key("p" * 29, "n").encode()) == 24  # 32 -> 24
-    assert len(crypto.derive_key("p" * 13, "n").encode()) == 16  # exactly 16
+    # exactly-32-byte input truncates to 24. Keys are BYTES — a multi-byte
+    # char split by the cut keeps its leading bytes so AES always sees a
+    # legal 16/24/32-byte key
+    assert len(crypto.derive_key("p" * 40, "n")) == 32
+    assert len(crypto.derive_key("p" * 25, "n")) == 24
+    assert len(crypto.derive_key("p" * 20, "n")) == 16
+    assert len(crypto.derive_key("p" * 29, "n")) == 24  # 32 -> 24
+    assert len(crypto.derive_key("p" * 13, "n")) == 16  # exactly 16
+    assert len(crypto.derive_key("\u65e5\u672c\u8a9e\u306e\u30d1\u30b9\u30ef\u30fc\u30c9\u3067\u3059\u3088", "n")) == 32
+    assert len(crypto.format_iv("\u20ac" * 6)) == 16  # 18 raw bytes -> 16
     with pytest.raises(ValueError, match="16 bytes"):
         crypto.derive_key("short", "n")
     with pytest.raises(ValueError, match="IV"):
@@ -279,3 +283,27 @@ def test_data_size_units(spark):
     assert got[7] is None               # unknown unit
     assert got[8] is None and got[9] is None
     assert got[10] == 7 * 1024
+
+
+def test_crypto_multibyte_password_encrypts(spark):
+    """A password whose UTF-8 truncation splits a multi-byte char must still
+    yield a legal AES key (bytes, not a decode-ignore string) and roundtrip."""
+    from cdc_core_spark.functions import crypto
+
+    key = crypto.derive_key("日本語のパスワードですよだからね", "n")
+    df = spark.createDataFrame([("secret",)], "t string")
+    enc = crypto.encrypt_field("t", key, "€€€€€€")  # 18-byte IV -> 16
+    r = df.select(crypto.decrypt_field(enc, key).alias("rt")).collect()[0]
+    assert r["rt"] == "secret"
+
+
+def test_data_size_ansi_overflow_is_null(spark):
+    """ANSI mode must not crash the job: out-of-range numbers and
+    overflowing unit multiplies yield null, per the contract."""
+    from cdc_core_spark.functions import transforms as T
+
+    df = spark.createDataFrame(
+        [(1, "9" * 20), (2, "9000000000 TB"), (3, "1 KB")], "id long, s string")
+    got = {r["id"]: r["b"] for r in
+           df.select("id", T.data_size("s").alias("b")).collect()}
+    assert got[1] is None and got[2] is None and got[3] == 1024
