@@ -39,7 +39,7 @@ LAZY_QUERIES = [
     "pricing_summary", "revenue_by_nation", "topk_orders", "search_q",
     "point_lookup", "anti_semi_setops", "setop_except", "grouping_sets",
     "json_extract", "dedup_exact", "text_stats", "fingerprint",
-    "chunk_text", "ann_cosine_topk",
+    "chunk_text", "ann_cosine_topk", "checksum",
 ]
 
 
@@ -123,3 +123,30 @@ def test_epoch_scan_is_partition_pruned(spark, t1):
              pruned.select(F.input_file_name()).distinct().collect()}
     assert files and all(
         "checkpoint_epoch=2" in f or "checkpoint_epoch=3" in f for f in files)
+
+
+def test_text_search_query_side_broadcasts(spark):
+    """The term list is a literal handful: the index join must broadcast it
+    (no shuffle of the corpus-sized index for a 3-term query) and the
+    relevance ranking must stay a TakeOrdered-able sort, with TF-IDF's
+    df join ALSO broadcast."""
+    from cdc_core_spark.operators import textsearch as ts
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    idx = ts.build_text_index(d, "doc_id", "text")
+    for scoring in ("tf", "tfidf"):
+        p = plan(ts.search_text(idx, ["merge", "stream"], scoring=scoring))
+        assert "BroadcastHashJoin" in p, scoring
+        assert "CartesianProduct" not in p, scoring
+        assert "BatchEvalPython" not in p, scoring
+
+
+def test_crypto_expressions_stay_jvm_side(spark):
+    """aes_encrypt/aes_decrypt are built-in JVM expressions — the checksum
+    gate plan must contain no Python evaluation and keep the scan pruned to
+    the two referenced columns."""
+    import __spark_entry__ as e
+    p = plan(e.queries()["checksum"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "aesEncrypt" in p and "aesDecrypt" in p  # JVM built-in expressions
+    # scan pruned to exactly the two referenced columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
