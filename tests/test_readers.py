@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cdc_core_spark.sources import readers
 
 ROWS = [
@@ -183,3 +185,46 @@ def test_xlsx_no_workbook_fallback_index_out_of_range(tmp_path):
     assert readers._parse_xlsx(str(p), sheet=0)  # fallback still resolves
     with pytest.raises(ValueError, match="out of range"):
         readers._parse_xlsx(str(p), sheet=5)
+
+
+def test_archive_scan_zip_and_tar_members(spark, tmp_path):
+    """ZipUtils-analog bundle ingest: zip and tar.gz archives shredded into
+    (archive, member, size, content) rows distributed via binaryFile +
+    mapInArrow — binary-safe content, member_pattern pushdown, directory
+    entries skipped."""
+    import io
+    import tarfile
+    import zipfile
+
+    from cdc_core_spark.sources.archive import read_archive_members
+
+    d = tmp_path / "bundles"
+    d.mkdir()
+    with zipfile.ZipFile(d / "b1.zip", "w") as zf:
+        zf.writestr("data/a.jsonl", '{"x": 1}\n')
+        zf.writestr("data/bin.dat", bytes(range(256)))   # binary-safe
+        zf.writestr("MANIFEST.txt", "junk")
+        zf.writestr("data/", "")                          # dir entry
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        payload = b'{"x": 2}\n'
+        info = tarfile.TarInfo("data/c.jsonl")
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    (d / "b2.tar.gz").write_bytes(buf.getvalue())
+
+    rows = {(r["archive"], r["member"]): r for r in
+            read_archive_members(spark, str(d)).collect()}
+    assert set(rows) == {("b1.zip", "data/a.jsonl"), ("b1.zip", "data/bin.dat"),
+                         ("b1.zip", "MANIFEST.txt"), ("b2.tar.gz", "data/c.jsonl")}
+    assert bytes(rows[("b1.zip", "data/bin.dat")]["content"]) == bytes(range(256))
+    assert rows[("b2.tar.gz", "data/c.jsonl")]["size_bytes"] == 9
+
+    # member_pattern filters inside the extractor
+    only = read_archive_members(spark, str(d), member_pattern="data/*.jsonl")
+    assert {r["member"] for r in only.collect()} == {"data/a.jsonl",
+                                                     "data/c.jsonl"}
+    # members flow straight into the JSON parse path
+    parsed = only.select(F.from_json(F.decode("content", "utf-8"),
+                                     "x int").alias("r")).select("r.x")
+    assert sorted(r["x"] for r in parsed.collect()) == [1, 2]
