@@ -687,3 +687,51 @@ def test_connected_components_converges_exactly_at_diameter(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, nodes, max_iters=2)
+
+
+def test_search_text_randomized_vs_python_model(spark):
+    """Randomized model check: for random corpora and random queries, both
+    scoring contracts and both modes must equal a pure-Python evaluation
+    of the same spec (tokenize -> tf -> df -> score -> rank)."""
+    import math
+    import random
+    import re as _re
+
+    from cdc_core_spark.operators import textsearch
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "e-mail", "Zero9", "the"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = textsearch.build_text_index(df, "doc_id", "text")
+
+    def toks(s):
+        return _re.sub(r"[^a-z0-9\s]", " ", s.lower()).split()
+
+    corpus = {i: toks(t) for i, t in docs}
+    n_docs = sum(1 for ts in corpus.values() if ts)
+
+    for _ in range(8):
+        q = rng.sample(vocab, rng.randint(1, 3))
+        qtoks = sorted({tok for t in q for tok in toks(t)})
+        for mode in ("any", "all"):
+            for scoring in ("tf", "tfidf"):
+                got = {r["doc"]: (r["n_terms_matched"], r["score"]) for r in
+                       textsearch.search_text(idx, q, mode=mode,
+                                              scoring=scoring).collect()}
+                want = {}
+                for i, ts in corpus.items():
+                    hit = [t for t in qtoks if t in ts]
+                    if not hit or (mode == "all" and len(hit) < len(qtoks)):
+                        continue
+                    if scoring == "tf":
+                        sc = sum(ts.count(t) for t in hit)
+                    else:
+                        sc = round(sum(
+                            ts.count(t) * math.log(
+                                n_docs / sum(1 for d in corpus.values()
+                                             if t in d))
+                            for t in hit), 4)
+                    want[i] = (len(hit), sc)
+                assert got == want, (q, mode, scoring)
