@@ -1,7 +1,10 @@
 """Archive scan — zip/tar ingest bundles shredded into one row per member
 (the reference unpacks bundles to local disk with
 common/.../utils/ZipUtils.java:113-150 ``unzip`` before reading them;
-filesystem/.../encryption/ProtectedZipHandler.java wraps the same path).
+password-protected bundles via filesystem/.../encryption/
+ProtectedZipHandler.java — the ``password`` parameter covers the
+ZipCrypto scheme ``zipfile`` understands; AES-encrypted zips need an
+external lib and are out of scope).
 
 Spark-first shape: ``spark.read.format("binaryFile")`` lists and reads the
 archives distributed (one task per archive — zip/tar are not splittable, so
@@ -10,6 +13,12 @@ bundle ingest; a single 100-GB zip is an anti-pattern the docstring can't
 fix), then an Arrow-batched ``mapInArrow`` opens each archive IN MEMORY and
 emits ``(archive, member, size_bytes, content)`` rows — no local-disk
 unpack step, no driver involvement, binary-safe content.
+
+Memory bounds: output RecordBatches are flushed per archive AND whenever
+the accumulated member bytes pass a threshold, so neither a batch of many
+archives nor one archive with many members accumulates unbounded rows, and
+the 2 GiB offset capacity of 32-bit Arrow binary arrays is never hit (a
+SINGLE member over 2 GiB would still fail — split such bundles upstream).
 
 Member filtering pushes into the extractor (``member_pattern``) so a bundle
 with mixed payloads (data + manifests + junk) only materializes the wanted
@@ -20,7 +29,6 @@ from __future__ import annotations
 
 import fnmatch
 import io
-import posixpath
 import tarfile
 import zipfile
 from typing import Iterator
@@ -31,18 +39,24 @@ from pyspark.sql import DataFrame, SparkSession
 ARCHIVE_SCHEMA = ("archive string, member string, size_bytes bigint, "
                   "content binary")
 
+#: flush an output batch when buffered member content passes this
+_FLUSH_BYTES = 256 * 1024 * 1024
 
-def _zip_members(name: str, blob: bytes, pat: str | None):
+
+def _zip_members(name: str, blob: bytes, pat: str | None,
+                 password: bytes | None):
     with zipfile.ZipFile(io.BytesIO(blob)) as zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue
             if pat and not fnmatch.fnmatch(info.filename, pat):
                 continue
-            yield name, info.filename, info.file_size, zf.read(info)
+            yield name, info.filename, info.file_size, zf.read(info,
+                                                               pwd=password)
 
 
-def _tar_members(name: str, blob: bytes, pat: str | None):
+def _tar_members(name: str, blob: bytes, pat: str | None,
+                 _password: bytes | None):
     # mode "r:*" sniffs plain/gz/bz2/xz tarballs
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
         for info in tf:
@@ -55,30 +69,66 @@ def _tar_members(name: str, blob: bytes, pat: str | None):
 
 
 def read_archive_members(spark: SparkSession, path: str,
-                         member_pattern: str | None = None) -> DataFrame:
+                         member_pattern: str | None = None,
+                         password: str | None = None,
+                         on_error: str = "fail") -> DataFrame:
     """One row per archive member under ``path`` (glob ok): ``(archive,
-    member, size_bytes, content)``. Zip vs tar is chosen per file by
-    extension (``.zip`` → zip, else tar — covers .tar, .tar.gz, .tgz,
-    .tar.bz2, .tar.xz). ``member_pattern`` is an fnmatch glob applied
-    inside the extractor, before any bytes are materialized into rows."""
+    member, size_bytes, content)``. ``archive`` is the FULL source path —
+    same-named bundles in different drop directories must stay distinct
+    keys. Zip vs tar is chosen per file by extension (``.zip`` → zip, else
+    tar — covers .tar, .tar.gz, .tgz, .tar.bz2, .tar.xz).
+    ``member_pattern`` is an fnmatch glob applied inside the extractor,
+    before any bytes are materialized into rows. ``password`` unlocks
+    ZipCrypto-protected zips (ProtectedZipHandler analog).
+
+    ``on_error``: ``"fail"`` (default) re-raises extraction errors with the
+    offending archive named — a corrupt bundle should stop a CDC ingest
+    loudly; ``"skip"`` drops undecodable archives (stray non-archive files
+    in the drop directory, wrong password) and keeps the scan alive — pair
+    it with a reconciliation count when you use it."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    pwd = password.encode("utf-8") if password is not None else None
     bin_df = (spark.read.format("binaryFile").load(path)
               .select("path", "content"))
 
     def shred(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         import pyarrow as pa
-        for b in batches:
-            rows = []
-            for rec in b.to_pylist():
-                name = posixpath.basename(rec["path"])
-                blob = rec["content"]
-                members = (_zip_members if name.lower().endswith(".zip")
-                           else _tar_members)
-                rows.extend(members(name, blob, member_pattern))
-            yield pa.RecordBatch.from_arrays(
+
+        def to_batch(rows):
+            return pa.RecordBatch.from_arrays(
                 [pa.array([r[0] for r in rows], type=pa.string()),
                  pa.array([r[1] for r in rows], type=pa.string()),
                  pa.array([r[2] for r in rows], type=pa.int64()),
                  pa.array([r[3] for r in rows], type=pa.binary())],
                 ["archive", "member", "size_bytes", "content"])
+
+        for b in batches:
+            for rec in b.to_pylist():
+                name = rec["path"]
+                members = (_zip_members if name.lower().endswith(".zip")
+                           else _tar_members)
+                # extract all-or-nothing BEFORE emitting: a mid-archive
+                # failure must not leave partial rows behind in skip mode
+                # (memory bound = one archive's decompressed size — the
+                # compressed blob is already in memory per binaryFile)
+                try:
+                    rows = list(members(name, rec["content"], member_pattern,
+                                        pwd))
+                except Exception as exc:  # noqa: BLE001 — named + re-raised
+                    if on_error == "fail":
+                        raise RuntimeError(
+                            f"failed to extract archive {name!r}: {exc}"
+                        ) from exc
+                    continue
+                chunk, buffered = [], 0
+                for row in rows:
+                    chunk.append(row)
+                    buffered += len(row[3])
+                    if buffered >= _FLUSH_BYTES:
+                        yield to_batch(chunk)
+                        chunk, buffered = [], 0
+                if chunk:
+                    yield to_batch(chunk)
 
     return bin_df.mapInArrow(shred, schema=ARCHIVE_SCHEMA)

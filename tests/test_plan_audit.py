@@ -135,7 +135,11 @@ def test_text_search_query_side_broadcasts(spark):
     idx = ts.build_text_index(d, "doc_id", "text")
     for scoring in ("tf", "tfidf"):
         p = plan(ts.search_text(idx, ["merge", "stream"], scoring=scoring))
-        assert "BroadcastHashJoin" in p, scoring
+        # no shuffled join anywhere: dropping a broadcast hint would regress
+        # to SortMergeJoin and must fail here, not just lose the broadcast
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, scoring
+        want_bhj = 2 if scoring == "tfidf" else 1   # terms join (+ df join)
+        assert p.count("BroadcastHashJoin") >= want_bhj, scoring
         assert "CartesianProduct" not in p, scoring
         assert "BatchEvalPython" not in p, scoring
 

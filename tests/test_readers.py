@@ -213,10 +213,14 @@ def test_archive_scan_zip_and_tar_members(spark, tmp_path):
         tf.addfile(info, io.BytesIO(payload))
     (d / "b2.tar.gz").write_bytes(buf.getvalue())
 
-    rows = {(r["archive"], r["member"]): r for r in
+    rows = {(r["archive"].rsplit("/", 1)[-1], r["member"]): r for r in
             read_archive_members(spark, str(d)).collect()}
     assert set(rows) == {("b1.zip", "data/a.jsonl"), ("b1.zip", "data/bin.dat"),
                          ("b1.zip", "MANIFEST.txt"), ("b2.tar.gz", "data/c.jsonl")}
+    # archive is the FULL path: same-named bundles in different drop dirs
+    # must stay distinct keys
+    assert all(r["archive"].startswith("file:") for r in
+               read_archive_members(spark, str(d)).collect())
     assert bytes(rows[("b1.zip", "data/bin.dat")]["content"]) == bytes(range(256))
     assert rows[("b2.tar.gz", "data/c.jsonl")]["size_bytes"] == 9
 
@@ -228,3 +232,43 @@ def test_archive_scan_zip_and_tar_members(spark, tmp_path):
     parsed = only.select(F.from_json(F.decode("content", "utf-8"),
                                      "x int").alias("r")).select("r.x")
     assert sorted(r["x"] for r in parsed.collect()) == [1, 2]
+
+
+def test_archive_scan_error_routing_and_zipcrypto(spark, tmp_path):
+    """A stray non-archive file in the drop directory must fail loudly by
+    default (named in the error), and on_error='skip' keeps the scan alive
+    with the valid bundles intact and NO partial rows. A ZipCrypto-protected
+    zip decrypts with password= (ProtectedZipHandler analog)."""
+    import subprocess
+    import zipfile
+
+    import pytest
+
+    from cdc_core_spark.sources.archive import read_archive_members
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    with zipfile.ZipFile(d / "ok.zip", "w") as zf:
+        zf.writestr("m.txt", "fine")
+    (d / "stray.md").write_text("not an archive")
+
+    with pytest.raises(Exception, match="stray.md"):
+        read_archive_members(spark, str(d)).collect()
+    rows = read_archive_members(spark, str(d), on_error="skip").collect()
+    assert [(r["archive"].rsplit("/", 1)[-1], r["member"]) for r in rows] \
+        == [("ok.zip", "m.txt")]
+
+    # ZipCrypto (stdlib zipfile can read, not write, encrypted members —
+    # create via the zip CLI)
+    enc = tmp_path / "enc"
+    enc.mkdir()
+    (enc / "secret.txt").write_text("s3cret")
+    r = subprocess.run(["zip", "-q", "-P", "pw123", str(enc / "e.zip"),
+                        "secret.txt"], cwd=enc)
+    if r.returncode == 0:
+        got = read_archive_members(spark, str(enc / "e.zip"),
+                                   password="pw123").collect()
+        assert bytes(got[0]["content"]) == b"s3cret"
+        with pytest.raises(Exception, match="e.zip"):
+            read_archive_members(spark, str(enc / "e.zip"),
+                                 password="wrong").collect()
