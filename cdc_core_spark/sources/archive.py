@@ -31,6 +31,7 @@ import fnmatch
 import io
 import tarfile
 import zipfile
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,22 @@ ARCHIVE_SCHEMA = ("archive string, member string, size_bytes bigint, "
 
 #: flush an output batch when buffered member content passes this
 _FLUSH_BYTES = 256 * 1024 * 1024
+
+#: errors that mean "this file is not a (readable) archive" — the skip set.
+#: RuntimeError = zipfile's wrong/missing-password; zlib/EOF/OSError cover
+#: truncated or corrupt compression streams
+_DECODE_ERRORS = (zipfile.BadZipFile, zipfile.LargeZipFile, tarfile.TarError,
+                  RuntimeError, zlib.error, EOFError, OSError)
+
+
+def _named_errors(it, name: str):
+    """Re-raise extraction errors with the offending archive named — at
+    1000 archives/task, 'bad zip' without a path is undebuggable."""
+    try:
+        yield from it
+    except _DECODE_ERRORS as exc:
+        raise RuntimeError(
+            f"failed to extract archive {name!r}: {exc}") from exc
 
 
 def _zip_members(name: str, blob: bytes, pat: str | None,
@@ -108,26 +125,36 @@ def read_archive_members(spark: SparkSession, path: str,
                 name = rec["path"]
                 members = (_zip_members if name.lower().endswith(".zip")
                            else _tar_members)
-                # extract all-or-nothing BEFORE emitting: a mid-archive
-                # failure must not leave partial rows behind in skip mode
-                # (memory bound = one archive's decompressed size — the
-                # compressed blob is already in memory per binaryFile)
-                try:
-                    rows = list(members(name, rec["content"], member_pattern,
-                                        pwd))
-                except Exception as exc:  # noqa: BLE001 — named + re-raised
-                    if on_error == "fail":
-                        raise RuntimeError(
-                            f"failed to extract archive {name!r}: {exc}"
-                        ) from exc
-                    continue
+                if on_error == "skip":
+                    # materialize all-or-nothing BEFORE emitting: a
+                    # mid-archive failure must not leave partial rows
+                    # behind when the archive is then skipped. Catch only
+                    # DECODE errors — an environmental MemoryError in here
+                    # must fail the task (and retry), not silently drop a
+                    # valid bundle
+                    try:
+                        rows = list(members(name, rec["content"],
+                                            member_pattern, pwd))
+                    except _DECODE_ERRORS:
+                        continue
+                else:
+                    # fail mode streams: a mid-archive error kills the task
+                    # and Spark discards its partial output anyway, so
+                    # memory stays bounded by the flush threshold
+                    rows = _named_errors(
+                        members(name, rec["content"], member_pattern, pwd),
+                        name)
                 chunk, buffered = [], 0
                 for row in rows:
-                    chunk.append(row)
-                    buffered += len(row[3])
-                    if buffered >= _FLUSH_BYTES:
+                    # flush BEFORE appending when the next member would
+                    # cross the threshold — appending first could push one
+                    # chunk past the 2 GiB Arrow 32-bit offset capacity
+                    # (255 MB buffered + a 1.9 GiB member is legal input)
+                    if chunk and buffered + len(row[3]) >= _FLUSH_BYTES:
                         yield to_batch(chunk)
                         chunk, buffered = [], 0
+                    chunk.append(row)
+                    buffered += len(row[3])
                 if chunk:
                     yield to_batch(chunk)
 

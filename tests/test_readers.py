@@ -213,14 +213,14 @@ def test_archive_scan_zip_and_tar_members(spark, tmp_path):
         tf.addfile(info, io.BytesIO(payload))
     (d / "b2.tar.gz").write_bytes(buf.getvalue())
 
-    rows = {(r["archive"].rsplit("/", 1)[-1], r["member"]): r for r in
-            read_archive_members(spark, str(d)).collect()}
+    collected = read_archive_members(spark, str(d)).collect()
+    rows = {(r["archive"].rsplit("/", 1)[-1], r["member"]): r
+            for r in collected}
     assert set(rows) == {("b1.zip", "data/a.jsonl"), ("b1.zip", "data/bin.dat"),
                          ("b1.zip", "MANIFEST.txt"), ("b2.tar.gz", "data/c.jsonl")}
     # archive is the FULL path: same-named bundles in different drop dirs
     # must stay distinct keys
-    assert all(r["archive"].startswith("file:") for r in
-               read_archive_members(spark, str(d)).collect())
+    assert all(r["archive"].startswith("file:") for r in collected)
     assert bytes(rows[("b1.zip", "data/bin.dat")]["content"]) == bytes(range(256))
     assert rows[("b2.tar.gz", "data/c.jsonl")]["size_bytes"] == 9
 
@@ -263,9 +263,10 @@ def test_archive_scan_error_routing_and_zipcrypto(spark, tmp_path):
     enc = tmp_path / "enc"
     enc.mkdir()
     (enc / "secret.txt").write_text("s3cret")
-    r = subprocess.run(["zip", "-q", "-P", "pw123", str(enc / "e.zip"),
-                        "secret.txt"], cwd=enc)
-    if r.returncode == 0:
+    import shutil
+    if shutil.which("zip"):
+        subprocess.run(["zip", "-q", "-P", "pw123", str(enc / "e.zip"),
+                        "secret.txt"], cwd=enc, check=True)
         got = read_archive_members(spark, str(enc / "e.zip"),
                                    password="pw123").collect()
         assert bytes(got[0]["content"]) == b"s3cret"
