@@ -35,16 +35,33 @@ import uuid
 
 
 def _atomic_write_json(path: str, doc) -> None:
-    """Temp-file + rename JSON publish — THE single copy of this pattern
-    (lake's snapshot/sidecar/retention-ledger writes import it too); any
-    future hardening (fsync-before-rename, tmp cleanup on exception)
-    belongs here and nowhere else."""
+    """Temp-file + fsync + rename + dir-fsync JSON publish — THE single copy
+    of this pattern (lake's snapshot/sidecar/retention-ledger writes import
+    it too). The fsyncs matter: without fsync-before-rename a power loss can
+    leave a 0-byte/torn file at the FINAL path (rename is metadata-atomic
+    but data pages may not have hit disk), which would permanently wedge
+    every snapshot-log read; the directory fsync makes the rename itself
+    durable. Tmp debris from an exception mid-dump is removed."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(doc, f)
-    os.rename(tmp, path)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 # --------------------------------------------------------------- heartbeat

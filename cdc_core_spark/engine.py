@@ -690,7 +690,8 @@ class CdcEngine:
         df = (self.table.read(self.spark, buckets=todo, with_internal_cols=True)
               .filter(~old_tomb)
               .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
-        self.table.commit_merge(df, todo, epoch=None, manifests=[])
+        self.table.commit_merge(df, todo, epoch=None, manifests=[],
+                                maintenance=True)
 
     def compact(self, n_buckets: int | None = None,
                 min_delta_files: int | None = None) -> None:
@@ -745,19 +746,25 @@ class CdcEngine:
         ``empty_schema`` (the event DDL, e.g. ``streaming.stream.EVENT_DDL``)
         so both paths stay column-compatible."""
         if not os.path.isdir(self.errors_dir):
-            base = "checkpoint_epoch int, error_reason string"
+            from pyspark.sql.types import (IntegerType, StringType,
+                                           StructField, StructType)
             if empty_schema:
                 # append only the DLQ columns the caller's DDL doesn't carry
                 # (EVENT_DDL already ends in checkpoint_epoch — a blind
-                # concat would duplicate it and break name resolution)
-                have = {part.strip().split()[0].lower()
-                        for part in empty_schema.split(",") if part.strip()}
-                extra = [p for p in base.split(", ")
-                         if p.split()[0].lower() not in have]
-                schema = ", ".join([empty_schema, *extra]) if extra else empty_schema
-            else:
-                schema = base
-            return self.spark.createDataFrame([], schema=schema)
+                # concat would duplicate it and break name resolution).
+                # Parse with the real DDL parser, not string-splitting:
+                # parameterized/nested types (decimal(10,2),
+                # array<struct<a int,b int>>) contain commas that a split
+                # would mis-tokenize into phantom column names
+                st = StructType.fromDDL(empty_schema)
+                have = {f.name.lower() for f in st.fields}
+                for name, typ in (("checkpoint_epoch", IntegerType()),
+                                  ("error_reason", StringType())):
+                    if name not in have:
+                        st = st.add(StructField(name, typ))
+                return self.spark.createDataFrame([], schema=st)
+            return self.spark.createDataFrame(
+                [], schema="checkpoint_epoch int, error_reason string")
         return self.spark.read.parquet(self.errors_dir)
 
     def reprocess_errors(self, repair, repair_epoch: int,

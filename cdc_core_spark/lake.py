@@ -127,6 +127,10 @@ class Snapshot:
     manifests: list[dict] = field(default_factory=list)  # this commit's manifests
     parent: int | None = None
     props: dict = field(default_factory=dict)         # e.g. current schema_version
+    # True for state-preserving physical rewrites ONLY (compaction,
+    # re-bucket, tombstone expiry) — read_changes uses it to tell a
+    # skippable maintenance rewrite from a logical copy-on-write change
+    maintenance: bool = False
 
     def field_names(self) -> list[str]:
         return [f["name"] for f in self.fields]
@@ -343,7 +347,8 @@ class SnapshotTable:
                      new_aliases: dict | None = None,
                      props: dict | None = None,
                      pre_partitioned: bool = False,
-                     n_buckets: int | None = None) -> Snapshot:
+                     n_buckets: int | None = None,
+                     maintenance: bool = False) -> Snapshot:
         """Copy-on-write commit: stage new files for ``touched_buckets`` from
         ``df`` (must carry ``_bucket``), carry all other buckets forward by
         reference, publish atomically. ``pre_partitioned`` skips the
@@ -392,7 +397,8 @@ class SnapshotTable:
                         key_cols=prev.key_cols, fields=fields, aliases=aliases,
                         schemas=schemas, files=carried + new_files,
                         manifests=manifest_rows, parent=prev.version,
-                        props=props if props is not None else prev.props)
+                        props=props if props is not None else prev.props,
+                        maintenance=maintenance)
         try:
             self._publish(snap)
         except FileExistsError:
@@ -539,9 +545,23 @@ class SnapshotTable:
 
     def _load_snapshot_doc(self, path: str) -> dict:
         """Single choke point for snapshot-JSON reads (tests count calls
-        through it to assert the committed-epochs cache really caches)."""
+        through it to assert the committed-epochs cache really caches).
+        A torn/empty doc gets a remediation message instead of a bare
+        JSONDecodeError: with fsync-before-rename in ``_atomic_write_json``
+        this indicates an EXTERNAL writer or filesystem fault, and the fix
+        (restore the doc or expire past it) is not guessable from the
+        stack trace alone."""
         with open(path) as f:
-            return json.load(f)
+            try:
+                return json.load(f)
+            except json.JSONDecodeError as e:
+                raise RuntimeError(
+                    f"snapshot doc {path} is torn or empty ({e}). The "
+                    "snapshot log is corrupt at this version — restore the "
+                    "doc from a backup, or if the version is disposable "
+                    "debris from a non-fsyncing writer, delete the doc AND "
+                    "every later v*.json, then rerun from the previous "
+                    "checkpoint (exactly-once makes the rerun safe).") from e
 
     @staticmethod
     def _fold_epochs(doc: dict, eps: set[int]) -> None:
@@ -717,17 +737,19 @@ class SnapshotTable:
                 return
             df = (self.read(spark, buckets=todo, with_internal_cols=True)
                   .withColumn("_bucket", bucket_expr(key_cols, nb)))
-            self.commit_merge(df, todo, epoch=None, manifests=[])
+            self.commit_merge(df, todo, epoch=None, manifests=[],
+                              maintenance=True)
             return
         df = (self.read(spark, with_internal_cols=True)
               .withColumn("_bucket", bucket_expr(key_cols, nb)))
         self.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
-                          n_buckets=nb)
+                          n_buckets=nb, maintenance=True)
 
     # ---------------- incremental changelog read ----------------
     def read_changes(self, spark: SparkSession, from_version: int,
                      to_version: int | None = None,
-                     strict: bool = False) -> DataFrame:
+                     strict: bool = False,
+                     on_logical_rewrite: str = "raise") -> DataFrame:
         """CDC-out: the per-key change rows committed AFTER ``from_version``
         up to and including ``to_version`` (default: latest), as a changelog
         DataFrame in the TO-version's logical schema plus ``_change_version``
@@ -738,13 +760,30 @@ class SnapshotTable:
 
         Semantics follow Iceberg's rule: only APPEND commits (MOR deltas,
         and pure-additive merges like the initial load) carry logical
-        changes. A commit that also REMOVED files (compaction, re-bucket)
-        is a physical rewrite, not a logical change — it contributes no
-        rows; with ``strict=True`` such a commit in range raises instead
-        (matching Iceberg's refusal to scan across a replace commit).
-        Metadata-only commits contribute no rows. A version range that
-        predates retention (``expire_snapshots``) raises FileNotFoundError.
+        changes. A commit that also REMOVED files is distinguished by what
+        it carries:
+
+        * **maintenance rewrite** (compaction, re-bucket, tombstone expiry
+          — committed with ``maintenance=True``, state-preserving by
+          construction): a physical rewrite, not a logical change —
+          contributes no rows and is skipped;
+        * **logical rewrite** (a copy-on-write engine epoch or docstore
+          upsert committed via ``commit_merge`` without the maintenance
+          flag): its changes are folded into rewritten base files and
+          CANNOT be recovered incrementally, so skipping would silently
+          lose data downstream — this RAISES by default. Pass
+          ``on_logical_rewrite="skip"`` only when the consumer re-reads
+          full state across such commits; CDC-out pipelines should commit
+          logical changes in MOR mode (``merge_mode='mor'``).
+
+        ``strict=True`` raises on ANY rewrite commit in range, maintenance
+        included (matching Iceberg's refusal to scan across a replace
+        commit). Metadata-only commits contribute no rows. A version range
+        that predates retention (``expire_snapshots``) raises
+        FileNotFoundError.
         """
+        if on_logical_rewrite not in ("raise", "skip"):
+            raise ValueError("on_logical_rewrite must be 'raise' or 'skip'")
         to_snap = (self.latest() if to_version is None
                    else self.snapshot(to_version))
         if from_version > to_snap.version:
@@ -766,6 +805,22 @@ class SnapshotTable:
                     raise ValueError(
                         f"snapshot v{v} rewrites files (compaction/"
                         "re-bucket) — not incrementally readable")
+                # pre-flag docs (older tables) carry no `maintenance` key:
+                # fall back to epoch/manifest presence as the logical signal
+                # (compaction always committed with neither)
+                logical = (not doc["maintenance"] if "maintenance" in doc
+                           else (doc.get("epoch") is not None
+                                 or bool(doc.get("manifests"))))
+                if logical and on_logical_rewrite == "raise":
+                    raise ValueError(
+                        f"snapshot v{v} is a LOGICAL rewrite (epoch "
+                        f"{doc.get('epoch')!r}, {len(doc.get('manifests') or [])}"
+                        " manifests) committed copy-on-write: its changes are"
+                        " folded into rewritten base files and cannot be read"
+                        " incrementally. Commit logical changes in MOR mode"
+                        " (merge_mode='mor') for CDC-out, or pass"
+                        " on_logical_rewrite='skip' if the consumer re-reads"
+                        " full state across this commit.")
                 continue
             if not added:
                 continue
@@ -797,9 +852,12 @@ class ChangelogCursor:
     version delivered and each ``poll`` returns only the changes committed
     since — the tailing-consumer shape for downstream incremental pipelines
     (the engine's own run-loop applied to its OUTPUT side). ``poll`` returns
-    ``None`` when nothing new was committed; a rewrite-only window (pure
-    compaction) advances the cursor and returns an empty frame, so consumers
-    never re-deliver across it.
+    ``None`` when nothing new was committed; a MAINTENANCE-rewrite-only
+    window (pure compaction) advances the cursor and returns an empty frame,
+    so consumers never re-deliver across it. A LOGICAL rewrite in the window
+    (copy-on-write epoch / docstore upsert) raises through ``poll`` rather
+    than silently dropping its changes — see ``read_changes``; pass
+    ``on_logical_rewrite="skip"`` to opt out.
 
     Delivery contract: the returned DataFrame is LAZY, so advancing the
     cursor before the consumer has acted on it would be at-MOST-once under
@@ -815,18 +873,21 @@ class ChangelogCursor:
       checkpoint-manifest pattern, applied client-side)."""
 
     def __init__(self, table: SnapshotTable, from_version: int | None = None,
-                 auto_ack: bool = True):
+                 auto_ack: bool = True, on_logical_rewrite: str = "raise"):
         self.table = table
         self.version = (table.latest().version if from_version is None
                         else from_version)
         self.auto_ack = auto_ack
+        self.on_logical_rewrite = on_logical_rewrite
         self._pending: int | None = None
 
     def poll(self, spark: SparkSession) -> DataFrame | None:
         latest = self.table.latest().version
         if latest == self.version:
             return None
-        df = self.table.read_changes(spark, self.version, latest)
+        df = self.table.read_changes(
+            spark, self.version, latest,
+            on_logical_rewrite=self.on_logical_rewrite)
         if self.auto_ack:
             self.version = latest
         else:

@@ -83,9 +83,13 @@ def find_document(spark: SparkSession, root: str, key: dict) -> DataFrame:
     snap = tbl.latest()
     key_cols = snap.key_cols
     # probe typed exactly like the stored key columns — xxhash64 is
-    # type-sensitive, so an inferred (wider) probe type would mis-bucket
-    ddl = ", ".join(f"{f['name']} {sql_type(f['type'])}"
-                    for f in snap.fields if f["name"] in key_cols)
+    # type-sensitive, so an inferred (wider) probe type would mis-bucket.
+    # DDL order must follow key_cols (not snap.fields declaration order):
+    # the value tuple below binds positionally, and a table whose field
+    # order differs from its key_cols order would otherwise hash swapped
+    # values and silently probe the wrong bucket
+    tmap = {f["name"]: sql_type(f["type"]) for f in snap.fields}
+    ddl = ", ".join(f"{k} {tmap[k]}" for k in key_cols)
     probe = spark.createDataFrame([tuple(key[k] for k in key_cols)], ddl)
     b = probe.select(bucket_expr(key_cols, snap.n_buckets).alias("b")).first()["b"]
     return find_by_key(tbl.read(spark, buckets=[int(b)]), key)

@@ -6,8 +6,9 @@ is exactly `(repo, path, commit, lang, content)`).
 Spark-first split of the work:
 
 * **Listing is metadata.** One ``git log --reverse --first-parent
-  --diff-merges=first-parent --name-status`` per repo yields the full
-  `(op, path, commit, ts)` envelope — O(history) text, tiny
+  --diff-merges=first-parent --raw`` per repo yields the full
+  `(op, path, commit, ts)` envelope plus entry modes (how submodule
+  gitlinks are recognized and skipped) — O(history) text, tiny
   next to blob bytes. For a fleet of repos, run one listing per task
   (``mapInPandas`` over a repo table); a single repo's listing is a
   justified driver step the same way an epoch directory listing is.
@@ -72,9 +73,15 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
     # (plain --name-status emits NOTHING for merge commits). Replay
     # convergence to HEAD then holds by construction, independent of
     # author-clock skew on side branches.
+    # --raw (not --name-status): raw lines carry src/dst MODES, which is the
+    # only way to see submodule gitlinks (mode 160000) — name-status lists a
+    # gitlink change as an ordinary A/M path, and hydrating it would query a
+    # commit object absent from this repo's odb and kill the whole ingest.
+    # Gitlink entries are filtered here at listing time; a submodule is not
+    # file content and has no blob to hydrate.
     out = _git(repo_dir, "log", "--reverse", "--first-parent",
-               "--diff-merges=first-parent", "--no-renames", "--name-status",
-               "--format=\x01%H %ct")
+               "--diff-merges=first-parent", "--no-renames", "--raw",
+               "--abbrev=40", "--format=\x01%H %ct")
     rows: list[dict] = []
     commit = ts = None
     rev = -1
@@ -88,12 +95,19 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
             ts = max(int(ts_s) * 1000, ts or 0)
             rev += 1
             continue
-        if not line.strip():
+        if not line.startswith(":"):
             continue
-        status, _, path = line.partition("\t")
+        meta_part, _, path = line.partition("\t")
+        src_mode, dst_mode, _src, _dst, status = meta_part[1:].split()[:5]
         op = _STATUS_OP.get(status[:1])
         if op is None:   # T (typechange) et al.: treat as update
             op = OP_UPDATE
+        # the mode that must be a blob is the surviving side: dst for
+        # add/modify, src for delete. 160000 there = submodule pointer —
+        # skip. (T from gitlink→blob keeps dst 100644 and hydrates fine.)
+        live_mode = src_mode if op == OP_DELETE else dst_mode
+        if live_mode == "160000":
+            continue
         upath = _unquote(path)
         if "\n" in upath:
             # `cat-file --batch` input is newline-delimited and this git
@@ -111,26 +125,45 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
     return rows
 
 
-def fetch_blob_contents(meta: DataFrame, repo_dir: str) -> DataFrame:
+def fetch_blob_contents(meta: DataFrame, repo_dir: str,
+                        on_binary: str = "base64") -> DataFrame:
     """Hydrate ``content``/``size_bytes`` for non-delete events: one
     ``git cat-file --batch`` per partition, queries streamed down a single
     pipe (write request → read sized response, sequentially — deadlock-free
     without pipelining). Executors need filesystem access to ``repo_dir``
     (local clone / shared mount), the same locality contract as any
-    file-based source."""
-    out_ddl = META_DDL + ", content string, size_bytes bigint"
+    file-based source.
+
+    Non-UTF-8 blobs (images, compiled artifacts) cannot ride the string
+    ``content`` column verbatim; ``on_binary`` picks the policy:
+
+    * ``"base64"`` (default) — LOSSLESS: content is the Base64 text of the
+      raw bytes and ``is_binary`` is true, so a consumer can round-trip
+      (``unbase64``) the exact blob;
+    * ``"replace"`` — lossy U+FFFD replacement decode (the cheap option
+      when binaries are known garbage downstream);
+    * ``"error"`` — fail the ingest (strict text-only repos).
+
+    Valid UTF-8 text is identical under all three, ``is_binary`` false."""
+    if on_binary not in ("base64", "replace", "error"):
+        raise ValueError("on_binary must be 'base64', 'replace' or 'error'")
+    out_ddl = (META_DDL
+               + ", content string, size_bytes bigint, is_binary boolean")
 
     def hydrate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
         proc = None
         try:
             for pdf in it:
                 contents: list[str | None] = []
                 sizes: list[int | None] = []
+                binflags: list[bool | None] = []
                 for op, commit, path in zip(pdf["op"], pdf["commit"],
                                             pdf["path"]):
                     if int(op) == OP_DELETE:
                         contents.append(None)
                         sizes.append(None)
+                        binflags.append(None)
                         continue
                     if proc is None:
                         proc = subprocess.Popen(
@@ -145,11 +178,26 @@ def fetch_blob_contents(meta: DataFrame, repo_dir: str) -> DataFrame:
                     size = int(header[2])
                     blob = proc.stdout.read(size)
                     proc.stdout.read(1)  # trailing newline
-                    contents.append(blob.decode("utf-8", errors="replace"))
+                    try:
+                        contents.append(blob.decode("utf-8"))
+                        binflags.append(False)
+                    except UnicodeDecodeError:
+                        if on_binary == "error":
+                            raise ValueError(
+                                f"{commit}:{path} is not valid UTF-8 and "
+                                "on_binary='error'")
+                        if on_binary == "base64":
+                            contents.append(
+                                base64.b64encode(blob).decode("ascii"))
+                        else:
+                            contents.append(
+                                blob.decode("utf-8", errors="replace"))
+                        binflags.append(True)
                     sizes.append(size)
                 pdf = pdf.copy()
                 pdf["content"] = pd.Series(contents, dtype="string")
                 pdf["size_bytes"] = pd.Series(sizes, dtype="Int64")
+                pdf["is_binary"] = pd.Series(binflags, dtype="boolean")
                 yield pdf
         finally:
             if proc is not None:
@@ -161,17 +209,19 @@ def fetch_blob_contents(meta: DataFrame, repo_dir: str) -> DataFrame:
 
 def events_from_git(spark: SparkSession, repo_dir: str, repo_name: str,
                     schema_version: str = "1.1",
-                    commits_per_epoch: int = 1) -> DataFrame:
+                    commits_per_epoch: int = 1,
+                    on_binary: str = "base64") -> DataFrame:
     """Full connector: listing + distributed hydration + engine envelope.
     ``checkpoint_epoch = rev // commits_per_epoch`` so a long history replays
     as resumable epochs (exactly-once manifests per epoch, same as any other
     source). Output columns match the engine's event contract for
-    ``schema_version`` 1.x (``lang`` derived from the path extension)."""
+    ``schema_version`` 1.x (``lang`` derived from the path extension);
+    non-UTF-8 blobs follow ``on_binary`` (see ``fetch_blob_contents``)."""
     rows = list_change_events(repo_dir, repo_name)
     meta = spark.createDataFrame(pd.DataFrame(
         rows, columns=["op", "repo", "path", "commit", "rev", "op_ts",
                        "event_seq"]), schema=META_DDL)
-    hydrated = fetch_blob_contents(meta, repo_dir)
+    hydrated = fetch_blob_contents(meta, repo_dir, on_binary=on_binary)
     ext = F.regexp_extract("path", r"\.([A-Za-z0-9_]+)$", 1)
     return (hydrated
             .withColumn("lang", F.when(ext != "", ext))

@@ -160,6 +160,49 @@ def test_merge_commits_and_conflict_resolutions_replay_to_head(
     assert got["only_feat.txt"] == "side\n"  # side-branch work via merge
 
 
+def test_submodule_gitlinks_skipped_and_binary_blobs_roundtrip(
+        spark, tmp_path):
+    """A submodule gitlink (mode 160000) must be filtered at listing time —
+    hydrating it would query a commit object absent from the host repo's odb
+    and kill the ingest. A binary blob must survive LOSSLESSLY under the
+    default on_binary='base64' policy (is_binary flags it), and 'replace'
+    must stay available as the documented lossy option."""
+    sub = str(tmp_path / "sub")
+    os.makedirs(sub)
+    _run(sub, "init", "-q", "-b", "main")
+    _write(sub, "s.txt", "inner\n")
+    _run(sub, "add", "."); _run(sub, "commit", "-qm", "s0",
+                                env_ts="2024-01-01T00:00:00Z")
+
+    repo = str(tmp_path / "host")
+    os.makedirs(repo)
+    _run(repo, "init", "-q", "-b", "main")
+    _write(repo, "a.txt", "text\n")
+    raw = bytes([0xFF, 0x00, 0x89, 0x50, 0x4E, 0x47, 0xFE])
+    with open(os.path.join(repo, "img.bin"), "wb") as f:
+        f.write(raw)
+    _run(repo, "add", ".")
+    _run(repo, "-c", "protocol.file.allow=always", "submodule", "add",
+         "-q", sub, "vendor/sub")
+    _run(repo, "commit", "-qm", "c0", env_ts="2024-01-01T00:00:00Z")
+
+    events = gitsync.events_from_git(spark, repo, "org/host")
+    rows = {r["path"]: r for r in events.collect()}
+    assert "vendor/sub" not in rows          # gitlink filtered
+    assert ".gitmodules" in rows             # the config file IS a blob
+    assert rows["a.txt"]["is_binary"] is False
+    assert rows["a.txt"]["content"] == "text\n"
+    import base64
+    assert rows["img.bin"]["is_binary"] is True
+    assert base64.b64decode(rows["img.bin"]["content"]) == raw
+    assert rows["img.bin"]["size_bytes"] == len(raw)
+
+    lossy = gitsync.events_from_git(spark, repo, "org/host",
+                                    on_binary="replace")
+    got = {r["path"]: r["content"] for r in lossy.collect()}
+    assert "�" in got["img.bin"]
+
+
 def test_newline_path_rejected_at_listing(spark, tmp_path):
     """git permits a committed path containing a newline, but this git's
     cat-file batch protocol (< 2.42, no -Z) cannot query it — the listing

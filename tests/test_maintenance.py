@@ -186,6 +186,37 @@ def test_read_changes_rebuilds_state_incrementally(spark, t1, registry, tmp_path
         t.read_changes(spark, v_pre, strict=True)
 
 
+def test_read_changes_raises_on_logical_rewrite(spark, t1, registry, tmp_path):
+    """A copy-on-write engine epoch commits a rewrite WITH an epoch: its
+    changes are folded into rewritten base files, so silently skipping it
+    (the pre-fix behavior) would lose data for every CDC-out consumer.
+    Default now raises with remediation; on_logical_rewrite='skip' is the
+    explicit opt-out; a pure-maintenance rewrite (compact, epoch=None)
+    still skips silently."""
+    import pytest
+
+    from cdc_core_spark.lake import ChangelogCursor
+
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8,
+                    merge_mode="cow-jvm")
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, epochs=[0, 1])
+    t = eng.table
+    base_v = t.latest().version
+    eng.replay(f'{t1["dir"]}/change_events', epochs=[2, 3])
+
+    with pytest.raises(ValueError, match="LOGICAL rewrite"):
+        t.read_changes(spark, base_v)
+    cur = ChangelogCursor(t, from_version=base_v)
+    with pytest.raises(ValueError, match="LOGICAL rewrite"):
+        cur.poll(spark)
+    # explicit opt-out skips (consumer re-reads full state across it)
+    assert t.read_changes(spark, base_v,
+                          on_logical_rewrite="skip").count() == 0
+    assert ChangelogCursor(t, from_version=base_v,
+                           on_logical_rewrite="skip").poll(spark) is not None
+
+
 def test_expire_snapshots_frees_files_keeps_ledger(spark, t1, registry, tmp_path):
     """expire_snapshots physically removes files only old snapshots
     reference, while visible state, committed epochs (exactly-once resume)

@@ -171,6 +171,15 @@ def test_errors_df_clean_run_schema(spark, t1, registry, tmp_path):
     assert len(ev.columns) == len(set(ev.columns))
     assert ev.columns[-1] == "error_reason"
     assert ev.select("checkpoint_epoch", "error_reason").count() == 0
+    # parameterized/nested types carry commas — a string-split tokenizer
+    # would see phantom columns ("2)" etc.); the real DDL parser must not
+    nested = ("amount decimal(10,2), "
+              "attrs array<struct<a int,b int>>, error_reason string")
+    ndf = eng.errors_df(empty_schema=nested)
+    assert ndf.columns == ["amount", "attrs", "error_reason",
+                           "checkpoint_epoch"]
+    assert dict(ndf.dtypes)["amount"] == "decimal(10,2)"
+    assert ndf.count() == 0
 
 
 def test_replay_with_pipeline_transform(spark, t1, registry, tmp_path):

@@ -299,3 +299,54 @@ def test_docstore_null_delete_flag_is_not_a_delete(spark, tmp_path):
     rows = docstore.read_documents(spark, root).collect()
     assert len(rows) == 1
     assert '"content":"v2"' in rows[0]["doc"].replace(" ", "")
+
+
+def test_find_document_key_order_independent_of_field_order(spark, tmp_path):
+    """find_document's bucket probe must bind key VALUES to key COLUMNS by
+    key_cols order, not snapshot-field declaration order — for a table whose
+    field order differs, swapped binding would hash swapped values and
+    silently probe the wrong bucket (empty result)."""
+    from pyspark.sql import functions as F
+
+    from cdc_core_spark.lake import SnapshotTable, bucket_expr
+    from cdc_core_spark.sinks import docstore
+
+    root = str(tmp_path / "docs")
+    # field order (path, repo, doc) deliberately differs from key_cols order
+    fields = [{"name": "path", "type": "string", "nullable": False},
+              {"name": "repo", "type": "string", "nullable": False},
+              {"name": "doc", "type": "string", "nullable": True}]
+    tbl = SnapshotTable.create(root, fields=fields,
+                               key_cols=["repo", "path"], n_buckets=16)
+    rows = spark.createDataFrame(
+        [(f"p{i}.py", f"r{i % 3}", "{}") for i in range(30)],
+        "path string, repo string, doc string")
+    state = (rows.withColumn("_op_ts", F.lit(-1).cast("bigint"))
+             .withColumn("_event_seq", F.lit(-1).cast("bigint"))
+             .withColumn("_deleted", F.lit(False))
+             .withColumn("_bucket", bucket_expr(["repo", "path"], 16)))
+    tbl.commit_merge(state, list(range(16)), epoch=None, manifests=[])
+    hit = docstore.find_document(spark, root, {"repo": "r1", "path": "p1.py"})
+    assert hit.count() == 1
+
+
+def test_docstore_upsert_is_a_logical_rewrite_for_cdc_out(spark, tmp_path):
+    """A docstore upsert rewrites touched buckets copy-on-write WITHOUT an
+    epoch — read_changes must still classify it as a logical rewrite (the
+    maintenance flag, not epoch presence, is the discriminator) and refuse
+    to silently skip its changes."""
+    import pytest
+
+    from cdc_core_spark.lake import SnapshotTable
+    from cdc_core_spark.sinks import docstore
+
+    root = str(tmp_path / "docs")
+    docstore.upsert_documents(_doc_rows(spark), root, ["repo", "path"])
+    t = SnapshotTable(root)
+    v1 = t.latest().version
+    batch = spark.createDataFrame([("r1", "a.py", "body-a2")],
+                                  "repo string, path string, content string")
+    docstore.upsert_documents(batch, root, ["repo", "path"])
+    with pytest.raises(ValueError, match="LOGICAL rewrite"):
+        t.read_changes(spark, v1)
+    assert t.read_changes(spark, v1, on_logical_rewrite="skip").count() == 0
