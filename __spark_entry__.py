@@ -404,6 +404,49 @@ def q_stream_engine_replay(spark, sf_dir):
         F.sha2("content", 256).alias("content_sha"))
 
 
+def q_cdc_out_chain(spark, sf_dir):
+    """CDC-out CHAINING gate: run the standard engine replay (MOR), read its
+    complete changelog from table-version 0 via read_changes (the Iceberg
+    incremental-append-scan analog, lake.py), and apply that changelog to a
+    SECOND SnapshotTable as a downstream incremental consumer would — LWW
+    fold of the change rows, one delta commit, tombstones filtered on read.
+    The downstream table's converged state must equal the upstream engine's,
+    so the gate shares _ENGINE_REPLAY_SQL — proving the changelog is a
+    lossless pipeline primitive (the sink turned back into a source), not
+    just a read API. At 100 TB this is the fan-out shape: downstream
+    consumers pay O(changes), never a table re-scan."""
+    import shutil
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.lake import SnapshotTable, bucket_expr
+    from cdc_core_spark.lww import lww_reduce
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/cdc_entry_chain_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    eng = CdcEngine(spark, f"{base}/up", _replay_registry(), n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+    adapted = _adapt_events(spark, sf_dir)
+    for epoch in (0, 1):
+        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
+        if epoch == 1:
+            batch = _ddl_rows(spark).unionByName(batch)
+        eng.apply_epoch(batch, epoch)
+
+    snap = eng.table.latest()
+    changes = eng.table.read_changes(spark, 0)
+    t2 = SnapshotTable.create(f"{base}/down", fields=snap.fields,
+                              key_cols=snap.key_cols, n_buckets=8)
+    payload = [c for c in snap.field_names() if c not in snap.key_cols]
+    winners = lww_reduce(changes.drop("_change_version", "_change_op"),
+                         snap.key_cols, payload + ["_deleted"])
+    t2.commit_delta(
+        winners.withColumn("_bucket", bucket_expr(snap.key_cols, 8)),
+        epoch=0, manifests=[])
+    return t2.read(spark).select(
+        "repo", "path", "language", "size_bytes", "rev",
+        F.sha2("content", 256).alias("content_sha"))
+
+
 def q_avro_envelope_roundtrip(spark, sf_dir):
     """Avro change-record WIRE-FORMAT gate (AvroChangeRecord.parse/toAvro,
     entity/.../model/AvroChangeRecord.java:60-133): every epoch batch —
@@ -627,6 +670,34 @@ def q_point_lookup(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return find_by_key(c, {"c_custkey": 42}).select(
         "c_custkey", "c_name", "c_mktsegment")
+
+
+def q_query_surface(spark, sf_dir):
+    """Gate consolidation of the AbstractDataStore QUERY surface under one
+    oracle entry (frees gate slots for the archive/git/CDC-out sources):
+    Q-style filter+sort+page (shape 'page', q_search), top-k with
+    deterministic tiebreak (shape 'topk', q_topk_orders), and keyed point
+    lookup (shape 'point', q_point_lookup) union'd under a shared column
+    frame — each shape keeps its own physical plan (TakeOrderedAndProject
+    for page/topk, pushed key-equality scan for point). Frame filler is
+    non-null sentinels (-1 / ''), not NULL: rows from different shapes can
+    collide on `key`, and the value-hash canon sorts whole rows — a NULL
+    vs value comparison inside the sort would be type-unstable."""
+    page = q_search(spark, sf_dir).select(
+        F.lit("page").alias("shape"), F.col("o_orderkey").alias("key"),
+        F.col("o_custkey").alias("num"), F.col("o_totalprice").alias("val"),
+        F.lit("").alias("s1"), F.lit("").alias("s2"))
+    topk = q_topk_orders(spark, sf_dir).select(
+        F.lit("topk").alias("shape"), F.col("o_orderkey").alias("key"),
+        F.lit(-1).cast("bigint").alias("num"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderstatus").alias("s1"), F.lit("").alias("s2"))
+    point = q_point_lookup(spark, sf_dir).select(
+        F.lit("point").alias("shape"), F.col("c_custkey").alias("key"),
+        F.lit(-1).cast("bigint").alias("num"),
+        F.lit(-1.0).alias("val"),
+        F.col("c_name").alias("s1"), F.col("c_mktsegment").alias("s2"))
+    return page.unionByName(topk).unionByName(point)
 
 
 def q_anti_semi_setops(spark, sf_dir):
@@ -1007,6 +1078,117 @@ def q_reader_jdbc(spark, sf_dir):
     return back.select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_archive_scan(spark, sf_dir):
+    """Archive bundle scan gate (ZipUtils.unzip analog,
+    common/.../utils/ZipUtils.java:113-150): a deterministic zip (nation
+    members) + tar (region members) fixture is built from the sf tables,
+    shredded distributed by read_archive_members (binaryFile + mapInArrow,
+    no local unpack), and checked member-for-member — name, exact byte
+    size, and content sha256 — against the DuckDB oracle computing the same
+    facts from the source tables. Fixture timestamps are pinned (zip epoch
+    1980-01-01, tar mtime 0) so the bundles are bit-stable across runs."""
+    import io
+    import shutil
+    import tarfile
+    import zipfile
+
+    from cdc_core_spark.sources.archive import read_archive_members
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/cdc_entry_archive_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    nations = sorted((r["n_nationkey"], r["n_name"]) for r in
+                     _t(spark, sf_dir, "nation")
+                     .select("n_nationkey", "n_name").collect())
+    regions = sorted((r["r_regionkey"], r["r_name"]) for r in
+                     _t(spark, sf_dir, "region")
+                     .select("r_regionkey", "r_name").collect())
+    with zipfile.ZipFile(os.path.join(root, "nations.zip"), "w",
+                         zipfile.ZIP_DEFLATED) as zf:
+        for k, c in nations:
+            zi = zipfile.ZipInfo(f"n_{k}.txt", date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, c.encode("utf-8"))
+    with tarfile.open(os.path.join(root, "regions.tar"), "w") as tf:
+        for k, c in regions:
+            data = c.encode("utf-8")
+            ti = tarfile.TarInfo(f"r_{k}.txt")
+            ti.size, ti.mtime = len(data), 0
+            tf.addfile(ti, io.BytesIO(data))
+    m = read_archive_members(spark, f"{root}/*")
+    return m.select(
+        F.element_at(F.split("archive", "/"), -1).alias("archive"),
+        "member", "size_bytes",
+        F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
+def q_git_replay(spark, sf_dir):
+    """Git repo sync gate (GitSyncer analog, core/.../utils/git/
+    GitSyncer.java:80): a 3-commit git history is synthesized
+    deterministically from the nation table (adds, %3 modifications, %5
+    deletions, a README add), listed + hydrated by events_from_git, and
+    replayed through the real engine; the converged per-path state — lang,
+    last-touching commit index (rev), content sha256 — must equal the
+    DuckDB oracle deriving the same HEAD tree directly from nation.
+    Commit timestamps/identity are pinned so the history is stable."""
+    import shutil
+    import subprocess
+
+    from cdc_core_spark import synth
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.registry import SchemaRegistry
+    from cdc_core_spark.sources.gitsync import events_from_git
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/cdc_entry_git_{tag}"
+    repo = os.path.join(root, "repo")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(repo)
+    env = dict(os.environ, GIT_AUTHOR_NAME="gate", GIT_AUTHOR_EMAIL="g@x",
+               GIT_COMMITTER_NAME="gate", GIT_COMMITTER_EMAIL="g@x")
+
+    def run(*args, ts):
+        e = dict(env, GIT_AUTHOR_DATE=ts, GIT_COMMITTER_DATE=ts)
+        subprocess.run(["git", "-C", repo, *args], check=True,
+                       capture_output=True, env=e)
+
+    nations = sorted(
+        (r["n_nationkey"], r["n_name"]) for r in
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name").collect())
+    run("init", "-q", "-b", "main", ts="2024-01-01T00:00:00Z")
+    for k, nm in nations:
+        with open(os.path.join(repo, f"n_{k}.txt"), "w") as f:
+            f.write(nm + "\n")
+    run("add", "-A", ts="2024-01-01T00:00:00Z")
+    run("commit", "-qm", "c0", ts="2024-01-01T00:00:00Z")
+    for k, nm in nations:
+        if k % 3 == 0:
+            with open(os.path.join(repo, f"n_{k}.txt"), "w") as f:
+                f.write(f"{nm}:{k}\n")
+    run("add", "-A", ts="2024-01-02T00:00:00Z")
+    run("commit", "-qm", "c1", ts="2024-01-02T00:00:00Z")
+    for k, _ in nations:
+        if k % 5 == 0:
+            os.remove(os.path.join(repo, f"n_{k}.txt"))
+    with open(os.path.join(repo, "README.md"), "w") as f:
+        f.write("repo of nations\n")
+    run("add", "-A", ts="2024-01-03T00:00:00Z")
+    run("commit", "-qm", "c2", ts="2024-01-03T00:00:00Z")
+
+    events = events_from_git(spark, repo, "org/nations")
+    ev_dir = os.path.join(root, "events")
+    events.write.partitionBy("checkpoint_epoch").mode("overwrite").parquet(ev_dir)
+    eng = CdcEngine(spark, os.path.join(root, "state"),
+                    SchemaRegistry.from_docs(synth.registry_docs()),
+                    n_buckets=4)
+    empty = spark.createDataFrame([], "repo string, path string")
+    eng.replay(ev_dir, source_df=empty, schema_version="1.1")
+    return eng.read_final().select(
+        "repo", "path", "lang", F.col("rev").cast("bigint").alias("rev"),
+        F.sha2("content", 256).alias("content_sha"))
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / text / similarity
 # ---------------------------------------------------------------------------
@@ -1096,6 +1278,11 @@ def q_pack_documents(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
+    """Gate consolidation of the per-document text-analysis family (one
+    oracle entry, every column independently value-hashed): lang-ID, token
+    counts, quality score, winnowing fingerprint (formerly its own gate),
+    PII scrub (sha of the redacted text) + per-class PII count, and the
+    Gopher-style repetition ratio. All JVM built-ins — zero Python rows."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1103,6 +1290,10 @@ def q_text_stats(spark, sf_dir):
         text.token_count_ws("text").alias("ws_tokens"),
         text.token_count_bpe("text").alias("bpe_tokens"),
         text.quality_score("text").alias("quality"),
+        text.fingerprint("text", k=5).alias("fp"),
+        F.sha2(text.pii_scrub("text"), 256).alias("pii_scrub_sha"),
+        text.pii_count("text", "email").cast("bigint").alias("pii_emails"),
+        F.round(text.repetition_ratio("text", 3), 6).alias("rep_ratio"),
     )
 
 
@@ -1197,10 +1388,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     consolidations (one entry exercising two operator paths, each noted on
     its q_ function): cdc_lww_latest also equality-checks the salted
     reduction; cdc_op_dispatch folds in the distinct-delivery collapse;
+    search_q unions the page/top-k/point-lookup query-surface shapes;
     anti_semi_setops unions the anti and semi shapes; grouping_sets unions
     ROLLUP and CUBE; scalar_transformers includes the roundtrip identities;
     reader_csv_json unions both format roundtrips; sampling_splits joins
-    the consistent split with the stratified sample."""
+    the consistent split with the stratified sample; text_stats folds in
+    the fingerprint, PII scrub/count and repetition-ratio columns."""
     return {
         # CDC core + sinks
         "cdc_lww_latest": q_cdc_lww_checked,
@@ -1211,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_replay": q_cdc_engine_replay,
         "stream_engine_replay": q_stream_engine_replay,
         "cdc_engine_manifests": q_cdc_engine_manifests,
+        "cdc_out_chain": q_cdc_out_chain,
         "datastore_writeback": q_datastore_writeback,
         "docstore_upsert": q_docstore_upsert,
         "avro_envelope_roundtrip": q_avro_envelope_roundtrip,
@@ -1223,9 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational + search
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "topk_orders": q_topk_orders,
-        "search_q": q_search,
-        "point_lookup": q_point_lookup,
+        "search_q": q_query_surface,
         "anti_semi_setops": q_join_kinds,
         "setop_except": q_setop_except,
         "grouping_sets": q_grouping_sets,
@@ -1237,12 +1429,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_table": q_decision_table,
         "scalar_transformers": q_scalar_transformers,
         "checksum": q_checksum,
-        # format readers
+        # format readers + bundle/git sources
         "reader_csv_json": q_reader_csv_json,
         "reader_fixed_width": q_reader_fixed_width,
         "reader_xml": q_reader_xml,
         "reader_jdbc": q_reader_jdbc,
         "reader_excel": q_reader_excel,
+        "archive_scan": q_archive_scan,
+        "git_replay": q_git_replay,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1252,7 +1446,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "pack_documents": q_pack_documents,
         "text_stats": q_text_stats,
-        "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "multimodal_features": q_multimodal_features,
@@ -1352,7 +1545,10 @@ _WRITEBACK_SQL = _REPLAY_CTE + """
 
 
 def oracle_sql() -> dict[str, str]:
-    from cdc_core_spark.operators.text import lang_id_sql, quality_score_sql
+    from cdc_core_spark.operators.text import (lang_id_sql, pii_count_sql,
+                                               pii_scrub_sql,
+                                               quality_score_sql,
+                                               repetition_ratio_sql)
     return {
         "cdc_lww_latest": _LWW_SQL,
         "cdc_merge_state": f"""
@@ -1440,18 +1636,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
         """,
-        "topk_orders": """
-            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
-            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-        """,
         "search_q": """
-            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
-            FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 1000
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-        """,
-        "point_lookup": """
-            SELECT c_custkey, c_name, c_mktsegment FROM customer
-            WHERE c_custkey = 42
+            (SELECT 'page' AS shape, o_orderkey AS key, o_custkey AS num,
+                    round(o_totalprice, 2) AS val, '' AS s1, '' AS s2
+             FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 1000
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+            UNION ALL
+            (SELECT 'topk', o_orderkey, CAST(-1 AS BIGINT),
+                    round(o_totalprice, 2), o_orderstatus, ''
+             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+            UNION ALL
+            SELECT 'point', c_custkey, CAST(-1 AS BIGINT),
+                   CAST(-1.0 AS DOUBLE), c_name, c_mktsegment
+            FROM customer WHERE c_custkey = 42
         """,
         "anti_semi_setops": """
             SELECT 'anti' AS join_kind, o_orderkey, o_orderstatus,
@@ -1515,6 +1712,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
+        "cdc_out_chain": _ENGINE_REPLAY_SQL,
+        "archive_scan": """
+            SELECT 'nations.zip' AS archive,
+                   'n_' || CAST(n_nationkey AS VARCHAR) || '.txt' AS member,
+                   CAST(octet_length(encode(n_name)) AS BIGINT)
+                       AS size_bytes,
+                   sha256(n_name) AS content_sha
+            FROM nation
+            UNION ALL
+            SELECT 'regions.tar',
+                   'r_' || CAST(r_regionkey AS VARCHAR) || '.txt',
+                   CAST(octet_length(encode(r_name)) AS BIGINT),
+                   sha256(r_name)
+            FROM region
+        """,
+        "git_replay": """
+            WITH files AS (
+              SELECT 'n_' || CAST(n_nationkey AS VARCHAR) || '.txt' AS path,
+                     CASE WHEN n_nationkey % 3 = 0
+                          THEN n_name || ':' || CAST(n_nationkey AS VARCHAR)
+                               || chr(10)
+                          ELSE n_name || chr(10) END AS content,
+                     CAST(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END
+                          AS BIGINT) AS rev,
+                     'txt' AS lang
+              FROM nation WHERE n_nationkey % 5 <> 0
+              UNION ALL
+              SELECT 'README.md', 'repo of nations' || chr(10),
+                     CAST(2 AS BIGINT), 'md'
+            )
+            SELECT 'org/nations' AS repo, path, lang, rev,
+                   sha256(content) AS content_sha
+            FROM files
+        """,
         "datastore_writeback": _WRITEBACK_SQL,
         "docstore_upsert": _WRITEBACK_SQL,
         "avro_envelope_roundtrip": _ENGINE_REPLAY_SQL,
@@ -1744,16 +1975,17 @@ def oracle_sql() -> dict[str, str]:
                    {lang_id_sql('text')} AS lang_guess,
                    len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
-                   {quality_score_sql('text')} AS quality
+                   {quality_score_sql('text')} AS quality,
+                   list_min(list_transform(
+                     generate_series(1, greatest(
+                       len(regexp_extract_all(trim(lower(text)), '\\S+')) - 4, 1)),
+                     i -> sha256(array_to_string(
+                       regexp_extract_all(trim(lower(text)), '\\S+')[i:i+4], ' '))))
+                       AS fp,
+                   sha256({pii_scrub_sql('text')}) AS pii_scrub_sha,
+                   CAST({pii_count_sql('text', 'email')} AS BIGINT) AS pii_emails,
+                   round({repetition_ratio_sql('text', 3)}, 6) AS rep_ratio
             FROM documents
-        """,
-        "fingerprint": """
-            SELECT doc_id, list_min(list_transform(
-                     generate_series(1, greatest(len(t) - 4, 1)),
-                     i -> sha256(array_to_string(t[i:i+4], ' ')))) AS fp
-            FROM (SELECT doc_id,
-                         regexp_extract_all(trim(lower(text)), '\\S+') AS t
-                  FROM documents)
         """,
         "ann_cosine_topk": """
             SELECT e.vec_id,

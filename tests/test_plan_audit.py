@@ -34,19 +34,33 @@ def plan(df) -> str:
 
 # plan-only entries: building the DataFrame runs no job and has no side
 # effects (engine-replay / stored-index entries execute work at call time
-# and are audited by their own tests instead)
-LAZY_QUERIES = [
-    "pricing_summary", "revenue_by_nation", "topk_orders", "search_q",
-    "point_lookup", "anti_semi_setops", "setop_except", "grouping_sets",
-    "json_extract", "dedup_exact", "text_stats", "fingerprint",
-    "chunk_text", "ann_cosine_topk", "checksum",
-]
+# and are audited by their own tests instead). Audited by q_ FUNCTION, not
+# queries() key — gate consolidations (search_q = page ∪ topk ∪ point,
+# text_stats ⊇ fingerprint) must not blunt the per-shape plan assertions.
+LAZY_QUERIES = {
+    "pricing_summary": "q_pricing_summary",
+    "revenue_by_nation": "q_revenue_by_nation",
+    "topk_orders": "q_topk_orders",
+    "search_q": "q_search",
+    "point_lookup": "q_point_lookup",
+    "query_surface": "q_query_surface",
+    "anti_semi_setops": "q_anti_semi_setops",
+    "setop_except": "q_setop_except",
+    "grouping_sets": "q_grouping_sets",
+    "json_extract": "q_json_extract",
+    "dedup_exact": "q_dedup_exact",
+    "text_stats": "q_text_stats",
+    "fingerprint": "q_fingerprint",
+    "chunk_text": "q_chunk_text",
+    "ann_cosine_topk": "q_ann_cosine_topk",
+    "checksum": "q_checksum",
+}
 
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    qs = entry.queries()
-    return {name: plan(qs[name](spark, SF_DIR)) for name in LAZY_QUERIES}
+    return {name: plan(getattr(entry, fn)(spark, SF_DIR))
+            for name, fn in LAZY_QUERIES.items()}
 
 
 def test_no_scale_killers_in_any_audited_plan(plans):
