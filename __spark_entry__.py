@@ -790,7 +790,12 @@ def q_text_search(spark, sf_dir):
             .select("doc", "n_terms_matched",
                     F.col("score").cast("double").alias("score"),
                     F.lit("tf").alias("scoring")))
-    tfidf_r = (ts.search_text(idx, terms, mode="any", scoring="tfidf")
+    # tfidf requires the corpus count EXPLICITLY (search_text raises
+    # otherwise — the 100-TB guard); the gate counts once, in-plan here,
+    # standing in for the _index_meta.json sidecar a stored index carries
+    n_docs = idx.select(F.count_distinct("doc")).first()[0]
+    tfidf_r = (ts.search_text(idx, terms, mode="any", scoring="tfidf",
+                              n_docs=n_docs)
                .select("doc", "n_terms_matched", "score",
                        F.lit("tfidf").alias("scoring")))
     return tf_r.unionByName(tfidf_r)

@@ -70,6 +70,12 @@ Nothing in the engine calls a primitive Iceberg lacks; the only behavioral
 delta is that Iceberg's manifests track column stats per file (we keep
 footer-derived stats in commit manifests instead), which only makes scan
 pruning better after the swap.
+
+The mapping above is executable, not just prose: ``lake_iceberg.
+IcebergSnapshotTable`` routes each call to the real Iceberg operation when
+the runtime jars are present, and ``tests/test_lake_iceberg.py`` is the
+jar-gated conformance suite (skips in this jar-less sandbox, runs on any
+cluster with the Iceberg Spark runtime + a catalog conf).
 """
 
 from __future__ import annotations

@@ -80,6 +80,53 @@ def lww_reduce(events: DataFrame, key_cols: list[str],
     return won.select(*key_cols, "_w.*", *extra)
 
 
+def choose_lww_salt(events: DataFrame, key_cols: list[str],
+                    sample_fraction: float = 0.001,
+                    hot_share_threshold: float = 0.5,
+                    min_sample_rows: int = 1_000,
+                    salt: int = 16) -> int | None:
+    """Cheap key-histogram probe → salt decision for ``lww_reduce``.
+
+    One sampled aggregation job (``sample(fraction)`` pushes a Bernoulli
+    filter into the scan; the probe moves ~``fraction`` of the key bytes,
+    nothing else) measures the hottest key's share of events. Returns
+    ``salt`` when that share ≥ ``hot_share_threshold``, else ``None``
+    (plain single-stage ``max_by``).
+
+    **Threshold rationale (measured, BENCH skew_defense)**: plain
+    ``max_by``'s partial aggregation already collapses a hot key to ~one
+    row per map task before the shuffle, so on this engine the salted
+    two-stage path costs ~2.7× when skew is absent and wins only in the
+    regime partial aggregation can't cover — a single key so dominant
+    (≥ ~half the stream) that stage-1 fan-out of its per-task partials
+    across ``salt`` reducers beats funneling them to one, e.g. when wide
+    payload structs make the final-stage buffer the bottleneck. Hence the
+    deliberately HIGH default threshold: salting is the exception, and a
+    mis-probe in the common case costs 2.7×, while a mis-probe under
+    extreme skew costs far less. An undersized sample (< ``min_sample_rows``
+    rows) returns ``None`` — too little signal to justify the exception."""
+    agg = (events.select(*key_cols).sample(fraction=sample_fraction, seed=7)
+           .groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.max("_n").alias("_hot"), F.sum("_n").alias("_tot"))
+           .first())
+    if agg["_tot"] is None or agg["_tot"] < min_sample_rows:
+        return None
+    return salt if agg["_hot"] / agg["_tot"] >= hot_share_threshold else None
+
+
+def lww_reduce_adaptive(events: DataFrame, key_cols: list[str],
+                        payload_cols: list[str],
+                        with_stats: bool = False, **probe_kwargs) -> DataFrame:
+    """``lww_reduce`` with the salt chosen by ``choose_lww_salt`` instead of
+    a caller knob — removes the footgun of salting an unskewed stream
+    (2.7× measured) or not salting a pathologically hot one. Equivalence
+    (adaptive ≡ plain ≡ salted) is pinned by tests for both probe
+    outcomes; the probe costs one sampled aggregation job."""
+    salt = choose_lww_salt(events, key_cols, **probe_kwargs)
+    return lww_reduce(events, key_cols, payload_cols, salt=salt,
+                      with_stats=with_stats)
+
+
 def lww_reduce_in_partition(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Per-partition LWW reduce via an Arrow-batched incremental fold.
 

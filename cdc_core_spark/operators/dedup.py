@@ -352,7 +352,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3, max_bucket: int = 256) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k, blocked on
     ``max_hamming + 1`` bit-slice bands (pigeonhole: k differing bits can
     dirty at most k of k+1 bands, so every qualifying pair collides in ≥1
@@ -366,10 +367,13 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     possible keys, so expected bucket size is ~``n_docs / 2^w`` — once that
     exceeds ``max_bucket``, EVERY bucket in the band is dropped and the band
     contributes zero candidates (silent recall loss, the documented price of
-    the cap). The default 16-bit bands (k ≤ 3) keep buckets tiny up to ~10M
-    docs; for k ≥ 4 size ``max_bucket ≳ a·n_docs/2^min_width`` (a few × the
-    expected load) or pre-shard the corpus. A runtime warning fires for
-    narrow bands as a reminder."""
+    the cap). ``max_bucket=None`` (default) therefore sizes the cap FROM
+    the corpus: ``max(256, 4 · ceil(n_docs / 2^min_width))`` — a few × the
+    expected uniform load, so hash-typical buckets always survive and only
+    genuinely pathological skew (one band key owning ≫4× its share) is
+    dropped. The sizing pays one ``count()`` job (parquet-footer cheap);
+    pass an explicit cap to skip it, in which case a saturation warning
+    fires when narrow bands make the explicit cap corpus-dangerous."""
     if not 0 <= max_hamming <= 15:
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming} — beyond 15 "
@@ -378,7 +382,11 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     base, extra = divmod(64, n_bands)
     widths = [base + 1 if i < extra else base for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    if min(widths) < 16:
+    if max_bucket is None:
+        import math
+        n_docs = df.count()
+        max_bucket = max(256, 4 * math.ceil(n_docs / 2 ** min(widths)))
+    elif min(widths) < 16:
         import warnings
         warnings.warn(
             f"simhash_near_dupes: max_hamming={max_hamming} gives "
@@ -386,7 +394,7 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
             f"corpora larger than ~max_bucket*2^{min(widths)} "
             f"(= {max_bucket * 2 ** min(widths):,} docs) will saturate every "
             "bucket and the cap will drop ALL candidates — raise max_bucket "
-            "accordingly", stacklevel=2)
+            "or use max_bucket=None (corpus-sized auto cap)", stacklevel=2)
     # lazy localCheckpoint: the fingerprint pipeline (tokenize + xxhash +
     # Arrow bit-fold, the dominant cost) feeds the band explode AND both
     # sides of the verify join — unmaterialized it would run 3×

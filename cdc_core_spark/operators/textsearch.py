@@ -85,15 +85,27 @@ def search_text(index: DataFrame, terms: list[str], mode: str = "any",
     its inverse document frequency, ``sum(tf · ln(N / df))`` rounded to 4
     decimals, where ``df`` is computed from the matched index rows (every
     row for a matched term is in the broadcast-join output, so no second
-    corpus pass) and ``N`` is the corpus document count — pass ``n_docs``
-    when known (the stored-index path reads it from ``_index_meta.json``);
-    when omitted it costs one ``countDistinct(doc)`` pass over the index,
-    which is exactly what you should NOT do per-query at 100 TB.
+    corpus pass) and ``N`` is the corpus document count — ``n_docs`` is
+    REQUIRED for tfidf: the stored-index path reads it from
+    ``_index_meta.json``, and making the caller supply it keeps the
+    full-index ``countDistinct(doc)`` pass — exactly what you must not do
+    per-query at 100 TB — impossible to trigger silently from the query
+    API. ``search_documents`` (the ad-hoc one-shot) remains the only place
+    that count job is implied.
     """
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
     if scoring not in ("tf", "tfidf"):
         raise ValueError(f"scoring must be 'tf' or 'tfidf', got {scoring!r}")
+    if scoring == "tfidf" and n_docs is None:
+        raise ValueError(
+            "scoring='tfidf' requires n_docs (the corpus document count): "
+            "read it from the stored index's _index_meta.json "
+            "(search_text_stored does this), or count once at index-build "
+            "time — a per-query countDistinct over the index is the "
+            "100-TB anti-pattern this parameter exists to prevent. For "
+            "ad-hoc search over a raw document table use search_documents, "
+            "which owns that one-shot count explicitly.")
     norm, unsat = _normalize_terms(terms)
     q = index.sparkSession.createDataFrame([(t,) for t in norm],
                                            "term string")
@@ -105,8 +117,7 @@ def search_text(index: DataFrame, terms: list[str], mode: str = "any",
     else:
         dfreq = matched.groupBy("term").agg(
             F.count_distinct("doc").alias("df"))
-        nd = (int(n_docs) if n_docs is not None
-              else index.select(F.count_distinct("doc")).first()[0])
+        nd = int(n_docs)
         hits = (matched.join(F.broadcast(dfreq), "term")
                 .groupBy("doc")
                 .agg(F.count("*").alias("n_terms_matched"),
@@ -127,9 +138,17 @@ def search_documents(df: DataFrame, id_col: str, text_col: str,
                      limit: int | None = None,
                      scoring: str = "tf") -> DataFrame:
     """One-shot convenience: build the index in-plan and query it (for ad-hoc
-    search; repeated queries should persist ``build_text_index`` output)."""
-    return search_text(build_text_index(df, id_col, text_col), terms,
-                       mode=mode, limit=limit, scoring=scoring)
+    search; repeated queries should persist ``build_text_index`` output).
+    For ``scoring="tfidf"`` this is the ONE place a corpus
+    ``countDistinct(doc)`` job is implied — acceptable for ad-hoc use
+    because the caller is already paying a full index build in the same
+    query; every other tfidf path must supply ``n_docs`` from metadata."""
+    index = build_text_index(df, id_col, text_col)
+    n_docs = None
+    if scoring == "tfidf":
+        n_docs = index.select(F.count_distinct("doc")).first()[0]
+    return search_text(index, terms, mode=mode, limit=limit,
+                       scoring=scoring, n_docs=n_docs)
 
 
 def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:

@@ -1,0 +1,93 @@
+"""Iceberg conformance tests — jar-gated: this sandbox ships no Iceberg
+runtime, so every test here SKIPS locally and runs for real on a cluster
+with ``--packages org.apache.iceberg:iceberg-spark-runtime-*`` plus::
+
+    spark.sql.catalog.ice                org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.ice.type           hadoop
+    spark.sql.catalog.ice.warehouse      /tmp/ice_warehouse
+
+The suite proves the SnapshotTable→Iceberg swap is real: the engine's
+winner-delta + exactly-once + maintenance contract, executed against real
+Iceberg snapshots (lake.py module docstring carries the per-call mapping
+this suite executes)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_core_spark.lake_iceberg import IcebergSnapshotTable, iceberg_available
+
+FIELDS = [
+    {"name": "repo", "type": "string", "nullable": False, "key": True},
+    {"name": "path", "type": "string", "nullable": False, "key": True},
+    {"name": "content", "type": "string", "nullable": True},
+]
+
+
+@pytest.fixture()
+def ice(spark):
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jars not on classpath (sandbox)")
+    if "ice" not in [c.name for c in spark.catalog.listCatalogs()]:
+        pytest.skip("no `ice` Iceberg catalog configured on the session")
+    ident = f"ice.db.t_{uuid.uuid4().hex[:8]}"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice.db")
+    t = IcebergSnapshotTable.create(spark, ident, FIELDS,
+                                    key_cols=["repo", "path"], n_buckets=4)
+    yield t
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string, _op_ts long, "
+              "_event_seq long, _deleted boolean")
+
+
+def test_delta_commits_lww_and_exactly_once_ledger(spark, ice):
+    ice.commit_delta(_rows(spark, [("r", "a", "v1", 100, 1, False)]),
+                     epoch=0, manifests=[{"checkpoint_epoch": 0,
+                                          "partition_id": 0,
+                                          "events_read": 1}])
+    ice.commit_delta(_rows(spark, [("r", "a", "v2", 200, 2, False),
+                                   ("r", "b", "x", 50, 3, False)]),
+                     epoch=1, manifests=[{"checkpoint_epoch": 1,
+                                          "partition_id": 0,
+                                          "events_read": 2}])
+    got = {(r["repo"], r["path"]): r["content"] for r in ice.read().collect()}
+    assert got == {("r", "a"): "v2", ("r", "b"): "x"}  # MOR LWW fold
+    assert ice.committed_epochs() == {0, 1}            # summary-prop ledger
+    assert len(ice.all_manifests()) == 2
+
+
+def test_tombstone_delete_and_incremental_read(spark, ice):
+    ice.commit_delta(_rows(spark, [("r", "a", "v1", 100, 1, False)]),
+                     epoch=0, manifests=[])
+    first = ice.snapshots().orderBy("committed_at").collect()[-1]
+    ice.commit_delta(_rows(spark, [("r", "a", None, 200, 2, True)]),
+                     epoch=1, manifests=[])
+    assert ice.read().count() == 0                     # tombstone wins LWW
+    ch = ice.read_changes(first["snapshot_id"]).collect()
+    assert [(r["path"], r["_change_op"]) for r in ch] == [("a", "delete")]
+
+
+def test_compact_preserves_state(spark, ice):
+    for e in range(3):
+        ice.commit_delta(_rows(spark, [("r", f"p{e}", "v", 100 + e, e, False)]),
+                         epoch=e, manifests=[])
+    before = sorted(tuple(r) for r in ice.read().collect())
+    ice.compact()
+    assert sorted(tuple(r) for r in ice.read().collect()) == before
+    assert ice.committed_epochs() == {0, 1, 2}
+
+
+def test_expire_folds_ledger_forward(spark, ice):
+    for e in range(4):
+        ice.commit_delta(_rows(spark, [("r", f"p{e}", "v", 100 + e, e, False)]),
+                         epoch=e, manifests=[])
+    ice.expire_snapshots(keep_last=1)
+    # resume safety: every epoch still visible to the exactly-once skip
+    assert ice._ledger_epochs() | ice.committed_epochs() == {0, 1, 2, 3}

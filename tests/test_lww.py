@@ -74,3 +74,33 @@ def test_in_partition_fold_matches_maxby_on_nulls(spark):
     viaagg = {r["k"]: r["payload"]
               for r in lww_reduce(df, ["k"], ["payload", "_deleted"]).collect()}
     assert folded == viaagg == {"a": "old", None: "nullkey"}
+
+def test_adaptive_salt_probe_and_equivalence(spark):
+    """choose_lww_salt: a dominant hot key (>= threshold share) triggers
+    salting, a uniform stream does not, and an undersized sample never
+    does; lww_reduce_adaptive equals plain lww_reduce on both shapes."""
+    from cdc_core_spark.lww import (choose_lww_salt, lww_reduce,
+                                    lww_reduce_adaptive)
+
+    uniform = _df(spark, [(f"r{k}", f"p{k}", f"v{i}", 100 + i, k * 100 + i)
+                          for k in range(40) for i in range(50)])
+    hot = _df(spark, [("hot", "p", f"v{i}", 100 + i, i)
+                      for i in range(1600)]
+              + [(f"r{k}", f"p{k}", "v", 100, 10_000 + k)
+                 for k in range(400)])
+
+    # sample the whole stream so the tiny fixtures carry signal
+    kw = dict(sample_fraction=1.0, min_sample_rows=100)
+    assert choose_lww_salt(uniform, ["repo", "path"], **kw) is None
+    assert choose_lww_salt(hot, ["repo", "path"], **kw) == 16
+    # undersized sample: not enough signal to justify the 2.7x exception
+    assert choose_lww_salt(hot, ["repo", "path"], sample_fraction=1.0,
+                           min_sample_rows=10_000) is None
+
+    for df in (uniform, hot):
+        want = {tuple(r) for r in
+                lww_reduce(df, ["repo", "path"], ["v"]).collect()}
+        got = {tuple(r) for r in
+               lww_reduce_adaptive(df, ["repo", "path"], ["v"],
+                                   **kw).collect()}
+        assert got == want

@@ -631,20 +631,25 @@ def test_search_text_unsatisfiable_and_empty_terms(spark):
 
 
 def test_simhash_narrow_band_warns(spark):
-    """Narrow bands (max_hamming >= 4 -> < 16-bit band keys) saturate the
-    bucket cap on large corpora; the operator must say so at call time."""
+    """Narrow bands (max_hamming >= 4 -> < 16-bit band keys) saturate an
+    EXPLICIT bucket cap on large corpora; the operator must say so at call
+    time. The default auto cap is sized from the corpus (4x expected
+    uniform band load, floor 256) and must neither warn nor drop
+    hash-typical buckets."""
     import warnings
 
     docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
                                  "doc_id long, text string")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=5)
+        dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=5,
+                                 max_bucket=256)
         assert any("saturate" in str(x.message) for x in w)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=3)
-        assert not any("saturate" in str(x.message) for x in w)
+    for k in (3, 5):   # auto cap: no warning at any band width
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=k)
+            assert not any("saturate" in str(x.message) for x in w), k
 
 
 def test_search_text_tfidf(spark, tmp_path):
@@ -660,9 +665,11 @@ def test_search_text_tfidf(spark, tmp_path):
         [(1, "alpha beta"), (2, "beta beta beta"), (3, "beta")],
         "doc_id long, text string")
     idx = textsearch.build_text_index(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="requires n_docs"):
+        textsearch.search_text(idx, ["alpha"], scoring="tfidf")
     got = {r["doc"]: r["score"] for r in
-           textsearch.search_text(idx, ["alpha", "beta"],
-                                  scoring="tfidf").collect()}
+           textsearch.search_text(idx, ["alpha", "beta"], scoring="tfidf",
+                                  n_docs=3).collect()}
     assert got[1] == round(1 * math.log(3 / 1) + 1 * math.log(3 / 3), 4)
     assert got[2] == 0.0 and got[3] == 0.0  # ubiquitous term carries no weight
 
@@ -717,9 +724,11 @@ def test_search_text_randomized_vs_python_model(spark):
         qtoks = sorted({tok for t in q for tok in toks(t)})
         for mode in ("any", "all"):
             for scoring in ("tf", "tfidf"):
+                nd = n_docs if scoring == "tfidf" else None
                 got = {r["doc"]: (r["n_terms_matched"], r["score"]) for r in
                        textsearch.search_text(idx, q, mode=mode,
-                                              scoring=scoring).collect()}
+                                              scoring=scoring,
+                                              n_docs=nd).collect()}
                 want = {}
                 for i, ts in corpus.items():
                     hit = [t for t in qtoks if t in ts]

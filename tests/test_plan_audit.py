@@ -148,7 +148,9 @@ def test_text_search_query_side_broadcasts(spark):
     d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     idx = ts.build_text_index(d, "doc_id", "text")
     for scoring in ("tf", "tfidf"):
-        p = plan(ts.search_text(idx, ["merge", "stream"], scoring=scoring))
+        nd = 1000 if scoring == "tfidf" else None
+        p = plan(ts.search_text(idx, ["merge", "stream"], scoring=scoring,
+                                n_docs=nd))
         # no shuffled join anywhere: dropping a broadcast hint would regress
         # to SortMergeJoin and must fail here, not just lose the broadcast
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, scoring
