@@ -3,8 +3,9 @@
 common/.../utils/ZipUtils.java:113-150 ``unzip`` before reading them;
 password-protected bundles via filesystem/.../encryption/
 ProtectedZipHandler.java — the ``password`` parameter covers the
-ZipCrypto scheme ``zipfile`` understands; AES-encrypted zips need an
-external lib and are out of scope).
+ZipCrypto scheme ``zipfile`` understands; WinZip-AES bundles are detected
+by compression method 99 and decrypt through pyzipper when installed,
+failing with the dependency named otherwise).
 
 Spark-first shape: ``spark.read.format("binaryFile")`` lists and reads the
 archives distributed (one task per archive — zip/tar are not splittable, so
@@ -62,7 +63,23 @@ def _named_errors(it, name: str):
 
 def _zip_members(name: str, blob: bytes, pat: str | None,
                  password: bytes | None):
-    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+    zf_cls = zipfile.ZipFile
+    with zipfile.ZipFile(io.BytesIO(blob)) as probe:
+        # compression method 99 = WinZip AES (the scheme ProtectedZipHandler
+        # supports beyond ZipCrypto). stdlib can't decrypt it; pyzipper can —
+        # bind it when present, otherwise fail with the dependency NAMED
+        # (in on_error="skip" mode the archive is skipped like any other
+        # undecodable bundle, same as a wrong password)
+        if any(i.compress_type == 99 for i in probe.infolist()):
+            try:
+                import pyzipper
+                zf_cls = pyzipper.AESZipFile
+            except ImportError:
+                raise RuntimeError(
+                    f"archive {name!r} uses WinZip AES encryption; the "
+                    "stdlib only decrypts ZipCrypto — install pyzipper to "
+                    "read AES bundles") from None
+    with zf_cls(io.BytesIO(blob)) as zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue

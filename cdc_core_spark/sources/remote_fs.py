@@ -1,0 +1,211 @@
+"""Remote-filesystem parity layer — the reference's RemoteFileSystem family
+(local/S3/Azure/SFTP/mapped backends) re-expressed Spark-first.
+
+Reference surface: ``filesystem/.../impl/RemoteFileSystem.java:42-249``
+(download-to-local-cache reads, staged uploads, per-backend path resolution)
+with concrete backends ``impl/s3/S3FileSystem.java``,
+``impl/azure/AzureFileSystem.java``, ``impl/sftp/SftpFileSystem.java:477``
+and the local staging cache ``impl/RemoteFsCache.java``.
+
+The Spark-first split is different from the reference's, on purpose:
+
+* **Object stores are NOT synced — they are URIs.** Spark/Hadoop already
+  speak ``s3a://`` and ``abfss://`` natively, so the S3/Azure analogs are
+  pure path+conf resolution (``spark_uri``): hand the resolved URI to any
+  ``spark.read``/``write`` and the cluster streams the bytes distributed —
+  copying to a local cache first (the reference's shape, built for
+  single-JVM row-at-a-time readers) would serialize the whole transfer
+  through one machine.
+* **Protocol stores (SFTP) ARE synced.** No Hadoop connector exists, so
+  the reference's download-to-cache shape is the right one: an incremental
+  ``sync_remote_dir`` pulls new/changed files into a local/shared staging
+  directory with atomic renames, and Spark reads the staging dir. The
+  backend is pluggable; ``LocalBackend`` is the tested in-sandbox stand-in
+  and ``SftpBackend`` binds to paramiko when installed (import-gated —
+  this container ships none).
+
+Sync semantics (RemoteFsCache analog): a JSON state doc remembers each
+synced file's ``(size, mtime)``; unchanged files are skipped, changed files
+re-fetched, every fetch lands in a temp name and is renamed into place so a
+crash never leaves a half-written file visible to the Spark scan.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+from typing import Callable, Iterable
+
+from cdc_core_spark.coordination import _atomic_write_json
+
+# ------------------------------------------------------------ URI resolution
+
+#: scheme → (uri template, required Spark confs template). Confs are the
+#: documented minimum for a production cluster; values come from the
+#: caller's settings dict (credentials via the provider chain / key vault,
+#: never inline here).
+_SCHEMES = {
+    "local": ("file://{root}", {}),
+    "s3": ("s3a://{bucket}/{root}", {
+        # hadoop-aws jar; credentials resolve via the default provider chain
+        "spark.hadoop.fs.s3a.endpoint": "{endpoint}",
+    }),
+    "azure": ("abfss://{container}@{account}.dfs.core.windows.net/{root}", {
+        # hadoop-azure (ABFS) jar; OAuth/SAS conf keys are per-account
+        "spark.hadoop.fs.azure.account.auth.type.{account}"
+        ".dfs.core.windows.net": "{auth_type}",
+    }),
+}
+
+
+def spark_uri(scheme: str, **settings) -> tuple[str, dict]:
+    """Resolve a backend + settings to ``(spark_readable_uri, spark_confs)``
+    (the S3FileSystem/AzureFileSystem pathInfo analog). Unknown format keys
+    raise KeyError — a mis-speced bucket/account must fail at config time,
+    not as a cluster-side 403."""
+    if scheme not in _SCHEMES:
+        raise ValueError(
+            f"unknown scheme {scheme!r} (have {sorted(_SCHEMES)}); SFTP has "
+            "no Spark URI — use sync_remote_dir into a staging dir instead")
+    uri_t, confs_t = _SCHEMES[scheme]
+    uri = uri_t.format(**settings)
+    confs = {k.format(**settings): v.format(**settings)
+             for k, v in confs_t.items() if _has_keys(v, settings)}
+    return uri, confs
+
+
+def _has_keys(template: str, settings: dict) -> bool:
+    import string
+    keys = [f[1] for f in string.Formatter().parse(template) if f[1]]
+    return all(k in settings for k in keys)
+
+
+# ------------------------------------------------------------ sync backends
+
+@dataclass
+class RemoteEntry:
+    relpath: str
+    size: int
+    mtime: float
+
+
+class LocalBackend:
+    """Directory-to-directory backend: the in-sandbox stand-in that gives
+    the sync protocol (listing, fetch, incremental state, atomicity) full
+    test coverage without a network (the reference tests SFTP against a
+    container for the same reason)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def list(self) -> Iterable[RemoteEntry]:
+        for dirpath, _dirs, files in os.walk(self.root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                yield RemoteEntry(os.path.relpath(p, self.root),
+                                  st.st_size, st.st_mtime)
+
+    def fetch(self, relpath: str, dest: str) -> None:
+        import shutil
+        shutil.copyfile(os.path.join(self.root, relpath), dest)
+
+
+class SftpBackend:
+    """SFTP backend (SftpFileSystem.java analog) — binds to paramiko at
+    call time; this container ships no SSH libs, so construction raises
+    with the dependency named instead of failing mid-sync."""
+
+    def __init__(self, host: str, username: str, root: str = ".",
+                 port: int = 22, **connect_kwargs):
+        try:
+            import paramiko  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "SftpBackend needs paramiko (pip install paramiko); in "
+                "environments without it, stage files by other means and "
+                "point Spark at the staging dir") from e
+        self._paramiko = __import__("paramiko")
+        self.host, self.port = host, port
+        self.username, self.root = username, root
+        self.connect_kwargs = connect_kwargs
+        self._sftp = None
+
+    def _client(self):
+        if self._sftp is None:
+            t = self._paramiko.Transport((self.host, self.port))
+            t.connect(username=self.username, **self.connect_kwargs)
+            self._sftp = self._paramiko.SFTPClient.from_transport(t)
+        return self._sftp
+
+    def list(self) -> Iterable[RemoteEntry]:
+        sftp = self._client()
+
+        def walk(rel):
+            base = os.path.join(self.root, rel) if rel else self.root
+            for attr in sftp.listdir_attr(base):
+                sub = os.path.join(rel, attr.filename) if rel else attr.filename
+                import stat as _stat
+                if _stat.S_ISDIR(attr.st_mode):
+                    yield from walk(sub)
+                else:
+                    yield RemoteEntry(sub, attr.st_size, attr.st_mtime)
+
+        yield from walk("")
+
+    def fetch(self, relpath: str, dest: str) -> None:
+        self._client().get(os.path.join(self.root, relpath), dest)
+
+
+# ------------------------------------------------------------ sync protocol
+
+def sync_remote_dir(backend, staging_dir: str,
+                    pattern: str | None = None,
+                    on_file: Callable[[str], None] | None = None) -> list[str]:
+    """Incrementally mirror a remote directory into ``staging_dir`` and
+    return the relpaths fetched THIS call (new or changed files only).
+
+    * state doc ``_sync_state.json`` remembers ``(size, mtime)`` per synced
+      file — unchanged files cost one listing row, no bytes;
+    * each fetch writes a temp name then ``os.rename``s into place, so a
+      crashed sync never exposes a partial file to the Spark scan that
+      reads the staging dir (the Writer.java temp→commit rule);
+    * the state doc is republished atomically AFTER each file lands, so a
+      crash mid-sync re-fetches at most the in-flight file;
+    * ``pattern`` is an fnmatch glob on the relpath (drop-dir filtering);
+    * ``on_file`` fires per landed file (the FileUploadCallback analog).
+    """
+    os.makedirs(staging_dir, exist_ok=True)
+    state_path = os.path.join(staging_dir, "_sync_state.json")
+    state: dict[str, list] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    fetched: list[str] = []
+    for e in backend.list():
+        if pattern and not fnmatch.fnmatch(e.relpath, pattern):
+            continue
+        if state.get(e.relpath) == [e.size, e.mtime]:
+            continue
+        dest = os.path.join(staging_dir, e.relpath)
+        os.makedirs(os.path.dirname(dest) or staging_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
+        os.close(fd)
+        try:
+            backend.fetch(e.relpath, tmp)
+            os.rename(tmp, dest)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+        state[e.relpath] = [e.size, e.mtime]
+        _atomic_write_json(state_path, state)
+        fetched.append(e.relpath)
+        if on_file is not None:
+            on_file(dest)
+    return fetched

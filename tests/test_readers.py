@@ -273,3 +273,29 @@ def test_archive_scan_error_routing_and_zipcrypto(spark, tmp_path):
         with pytest.raises(Exception, match="e.zip"):
             read_archive_members(spark, str(enc / "e.zip"),
                                  password="wrong").collect()
+
+
+def test_archive_aes_zip_detected_and_gated(tmp_path):
+    """A WinZip-AES zip (compression method 99) must fail with the pyzipper
+    dependency NAMED in fail mode, and skip like any undecodable bundle in
+    skip mode — never a bare BadZipFile deep in an executor."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from cdc_core_spark.sources.archive import _zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("x.txt", b"secret")
+    blob = bytearray(buf.getvalue())
+    # patch the compression-method field to 99 in the local header
+    # (offset 8) and the central directory entry (offset 10)
+    lh = blob.find(b"PK\x03\x04")
+    blob[lh + 8:lh + 10] = (99).to_bytes(2, "little")
+    cd = blob.find(b"PK\x01\x02")
+    blob[cd + 10:cd + 12] = (99).to_bytes(2, "little")
+
+    with pytest.raises(RuntimeError, match="pyzipper"):
+        list(_zip_members("drop/a.zip", bytes(blob), None, b"pw"))

@@ -1,0 +1,96 @@
+"""Remote-filesystem parity layer: URI/conf resolution for object stores +
+the incremental sync protocol (RemoteFsCache analog) under the tested
+LocalBackend; SftpBackend is import-gated (no SSH libs in sandbox)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from cdc_core_spark.sources import remote_fs as rfs
+
+
+def _write(root, rel, text):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p) or root, exist_ok=True)
+    with open(p, "w") as f:
+        f.write(text)
+
+
+def test_spark_uri_resolution():
+    uri, confs = rfs.spark_uri("s3", bucket="drop", root="in",
+                               endpoint="s3.eu-west-1.amazonaws.com")
+    assert uri == "s3a://drop/in"
+    assert confs["spark.hadoop.fs.s3a.endpoint"] == "s3.eu-west-1.amazonaws.com"
+    uri, confs = rfs.spark_uri("azure", container="c", account="acct",
+                               root="in", auth_type="OAuth")
+    assert uri == "abfss://c@acct.dfs.core.windows.net/in"
+    assert confs == {"spark.hadoop.fs.azure.account.auth.type.acct"
+                     ".dfs.core.windows.net": "OAuth"}
+    # s3 without optional endpoint: uri resolves, optional conf dropped
+    uri, confs = rfs.spark_uri("s3", bucket="b", root="r")
+    assert uri == "s3a://b/r" and confs == {}
+    with pytest.raises(ValueError, match="sync_remote_dir"):
+        rfs.spark_uri("sftp")
+
+
+def test_sync_incremental_change_detection_and_atomicity(tmp_path):
+    remote = str(tmp_path / "remote")
+    staging = str(tmp_path / "staging")
+    _write(remote, "a.csv", "one")
+    _write(remote, "sub/b.csv", "two")
+    _write(remote, "junk.log", "no")
+    be = rfs.LocalBackend(remote)
+
+    landed = []
+    got = rfs.sync_remote_dir(be, staging, pattern="*.csv",
+                              on_file=landed.append)
+    assert sorted(got) == ["a.csv", "sub/b.csv"]
+    assert sorted(os.path.basename(p) for p in landed) == ["a.csv", "b.csv"]
+    assert open(os.path.join(staging, "sub/b.csv")).read() == "two"
+    assert not os.path.exists(os.path.join(staging, "junk.log"))
+
+    # unchanged → no bytes move
+    assert rfs.sync_remote_dir(be, staging, pattern="*.csv") == []
+
+    # changed file (size change) re-fetches; new file arrives
+    _write(remote, "a.csv", "one-changed")
+    _write(remote, "c.csv", "three")
+    got = rfs.sync_remote_dir(be, staging, pattern="*.csv")
+    assert sorted(got) == ["a.csv", "c.csv"]
+    assert open(os.path.join(staging, "a.csv")).read() == "one-changed"
+
+    # no temp debris visible to a scan of the staging dir
+    assert not [f for f in os.listdir(staging) if f.endswith(".tmp")]
+    # state doc tracks every synced file
+    state = json.load(open(os.path.join(staging, "_sync_state.json")))
+    assert set(state) == {"a.csv", "sub/b.csv", "c.csv"}
+
+
+def test_sync_crash_refetches_only_inflight_file(tmp_path):
+    remote = str(tmp_path / "remote")
+    staging = str(tmp_path / "staging")
+    _write(remote, "a.csv", "one")
+    _write(remote, "b.csv", "two")
+
+    class FlakyBackend(rfs.LocalBackend):
+        def fetch(self, relpath, dest):
+            if relpath == "b.csv":
+                raise OSError("connection reset")
+            super().fetch(relpath, dest)
+
+    with pytest.raises(OSError):
+        rfs.sync_remote_dir(FlakyBackend(remote), staging)
+    # a.csv landed and is remembered; b.csv left no partial file
+    assert os.path.exists(os.path.join(staging, "a.csv"))
+    assert not os.path.exists(os.path.join(staging, "b.csv"))
+    assert not [f for f in os.listdir(staging) if f.endswith(".tmp")]
+    got = rfs.sync_remote_dir(rfs.LocalBackend(remote), staging)
+    assert got == ["b.csv"]    # only the in-flight file re-fetches
+
+
+def test_sftp_backend_is_import_gated():
+    with pytest.raises(ImportError, match="paramiko"):
+        rfs.SftpBackend("host", "user")
