@@ -423,7 +423,11 @@ def q_cdc_out_chain(spark, sf_dir):
     tag = os.path.basename(sf_dir.rstrip("/"))
     base = f"/tmp/cdc_entry_chain_{tag}"
     shutil.rmtree(base, ignore_errors=True)
-    eng = CdcEngine(spark, f"{base}/up", _replay_registry(), n_buckets=8)
+    # merge_mode pinned: read_changes requires MOR commits (cow rewrites
+    # raise by design), and this gate must hold even when the suite runs
+    # under CDC_MERGE_STRATEGY=cow-jvm/cow-arrow
+    eng = CdcEngine(spark, f"{base}/up", _replay_registry(), n_buckets=8,
+                    merge_mode="mor")
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
     adapted = _adapt_events(spark, sf_dir)
     for epoch in (0, 1):

@@ -51,6 +51,11 @@ from cdc_core_spark.lake import INTERNAL_COLS, sql_type
 #: snapshot-summary keys carrying the exactly-once ledger
 EPOCH_PROP = "cdc.epoch"
 MANIFESTS_PROP = "cdc.manifests"
+#: table properties: key columns (so an adapter can attach to an existing
+#: table) and the ledger folded forward by expire_snapshots
+KEY_COLS_PROP = "cdc.key-cols"
+EXPIRED_EPOCHS_PROP = "cdc.expired-epochs"
+EXPIRED_MANIFESTS_PROP = "cdc.expired-manifests"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -79,6 +84,26 @@ class IcebergSnapshotTable:
         self.spark = spark
         self.ident = ident
         self.catalog = ident.split(".", 1)[0]
+        self._key_cols: list[str] | None = None
+
+    @property
+    def key_cols(self) -> list[str]:
+        """Key columns — recovered from the ``cdc.key-cols`` table property
+        when the adapter is attached to an existing table (a resumed driver
+        never re-runs ``create``), settable for tables made elsewhere."""
+        if self._key_cols is None:
+            raw = self._table_props().get(KEY_COLS_PROP)
+            if raw is None:
+                raise ValueError(
+                    f"table {self.ident} has no {KEY_COLS_PROP!r} property — "
+                    "it was not created by IcebergSnapshotTable.create; set "
+                    ".key_cols explicitly before reading")
+            self._key_cols = json.loads(raw)
+        return self._key_cols
+
+    @key_cols.setter
+    def key_cols(self, cols: list[str]) -> None:
+        self._key_cols = list(cols)
 
     # ---------------- DDL ----------------
     @staticmethod
@@ -92,7 +117,8 @@ class IcebergSnapshotTable:
         spark.sql(
             f"CREATE TABLE {ident} ({cols}) USING iceberg "
             f"PARTITIONED BY ({buckets}) "
-            "TBLPROPERTIES ('format-version'='2')")
+            "TBLPROPERTIES ('format-version'='2', "
+            f"'{KEY_COLS_PROP}'='{json.dumps(key_cols)}')")
         t = IcebergSnapshotTable(spark, ident)
         t.key_cols = key_cols
         return t
@@ -141,18 +167,29 @@ class IcebergSnapshotTable:
         return self.spark.table(f"{self.ident}.snapshots")
 
     def committed_epochs(self) -> set[int]:
+        """Live snapshot summaries ∪ the expired-ledger table property —
+        exactly-once resume must survive retention, same as SnapshotTable's
+        expired-base doc."""
         rows = (self.snapshots()
                 .select(F.element_at("summary", EPOCH_PROP).alias("e"))
                 .filter(F.col("e").isNotNull()).collect())
-        return {int(r["e"]) for r in rows}
+        return {int(r["e"]) for r in rows} | self._ledger_epochs()
 
     def all_manifests(self) -> list[dict]:
+        """Lineage rows from live snapshot summaries PLUS the manifests
+        folded into the expired-ledger property — the audit trail survives
+        retention, not just the epoch ids."""
+        out: list[dict] = list(self._ledger_manifests())
+        # canonical-JSON dedupe: between ledger-fold and snapshot expiry a
+        # crashed expire leaves the same rows in BOTH places
+        seen = {json.dumps(m, sort_keys=True) for m in out}
         rows = (self.snapshots()
                 .select(F.element_at("summary", MANIFESTS_PROP).alias("m"))
                 .filter(F.col("m").isNotNull()).collect())
-        out: list[dict] = []
         for r in rows:
-            out.extend(json.loads(r["m"]))
+            for m in json.loads(r["m"]):
+                if json.dumps(m, sort_keys=True) not in seen:
+                    out.append(m)
         return out
 
     def read_changes(self, from_snapshot_id: int,
@@ -186,9 +223,22 @@ class IcebergSnapshotTable:
         eps = sorted({int(s["summary"][EPOCH_PROP]) for s in expiring
                       if s["summary"] and EPOCH_PROP in s["summary"]}
                      | self._ledger_epochs())
+        # manifests fold forward too (the lineage half of the ledger);
+        # dedup by canonical JSON so a retried expire (props set, CALL
+        # failed) never double-counts rows still carried by live snapshots
+        mans = list(self._ledger_manifests())
+        seen = {json.dumps(m, sort_keys=True) for m in mans}
+        for s in expiring:
+            if s["summary"] and MANIFESTS_PROP in s["summary"]:
+                for m in json.loads(s["summary"][MANIFESTS_PROP]):
+                    key = json.dumps(m, sort_keys=True)
+                    if key not in seen:
+                        seen.add(key)
+                        mans.append(m)
         self.spark.sql(
             f"ALTER TABLE {self.ident} SET TBLPROPERTIES "
-            f"('cdc.expired-epochs'='{json.dumps(eps)}')")
+            f"('{EXPIRED_EPOCHS_PROP}'='{json.dumps(eps)}', "
+            f"'{EXPIRED_MANIFESTS_PROP}'='{json.dumps(mans)}')")
         if expiring:
             ts = snaps[-keep_last]["committed_at"].isoformat(sep=" ")
             self.spark.sql(
@@ -196,8 +246,14 @@ class IcebergSnapshotTable:
                 f"(table => '{self.ident.split('.', 1)[1]}', "
                 f"older_than => TIMESTAMP '{ts}')")
 
-    def _ledger_epochs(self) -> set[int]:
-        props = {r["key"]: r["value"] for r in self.spark.sql(
+    def _table_props(self) -> dict[str, str]:
+        return {r["key"]: r["value"] for r in self.spark.sql(
             f"SHOW TBLPROPERTIES {self.ident}").collect()}
-        raw = props.get("cdc.expired-epochs")
+
+    def _ledger_epochs(self) -> set[int]:
+        raw = self._table_props().get(EXPIRED_EPOCHS_PROP)
         return set(json.loads(raw)) if raw else set()
+
+    def _ledger_manifests(self) -> list[dict]:
+        raw = self._table_props().get(EXPIRED_MANIFESTS_PROP)
+        return json.loads(raw) if raw else []

@@ -371,8 +371,10 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     the corpus: ``max(256, 4 · ceil(n_docs / 2^min_width))`` — a few × the
     expected uniform load, so hash-typical buckets always survive and only
     genuinely pathological skew (one band key owning ≫4× its share) is
-    dropped. The sizing pays one ``count()`` job (parquet-footer cheap);
-    pass an explicit cap to skip it, in which case a saturation warning
+    dropped. The sizing counts the CHECKPOINTED fingerprint frame, so it
+    just materializes work the band-explode and verify join need anyway —
+    no extra pass over the (possibly join-heavy) upstream plan. Pass an
+    explicit cap to skip the count, in which case a saturation warning
     fires when narrow bands make the explicit cap corpus-dangerous."""
     if not 0 <= max_hamming <= 15:
         raise ValueError(
@@ -382,9 +384,15 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     base, extra = divmod(64, n_bands)
     widths = [base + 1 if i < extra else base for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
+    # lazy localCheckpoint: the fingerprint pipeline (tokenize + xxhash +
+    # Arrow bit-fold, the dominant cost) feeds the band explode AND both
+    # sides of the verify join — unmaterialized it would run 3×
+    sh = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
     if max_bucket is None:
         import math
-        n_docs = df.count()
+        # counting sh (not df) materializes the checkpoint the downstream
+        # stages read anyway — the upstream plan still runs exactly once
+        n_docs = sh.count()
         max_bucket = max(256, 4 * math.ceil(n_docs / 2 ** min(widths)))
     elif min(widths) < 16:
         import warnings
@@ -395,11 +403,6 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
             f"(= {max_bucket * 2 ** min(widths):,} docs) will saturate every "
             "bucket and the cap will drop ALL candidates — raise max_bucket "
             "or use max_bucket=None (corpus-sized auto cap)", stacklevel=2)
-    # lazy localCheckpoint: the fingerprint pipeline (tokenize + xxhash +
-    # Arrow bit-fold, the dominant cost) feeds the band explode AND both
-    # sides of the verify join — unmaterialized it would run 3×
-    sh = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
-
     def _slice(off: int, w: int):
         c = F.shiftrightunsigned(F.col("simhash"), off)
         # a 64-bit mask doesn't fit a signed long literal; w == 64 means

@@ -63,23 +63,23 @@ def _named_errors(it, name: str):
 
 def _zip_members(name: str, blob: bytes, pat: str | None,
                  password: bytes | None):
-    zf_cls = zipfile.ZipFile
-    with zipfile.ZipFile(io.BytesIO(blob)) as probe:
-        # compression method 99 = WinZip AES (the scheme ProtectedZipHandler
-        # supports beyond ZipCrypto). stdlib can't decrypt it; pyzipper can —
-        # bind it when present, otherwise fail with the dependency NAMED
-        # (in on_error="skip" mode the archive is skipped like any other
-        # undecodable bundle, same as a wrong password)
-        if any(i.compress_type == 99 for i in probe.infolist()):
-            try:
-                import pyzipper
-                zf_cls = pyzipper.AESZipFile
-            except ImportError:
-                raise RuntimeError(
-                    f"archive {name!r} uses WinZip AES encryption; the "
-                    "stdlib only decrypts ZipCrypto — install pyzipper to "
-                    "read AES bundles") from None
-    with zf_cls(io.BytesIO(blob)) as zf:
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    # compression method 99 = WinZip AES (the scheme ProtectedZipHandler
+    # supports beyond ZipCrypto). stdlib can't decrypt it; pyzipper can —
+    # rebind only then, so the common plain/ZipCrypto case parses the
+    # central directory exactly once. In on_error="skip" mode the AES
+    # archive is skipped like any other undecodable bundle.
+    if any(i.compress_type == 99 for i in zf.infolist()):
+        zf.close()
+        try:
+            import pyzipper
+        except ImportError:
+            raise RuntimeError(
+                f"archive {name!r} uses WinZip AES encryption; the "
+                "stdlib only decrypts ZipCrypto — install pyzipper to "
+                "read AES bundles") from None
+        zf = pyzipper.AESZipFile(io.BytesIO(blob))
+    with zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue

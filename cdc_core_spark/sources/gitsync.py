@@ -107,7 +107,14 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
         # skip. (T from gitlink→blob keeps dst 100644 and hydrates fine.)
         live_mode = src_mode if op == OP_DELETE else dst_mode
         if live_mode == "160000":
-            continue
+            if op != OP_DELETE and src_mode not in ("000000", "160000"):
+                # typechange blob→gitlink: the submodule itself is not
+                # ingestable, but the path's OLD file row must still go —
+                # skipping outright would leave stale content at a path
+                # HEAD's tree no longer has, breaking replay convergence
+                op = OP_DELETE
+            else:
+                continue
         upath = _unquote(path)
         if "\n" in upath:
             # `cat-file --batch` input is newline-delimited and this git

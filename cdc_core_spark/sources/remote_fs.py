@@ -63,24 +63,34 @@ _SCHEMES = {
 
 def spark_uri(scheme: str, **settings) -> tuple[str, dict]:
     """Resolve a backend + settings to ``(spark_readable_uri, spark_confs)``
-    (the S3FileSystem/AzureFileSystem pathInfo analog). Unknown format keys
-    raise KeyError — a mis-speced bucket/account must fail at config time,
-    not as a cluster-side 403."""
+    (the S3FileSystem/AzureFileSystem pathInfo analog). Mis-specs fail at
+    config time, not as a cluster-side 403: a missing URI key raises
+    KeyError, and a settings key the scheme doesn't know (e.g. a typo'd
+    ``endpont``) raises ValueError instead of silently dropping the conf it
+    was meant to fill."""
     if scheme not in _SCHEMES:
         raise ValueError(
             f"unknown scheme {scheme!r} (have {sorted(_SCHEMES)}); SFTP has "
             "no Spark URI — use sync_remote_dir into a staging dir instead")
     uri_t, confs_t = _SCHEMES[scheme]
+    known: set[str] = set()
+    for t in (uri_t, *confs_t, *confs_t.values()):
+        known |= _template_keys(t)
+    unknown = set(settings) - known
+    if unknown:
+        raise ValueError(
+            f"unknown settings {sorted(unknown)} for scheme {scheme!r} "
+            f"(it takes {sorted(known)})")
     uri = uri_t.format(**settings)
     confs = {k.format(**settings): v.format(**settings)
-             for k, v in confs_t.items() if _has_keys(v, settings)}
+             for k, v in confs_t.items()
+             if _template_keys(v) <= set(settings)}
     return uri, confs
 
 
-def _has_keys(template: str, settings: dict) -> bool:
+def _template_keys(template: str) -> set[str]:
     import string
-    keys = [f[1] for f in string.Formatter().parse(template) if f[1]]
-    return all(k in settings for k in keys)
+    return {f[1] for f in string.Formatter().parse(template) if f[1]}
 
 
 # ------------------------------------------------------------ sync backends
@@ -192,7 +202,11 @@ def sync_remote_dir(backend, staging_dir: str,
             continue
         dest = os.path.join(staging_dir, e.relpath)
         os.makedirs(os.path.dirname(dest) or staging_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".tmp")
+        # "_" prefix: Spark scans ignore _/. -prefixed files, so even a
+        # SIGKILL'd fetch (cleanup never runs) or a scan concurrent with a
+        # sync can never read a half-written temp as data
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), prefix="_",
+                                   suffix=".tmp")
         os.close(fd)
         try:
             backend.fetch(e.relpath, tmp)

@@ -203,6 +203,41 @@ def test_submodule_gitlinks_skipped_and_binary_blobs_roundtrip(
     assert "�" in got["img.bin"]
 
 
+def test_blob_to_gitlink_typechange_emits_delete(spark, registry, tmp_path):
+    """A path that starts life as a regular file and is later REPLACED by a
+    submodule gitlink (raw status T, dst mode 160000) must emit a DELETE —
+    skipping it like other gitlink events would leave stale file content at
+    a path HEAD's tree no longer has as a blob, breaking convergence."""
+    repo = str(tmp_path / "r")
+    os.makedirs(repo)
+    _run(repo, "init", "-q", "-b", "main")
+    _write(repo, "vendor/lib", "old blob\n")
+    _write(repo, "keep.txt", "keep\n")
+    _run(repo, "add", "."); _run(repo, "commit", "-qm", "c0",
+                                 env_ts="2024-01-01T00:00:00Z")
+    head = subprocess.run(
+        ["git", "-C", repo, "rev-parse", "HEAD"], check=True,
+        capture_output=True, text=True).stdout.strip()
+    # replace the blob with a gitlink at the SAME path (mode 100644→160000)
+    # via plumbing: the pointed-to commit need not be fetchable — exactly
+    # the hydration hazard the listing-time filter exists for
+    _run(repo, "update-index", "--add", "--cacheinfo",
+         f"160000,{head},vendor/lib")
+    _run(repo, "commit", "-qm", "c1", env_ts="2024-01-02T00:00:00Z")
+
+    events = gitsync.events_from_git(spark, repo, "org/r")
+    ops = {(r["path"], r["rev"]): r["op"] for r in events.collect()}
+    assert ops[("vendor/lib", 0)] == OP_INSERT
+    assert ops[("vendor/lib", 1)] == OP_DELETE   # not silently skipped
+
+    ev_dir = str(tmp_path / "events")
+    events.write.partitionBy("checkpoint_epoch").parquet(ev_dir)
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=4)
+    empty = spark.createDataFrame([], "repo string, path string")
+    eng.replay(ev_dir, source_df=empty, schema_version="1.1")
+    assert {r["path"] for r in eng.read_final().collect()} == {"keep.txt"}
+
+
 def test_newline_path_rejected_at_listing(spark, tmp_path):
     """git permits a committed path containing a newline, but this git's
     cat-file batch protocol (< 2.42, no -Z) cannot query it — the listing

@@ -87,7 +87,31 @@ def test_compact_preserves_state(spark, ice):
 def test_expire_folds_ledger_forward(spark, ice):
     for e in range(4):
         ice.commit_delta(_rows(spark, [("r", f"p{e}", "v", 100 + e, e, False)]),
-                         epoch=e, manifests=[])
+                         epoch=e,
+                         manifests=[{"checkpoint_epoch": e,
+                                     "partition_id": 0, "events_read": 1}])
     ice.expire_snapshots(keep_last=1)
-    # resume safety: every epoch still visible to the exactly-once skip
-    assert ice._ledger_epochs() | ice.committed_epochs() == {0, 1, 2, 3}
+    # resume safety: every epoch still visible to the exactly-once skip —
+    # committed_epochs() itself must union the folded ledger
+    assert ice.committed_epochs() == {0, 1, 2, 3}
+    # and the lineage HALF of the ledger survives too (manifest rows of
+    # expired snapshots fold into the table property, deduped vs live)
+    eps = sorted(m["checkpoint_epoch"] for m in ice.all_manifests())
+    assert eps == [0, 1, 2, 3]
+    # idempotent: a second expire (nothing newly expiring) changes nothing
+    ice.expire_snapshots(keep_last=1)
+    assert sorted(m["checkpoint_epoch"] for m in ice.all_manifests()) == eps
+
+
+def test_attach_to_existing_table_recovers_key_cols(spark, ice):
+    """A resumed driver constructs the adapter WITHOUT re-running create —
+    key_cols must come back from the cdc.key-cols table property."""
+    ice.commit_delta(_rows(spark, [("r", "a", "v1", 100, 1, False)]),
+                     epoch=0, manifests=[])
+    t2 = IcebergSnapshotTable(spark, ice.ident)
+    assert t2.key_cols == ["repo", "path"]
+    assert {(r["repo"], r["path"]) for r in t2.read().collect()} == {("r", "a")}
+    with pytest.raises(ValueError, match="key-cols"):
+        bare = IcebergSnapshotTable(spark, ice.ident)
+        bare._table_props = lambda: {}   # simulate a foreign table
+        bare.key_cols

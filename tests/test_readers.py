@@ -275,16 +275,21 @@ def test_archive_scan_error_routing_and_zipcrypto(spark, tmp_path):
                                  password="wrong").collect()
 
 
-def test_archive_aes_zip_detected_and_gated(tmp_path):
+def test_archive_aes_zip_detected_and_gated(tmp_path, monkeypatch):
     """A WinZip-AES zip (compression method 99) must fail with the pyzipper
     dependency NAMED in fail mode, and skip like any undecodable bundle in
     skip mode — never a bare BadZipFile deep in an executor."""
     import io
+    import sys
     import zipfile
 
     import pytest
 
     from cdc_core_spark.sources.archive import _zip_members
+
+    # force the no-pyzipper branch even on machines that have it installed
+    # (sys.modules[name] = None makes `import name` raise ImportError)
+    monkeypatch.setitem(sys.modules, "pyzipper", None)
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:

@@ -34,6 +34,10 @@ def test_spark_uri_resolution():
     assert uri == "s3a://b/r" and confs == {}
     with pytest.raises(ValueError, match="sync_remote_dir"):
         rfs.spark_uri("sftp")
+    # a typo'd settings key must fail at config time, not silently drop
+    # the conf it was meant to fill (→ cluster-side default-endpoint 403)
+    with pytest.raises(ValueError, match="endpont"):
+        rfs.spark_uri("s3", bucket="b", root="r", endpont="s3.example.com")
 
 
 def test_sync_incremental_change_detection_and_atomicity(tmp_path):
@@ -77,6 +81,9 @@ def test_sync_crash_refetches_only_inflight_file(tmp_path):
 
     class FlakyBackend(rfs.LocalBackend):
         def fetch(self, relpath, dest):
+            # in-flight temp names must be _-prefixed so a Spark scan of
+            # the staging dir never sees them, even after SIGKILL
+            assert os.path.basename(dest).startswith("_")
             if relpath == "b.csv":
                 raise OSError("connection reset")
             super().fetch(relpath, dest)
