@@ -781,25 +781,36 @@ def q_grouping_sets(spark, sf_dir):
 
 def q_text_search(spark, sf_dir):
     """Full-text term query (SolrDataStore/SolrCursor analog, SURVEY §2.2
-    search store): inverted-index build (explode+groupBy TF) + broadcast
-    OR-of-terms query, under BOTH relevance contracts — raw TF-sum and
-    TF·IDF (``sum(tf · ln(N/df))``, rounded to 4 decimals) — tagged by a
-    ``scoring`` column. The oracle recomputes the same inverted index,
-    document frequencies, and corpus count in SQL."""
+    search store): inverted-index build (explode+groupBy TF) persisted to
+    the term-hash-bucketed STORED layout — half the corpus via
+    ``write_text_index``, the other half arriving later via
+    ``append_text_index`` (the growing-corpus maintenance path) — then the
+    broadcast OR-of-terms query under BOTH relevance contracts: raw TF-sum
+    and TF·IDF (``sum(tf · ln(N/df))``, rounded to 4 decimals; N read from
+    the sidecar the append accumulated), tagged by a ``scoring`` column.
+    The oracle recomputes the inverted index, document frequencies, and
+    corpus count in SQL over the WHOLE corpus, so a green row proves
+    append == rebuild, sidecar doc-count accumulation, AND the scoring
+    contracts in one gate."""
+    import shutil
+
     from cdc_core_spark.operators import textsearch as ts
     d = _t(spark, sf_dir, "documents")
-    idx = ts.build_text_index(d, "doc_id", "text")
     terms = ["merge", "stream", "vector"]
-    tf_r = (ts.search_text(idx, terms, mode="any")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/cdc_entry_tidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    ts.write_text_index(ts.build_text_index(old, "doc_id", "text"),
+                        path, n_buckets=16)
+    ts.append_text_index(ts.build_text_index(new, "doc_id", "text"), path)
+    tf_r = (ts.search_text_stored(spark, path, terms, mode="any")
             .select("doc", "n_terms_matched",
                     F.col("score").cast("double").alias("score"),
                     F.lit("tf").alias("scoring")))
-    # tfidf requires the corpus count EXPLICITLY (search_text raises
-    # otherwise — the 100-TB guard); the gate counts once, in-plan here,
-    # standing in for the _index_meta.json sidecar a stored index carries
-    n_docs = idx.select(F.count_distinct("doc")).first()[0]
-    tfidf_r = (ts.search_text(idx, terms, mode="any", scoring="tfidf",
-                              n_docs=n_docs)
+    tfidf_r = (ts.search_text_stored(spark, path, terms, mode="any",
+                                     scoring="tfidf")
                .select("doc", "n_terms_matched", "score",
                        F.lit("tfidf").alias("scoring")))
     return tf_r.unionByName(tfidf_r)

@@ -122,6 +122,24 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
     return centroids
 
 
+def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
+    """Extend a cell-partitioned IVF store with new vectors: assign against
+    the STORED centroids (the codebook stays fixed — standard IVF append
+    semantics) and append into the matching ``cell=`` directories, so
+    queries prune exactly as before. Cost is one GEMM assignment pass over
+    the new vectors only — never a re-layout of the existing store.
+    Because the codebook does not learn from appends, distribution drift in
+    the incoming vectors slowly decays recall; the repair is a periodic
+    ``ivf_write`` re-train, the same rebuild cadence production IVF
+    services run."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = np.array(json.load(f), dtype=np.float64)
+    assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
+    assigned.write.partitionBy("cell").mode("append").parquet(path)
+
+
 def ivf_probe_scan(spark, path: str, query: list[float],
                    nprobe: int = 4) -> DataFrame:
     """The pruned candidate scan under ``ivf_topk_stored``: picks the nprobe

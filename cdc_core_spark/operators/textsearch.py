@@ -174,6 +174,60 @@ def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
         json.dump({"n_buckets": n_buckets, "n_docs": n_docs}, f)
 
 
+def append_text_index(index: DataFrame, path: str,
+                      check_disjoint: bool = False) -> None:
+    """Incrementally extend a stored index with NEW documents' postings —
+    the growing-corpus maintenance path: cost is one shuffle over the new
+    postings only, never a rebuild of the existing layout (at 100 TB a
+    full index rebuild per ingest batch is the anti-pattern this exists to
+    avoid). Appended files land inside the same term-hash bucket
+    directories (the sidecar's ``n_buckets`` keys the hash, so old and new
+    files agree), query-side directory pruning is unchanged, and each new
+    file is term-clustered for row-group pruning exactly like the
+    originals. Searching after an append is equal to searching a full
+    rebuild — asserted in tests and exercised by the ``text_search`` gate.
+
+    The caller guarantees the new doc ids are DISJOINT from the indexed
+    ones (appending an already-indexed doc would double its term
+    frequencies); ``check_disjoint=True`` verifies with a semi-join over
+    the stored doc ids — one extra index scan, affordable at append time,
+    off by default for batches whose disjointness is structural (e.g.
+    monotonic ingest ids).
+
+    The ``n_docs`` sidecar updates AFTER the postings land (atomic temp +
+    rename): a crash between the two leaves the count stale-low, which
+    only deflates tfidf scores uniformly (``ln(N/df)`` with a smaller N)
+    until the next append repairs it — postings are never lost or
+    double-counted."""
+    import json
+    import os
+
+    from cdc_core_spark.coordination import _atomic_write_json
+
+    spark = index.sparkSession
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    if check_disjoint:
+        existing = spark.read.parquet(path).select("doc").distinct()
+        dup = (index.select("doc").distinct()
+               .join(existing, "doc", "left_semi").limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"append_text_index: doc {dup[0]['doc']!r} is already "
+                "indexed — appending would double-count its term "
+                "frequencies; rebuild with write_text_index (or exclude "
+                "already-indexed docs) instead")
+    n_new = index.select(F.count_distinct("doc")).first()[0]
+    bucketed = index.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    (bucketed.repartition(n_buckets, "term_bucket")
+     .sortWithinPartitions("term", "doc")
+     .write.partitionBy("term_bucket").mode("append").parquet(path))
+    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    _atomic_write_json(os.path.join(path, "_index_meta.json"), meta)
+
+
 def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
     """The pruned index scan under ``search_text_stored``: normalized query
     terms → their hash buckets (computed by the same JVM xxhash64 the writer

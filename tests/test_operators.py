@@ -454,6 +454,84 @@ def test_text_index_stored_bucket_pruning(spark, tmp_path):
         assert [tuple(r) for r in stored] == [tuple(r) for r in full]
 
 
+def test_text_index_append_equals_rebuild(spark, tmp_path):
+    """append_text_index (the growing-corpus maintenance path) must leave
+    the stored index search-equivalent to a full rebuild over the union
+    corpus — tf AND tfidf (the sidecar n_docs must accumulate), any/all —
+    and the disjointness guard must catch a re-appended doc."""
+    import json
+
+    import pytest
+
+    from cdc_core_spark.operators import textsearch as ts
+
+    rows = [(i, f"alpha w{i % 31} " + ("merge " * (i % 5)) +
+             ("stream " * (i % 3))) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.filter(F.col("doc_id") % 2 == 0)
+    new = df.filter(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path / "tidx")
+    ts.write_text_index(ts.build_text_index(old, "doc_id", "text"),
+                        path, n_buckets=8)
+    ts.append_text_index(ts.build_text_index(new, "doc_id", "text"), path)
+
+    meta = json.load(open(path + "/_index_meta.json"))
+    assert meta["n_docs"] == 400          # sidecar accumulated atomically
+
+    full_idx = ts.build_text_index(df, "doc_id", "text")
+    for mode in ("any", "all"):
+        for scoring in ("tf", "tfidf"):
+            got = ts.search_text_stored(spark, path, ["merge", "stream"],
+                                        mode=mode, scoring=scoring).collect()
+            want = ts.search_text(full_idx, ["merge", "stream"], mode=mode,
+                                  scoring=scoring, n_docs=400).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # appended files land INSIDE the bucket layout: pruning still holds
+    cand = ts.probe_index_scan(spark, path, ["merge"])
+    read = {r["f"] for r in cand.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert len({f.split("term_bucket=")[1].split("/")[0]
+                for f in read}) == 1
+
+    with pytest.raises(ValueError, match="already"):
+        ts.append_text_index(ts.build_text_index(new, "doc_id", "text"),
+                             path, check_disjoint=True)
+
+
+def test_ivf_append_equals_full_store(spark, tmp_path):
+    """ivf_append must extend the cell-partitioned store such that stored
+    top-k equals the in-plan IVF over the union corpus under the SAME
+    (fixed) codebook — and partition pruning still holds."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    old = df.filter(F.col("vec_id") < 200)
+    new = df.filter(F.col("vec_id") >= 200)
+    q = [float(x) for x in vecs[250]]
+
+    path = str(tmp_path / "ivf")
+    cents = similarity.ivf_write(old, "vec_id", "embedding", path, n_cells=8)
+    similarity.ivf_append(new, "vec_id", "embedding", path)
+
+    stored = similarity.ivf_topk_stored(spark, path, "vec_id", "embedding",
+                                        q, k=10, nprobe=3)
+    inplan = similarity.ivf_topk(df, "vec_id", "embedding", q, k=10,
+                                 n_cells=8, nprobe=3, centroids=cents)
+    assert [r["vec_id"] for r in stored.collect()] == \
+           [r["vec_id"] for r in inplan.collect()]
+    # appended vectors are findable: 250 is its own nearest neighbor
+    assert stored.first()["vec_id"] == 250
+
+    cand = similarity.ivf_probe_scan(spark, path, q, nprobe=3)
+    read = {r["f"] for r in cand.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert len({f.split("cell=")[1].split("/")[0] for f in read}) <= 3
+
+
 def test_pii_scrub_matches_duckdb_oracle(spark):
     """pii_scrub / pii_count vs the exact DuckDB SQL mirror — same regex
     subset (RE2 ∩ java.util.regex), same chain order, identical output."""
