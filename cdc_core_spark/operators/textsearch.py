@@ -228,6 +228,45 @@ def append_text_index(index: DataFrame, path: str,
     _atomic_write_json(os.path.join(path, "_index_meta.json"), meta)
 
 
+def compact_text_index(spark, path: str) -> None:
+    """Maintenance rewrite for an append-grown index (the Solr ``optimize``
+    analog): every bucket's accumulated small files are rewritten into one
+    term-clustered file per bucket, restoring the row-group pruning quality
+    a long append history erodes. Postings, bucket layout, and the
+    ``n_docs`` sidecar are unchanged — search results are identical before
+    and after (tested), only the file inventory shrinks.
+
+    Swap protocol: the rewrite lands in a sibling temp directory, then two
+    ``os.rename`` calls exchange it with the live index. Renames are atomic
+    individually but the pair is not — a reader can hit a missing-path
+    error in the microseconds between them, and a crash between them
+    leaves the live index at ``<path>.old`` (recovery: rename it back).
+    Run it in a maintenance window, like the lake compaction it mirrors;
+    an always-online variant belongs to a snapshot-versioned layout
+    (SnapshotTable), not a plain directory index."""
+    import json
+    import os
+    import shutil
+
+    from cdc_core_spark.coordination import _atomic_write_json
+
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    tmp = path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (spark.read.parquet(path)
+     .repartition(n_buckets, "term_bucket")
+     .sortWithinPartitions("term", "doc")
+     .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp))
+    _atomic_write_json(os.path.join(tmp, "_index_meta.json"), meta)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
     """The pruned index scan under ``search_text_stored``: normalized query
     terms → their hash buckets (computed by the same JVM xxhash64 the writer

@@ -240,3 +240,41 @@ def windowed_op_counts_stream(spark: SparkSession, events_path: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
+
+
+def dedup_event_stream(spark: SparkSession, events_path: str,
+                       checkpoint_dir: str, sink_table: str,
+                       watermark: str = "2 hours",
+                       keys: tuple = ("repo", "path", "op_ts",
+                                      "event_seq")) -> None:
+    """Streaming EXACT dedup of duplicate deliveries — the reference
+    consumer's message-id dedupe (``offsetMap`` in
+    messaging/.../kafka/BaseKafkaConsumer.java:222-248) as a streaming
+    operator, and the streaming arm of the dedup family:
+    ``dropDuplicatesWithinWatermark`` keeps ONE row per delivery key while
+    the event-time watermark bounds the dedup state — at 100 TB the state
+    store holds only the watermark window's keys, never the stream's
+    history (an unbounded ``dropDuplicates`` would grow state forever).
+    Late duplicates beyond the watermark are the documented residue; the
+    batch engine path needs no such state at all — its per-epoch LWW merge
+    is set-based and order-insensitive, so this operator serves pipelines
+    that want a clean stream BEFORE any stateful consumer.
+
+    Drains the backlog with availableNow into the in-memory ``sink_table``
+    (same test harness shape as the other streaming ops; production swaps
+    the sink for a real one and the trigger for an interval)."""
+    stream = (spark.readStream
+              .schema(EVENT_DDL)
+              .option("basePath", events_path)
+              .parquet(events_path + "/*"))
+    deduped = (stream
+               .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
+               .withWatermark("event_time", watermark)
+               .dropDuplicatesWithinWatermark(list(keys)))
+    query = (deduped.writeStream
+             .outputMode("append")
+             .format("memory").queryName(sink_table)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()

@@ -500,6 +500,42 @@ def test_text_index_append_equals_rebuild(spark, tmp_path):
                              path, check_disjoint=True)
 
 
+def test_text_index_compact_restores_single_file_buckets(spark, tmp_path):
+    """compact_text_index (the Solr-optimize analog) must collapse an
+    append-grown bucket's file pile to ONE term-clustered file per bucket
+    with search results and the n_docs sidecar bit-identical."""
+    import glob
+    import json
+
+    from cdc_core_spark.operators import textsearch as ts
+
+    rows = [(i, f"alpha w{i % 13} " + ("merge " * (i % 4))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tidx")
+    thirds = [df.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    ts.write_text_index(ts.build_text_index(thirds[0], "doc_id", "text"),
+                        path, n_buckets=4)
+    for part in thirds[1:]:
+        ts.append_text_index(ts.build_text_index(part, "doc_id", "text"),
+                             path)
+    def bucket_files():
+        return {b: len(glob.glob(b + "/*.parquet"))
+                for b in glob.glob(path + "/term_bucket=*")}
+    assert max(bucket_files().values()) >= 3      # append piled up files
+
+    before = ts.search_text_stored(spark, path, ["merge", "alpha"],
+                                   scoring="tfidf").collect()
+    meta_before = json.load(open(path + "/_index_meta.json"))
+    ts.compact_text_index(spark, path)
+    files = bucket_files()
+    assert files and set(files.values()) == {1}   # one file per bucket
+    after = ts.search_text_stored(spark, path, ["merge", "alpha"],
+                                  scoring="tfidf").collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    assert json.load(open(path + "/_index_meta.json")) == meta_before
+    assert not glob.glob(path + ".old") and not glob.glob(path + ".compact.tmp")
+
+
 def test_ivf_append_equals_full_store(spark, tmp_path):
     """ivf_append must extend the cell-partitioned store such that stored
     top-k equals the in-plan IVF over the union corpus under the SAME

@@ -248,3 +248,24 @@ def test_queue_branch_reaches_source_resolution(spark):
         build_stream_source(spark, source="queue", queue_options=opts)
     with pytest.raises(ValueError, match="queue_options"):
         build_stream_source(spark, source="queue")
+
+
+def test_dedup_event_stream_drops_duplicate_deliveries(spark, t1, tmp_path):
+    """dropDuplicatesWithinWatermark form of the consumer's message-id
+    dedupe: a stream carrying re-delivered events must emit each delivery
+    key exactly once (state bounded by the watermark window)."""
+    from cdc_core_spark.streaming.stream import dedup_event_stream
+
+    ev = spark.read.parquet(f'{t1["dir"]}/change_events')
+    # re-deliver ~a third of the stream (same keys, same payloads)
+    dup_path = str(tmp_path / "events_dup")
+    (ev.unionByName(ev.filter(F.col("event_seq") % 3 == 0))
+     .write.partitionBy("checkpoint_epoch").parquet(dup_path))
+
+    dedup_event_stream(spark, dup_path, str(tmp_path / "ckpt"),
+                       sink_table="dedup_stream")
+    got = spark.table("dedup_stream")
+    keys = ["repo", "path", "op_ts", "event_seq"]
+    n_distinct_in = ev.select(*keys).distinct().count()
+    assert got.count() == n_distinct_in
+    assert got.select(*keys).distinct().count() == n_distinct_in
