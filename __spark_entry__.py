@@ -792,14 +792,16 @@ def q_text_search(spark, sf_dir):
     corpus count in SQL over the WHOLE corpus, so a green row proves
     append == rebuild, sidecar doc-count accumulation, AND the scoring
     contracts in one gate."""
-    import shutil
+    import tempfile
 
     from cdc_core_spark.operators import textsearch as ts
     d = _t(spark, sf_dir, "documents")
     terms = ["merge", "stream", "vector"]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/cdc_entry_tidx_{tag}"
-    shutil.rmtree(path, ignore_errors=True)
+    # per-invocation unique dir (NOT a fixed rmtree'd path): the returned
+    # frames read this index lazily, so a concurrent second invocation
+    # clobbering a shared path would fail or corrupt the first's scan
+    path = tempfile.mkdtemp(prefix=f"cdc_entry_tidx_{tag}_")
     old = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
     ts.write_text_index(ts.build_text_index(old, "doc_id", "text"),

@@ -41,10 +41,14 @@ def _atomic_write_json(path: str, doc) -> None:
     leave a 0-byte/torn file at the FINAL path (rename is metadata-atomic
     but data pages may not have hit disk), which would permanently wedge
     every snapshot-log read; the directory fsync makes the rename itself
-    durable. Tmp debris from an exception mid-dump is removed."""
+    durable. Tmp debris from an exception mid-dump is removed — and the
+    temp name is "_"-prefixed so debris a SIGKILL leaves behind (cleanup
+    never runs) is invisible to Spark directory scans: some callers (the
+    text-index sidecar) publish INTO a directory Spark reads as parquet,
+    where an unhidden temp file would brick every subsequent read."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="_", suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(doc, f)

@@ -122,7 +122,8 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
     return centroids
 
 
-def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
+def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str,
+               check_disjoint: bool = False) -> None:
     """Extend a cell-partitioned IVF store with new vectors: assign against
     the STORED centroids (the codebook stays fixed — standard IVF append
     semantics) and append into the matching ``cell=`` directories, so
@@ -131,11 +132,28 @@ def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
     Because the codebook does not learn from appends, distribution drift in
     the incoming vectors slowly decays recall; the repair is a periodic
     ``ivf_write`` re-train, the same rebuild cadence production IVF
-    services run."""
+    services run.
+
+    The caller guarantees the new ids are DISJOINT from the stored ones —
+    a duplicated id would surface twice inside a stored top-k, pushing a
+    legitimate neighbor out with no error. ``check_disjoint=True``
+    verifies with a semi-join over the stored ids (one id-column scan);
+    it is also the safe re-run mode after a crashed append, where a blind
+    retry of a half-committed batch is exactly how duplicates happen."""
     import json
     import os
     with open(os.path.join(path, "_ivf_centroids.json")) as f:
         centroids = np.array(json.load(f), dtype=np.float64)
+    if check_disjoint:
+        spark = df.sparkSession
+        existing = spark.read.parquet(path).select(id_col).distinct()
+        dup = (df.select(id_col).distinct()
+               .join(existing, id_col, "left_semi").limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"ivf_append: id {dup[0][id_col]!r} is already stored — "
+                "appending would duplicate it inside top-k results; "
+                "rebuild with ivf_write (or exclude stored ids) instead")
     assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
     assigned.write.partitionBy("cell").mode("append").parquet(path)
 

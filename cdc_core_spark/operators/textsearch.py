@@ -151,6 +151,22 @@ def search_documents(df: DataFrame, id_col: str, text_col: str,
                        scoring=scoring, n_docs=n_docs)
 
 
+def _write_bucketed(index: DataFrame, path: str, n_buckets: int,
+                    mode: str) -> None:
+    """THE single definition of the on-disk layout (write, append, and
+    compact all route here — the bucketing hash, the partition column, and
+    the term-clustering sort must never drift between them, or appended/
+    compacted files would land in buckets the prober no longer computes):
+    term-hash bucket partition directories, each file sorted by
+    ``(term, doc)`` so parquet row-group min/max on ``term`` prunes within
+    the probed buckets too."""
+    bucketed = index.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    (bucketed.repartition(n_buckets, "term_bucket")
+     .sortWithinPartitions("term", "doc")
+     .write.partitionBy("term_bucket").mode(mode).parquet(path))
+
+
 def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
     """Persist the inverted index PARTITIONED BY TERM-HASH BUCKET — the
     storage layout that makes a query a directory-pruned read: the probed
@@ -158,20 +174,19 @@ def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
     of the index files instead of all of them (the Solr-shard analog, and the
     same shape as ``similarity.ivf_write``). Bucket count rides a
     ``_index_meta.json`` sidecar (underscore-prefixed → invisible to Spark)."""
-    import json
     import os
-    bucketed = index.withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    # sort within partitions so each file is term-clustered: parquet row-group
-    # min/max on `term` then prunes within the probed buckets too
-    (bucketed.repartition(n_buckets, "term_bucket")
-     .sortWithinPartitions("term", "doc")
-     .write.partitionBy("term_bucket").mode("overwrite").parquet(path))
+
+    from cdc_core_spark.coordination import _atomic_write_json
+
+    # materialize once: the write AND the doc-count job below both consume
+    # the (tokenize + explode + groupBy) plan
+    index = index.localCheckpoint(eager=False)
+    _write_bucketed(index, path, n_buckets, "overwrite")
     # corpus doc count rides the sidecar so tfidf queries never pay a
     # full-index countDistinct pass (one extra job HERE, at write time)
     n_docs = index.select(F.count_distinct("doc")).first()[0]
-    with open(os.path.join(path, "_index_meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "n_docs": n_docs}, f)
+    _atomic_write_json(os.path.join(path, "_index_meta.json"),
+                       {"n_buckets": n_buckets, "n_docs": n_docs})
 
 
 def append_text_index(index: DataFrame, path: str,
@@ -194,11 +209,16 @@ def append_text_index(index: DataFrame, path: str,
     off by default for batches whose disjointness is structural (e.g.
     monotonic ingest ids).
 
-    The ``n_docs`` sidecar updates AFTER the postings land (atomic temp +
-    rename): a crash between the two leaves the count stale-low, which
-    only deflates tfidf scores uniformly (``ln(N/df)`` with a smaller N)
-    until the next append repairs it — postings are never lost or
-    double-counted."""
+    Crash semantics: the ``n_docs`` sidecar updates AFTER the postings
+    land (atomic temp + rename). A crash between the two leaves the count
+    stale-low — tfidf scores deflate uniformly (``ln(N/df)`` with a
+    smaller N) until repaired — and the batch's postings possibly
+    half-committed. Recovery from a crashed append is therefore NOT a
+    blind re-run: re-appending rows already on disk would double their
+    term frequencies with no error (and break ``mode="all"``'s
+    n_terms_matched contract). Re-run with ``check_disjoint=True`` (any
+    already-landed doc raises, telling you this batch needs the rebuild
+    path) or rebuild via ``write_text_index``."""
     import json
     import os
 
@@ -208,6 +228,11 @@ def append_text_index(index: DataFrame, path: str,
     with open(os.path.join(path, "_index_meta.json")) as f:
         meta = json.load(f)
     n_buckets = int(meta["n_buckets"])
+    # materialize once: the disjointness probe, the doc-count job, and the
+    # write all consume the same (tokenize + explode + groupBy) plan — the
+    # advertised "one shuffle over the new postings" holds because the
+    # checkpoint runs it once and every action after reads the result
+    index = index.localCheckpoint(eager=False)
     if check_disjoint:
         existing = spark.read.parquet(path).select("doc").distinct()
         dup = (index.select("doc").distinct()
@@ -219,11 +244,7 @@ def append_text_index(index: DataFrame, path: str,
                 "frequencies; rebuild with write_text_index (or exclude "
                 "already-indexed docs) instead")
     n_new = index.select(F.count_distinct("doc")).first()[0]
-    bucketed = index.withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    (bucketed.repartition(n_buckets, "term_bucket")
-     .sortWithinPartitions("term", "doc")
-     .write.partitionBy("term_bucket").mode("append").parquet(path))
+    _write_bucketed(index, path, n_buckets, "append")
     meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
     _atomic_write_json(os.path.join(path, "_index_meta.json"), meta)
 
@@ -255,10 +276,11 @@ def compact_text_index(spark, path: str) -> None:
     n_buckets = int(meta["n_buckets"])
     tmp = path.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (spark.read.parquet(path)
-     .repartition(n_buckets, "term_bucket")
-     .sortWithinPartitions("term", "doc")
-     .write.partitionBy("term_bucket").mode("overwrite").parquet(tmp))
+    # route through the shared layout writer (recomputing term_bucket from
+    # term — deterministic hash, so values are identical) so the three
+    # write paths can never drift apart
+    _write_bucketed(spark.read.parquet(path).drop("term_bucket"),
+                    tmp, n_buckets, "overwrite")
     _atomic_write_json(os.path.join(tmp, "_index_meta.json"), meta)
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)

@@ -159,6 +159,30 @@ def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: st
     return query  # continuous mode: caller owns stop()/awaitTermination()
 
 
+def _read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """THE event-log stream source (shared by every streaming operator
+    below, so the schema / basePath / epoch-subdir glob contract is defined
+    once): a file stream over the partitioned event-log directory."""
+    return (spark.readStream
+            .schema(EVENT_DDL)
+            .option("basePath", events_path)
+            .parquet(events_path + "/*"))
+
+
+def _drain_to_memory(df: DataFrame, checkpoint_dir: str, sink_table: str,
+                     output_mode: str) -> None:
+    """Drain the backlog with availableNow into the in-memory ``sink_table``
+    — the shared test-harness sink; production swaps the format for a real
+    sink and the trigger for an interval."""
+    query = (df.writeStream
+             .outputMode(output_mode)
+             .format("memory").queryName(sink_table)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+
+
 def keyed_read_state_stream(spark: SparkSession, events_path: str,
                             checkpoint_dir: str, sink_table: str) -> None:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
@@ -191,20 +215,13 @@ def keyed_read_state_stream(spark: SparkSession, events_path: str,
                             "processed_seq": [seq], "n_events": [n],
                             "n_errors": [err]})
 
-    stream = (spark.readStream
-              .schema(EVENT_DDL)
-              .option("basePath", events_path)
-              .parquet(events_path + "/*")
+    stream = (_read_event_stream(spark, events_path)
               .filter(F.col("repo").isNotNull() & F.col("path").isNotNull()))
-    query = (stream.groupBy("repo", "path")
-             .applyInPandasWithState(track, out_ddl, state_ddl, "update",
-                                     GroupStateTimeout.NoTimeout)
-             .writeStream.outputMode("update")
-             .format("memory").queryName(sink_table)
-             .option("checkpointLocation", checkpoint_dir)
-             .trigger(availableNow=True)
-             .start())
-    query.awaitTermination()
+    _drain_to_memory(
+        stream.groupBy("repo", "path")
+        .applyInPandasWithState(track, out_ddl, state_ddl, "update",
+                                GroupStateTimeout.NoTimeout),
+        checkpoint_dir, sink_table, "update")
 
 
 def windowed_op_counts_stream(spark: SparkSession, events_path: str,
@@ -221,11 +238,7 @@ def windowed_op_counts_stream(spark: SparkSession, events_path: str,
     ``sink_table``; with a real deployment the sink becomes a metrics store
     and the trigger a continuous interval.
     """
-    stream = (spark.readStream
-              .schema(EVENT_DDL)
-              .option("basePath", events_path)
-              .parquet(events_path + "/*"))
-    agg = (stream
+    agg = (_read_event_stream(spark, events_path)
            .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
            .withWatermark("event_time", watermark)
            .groupBy(F.window("event_time", window).alias("w"), "op")
@@ -233,13 +246,7 @@ def windowed_op_counts_stream(spark: SparkSession, events_path: str,
                 F.max("event_seq").alias("max_event_seq"))
            .select(F.col("w.start").alias("win_start"), "op",
                    "n_events", "max_event_seq"))
-    query = (agg.writeStream
-             .outputMode("append")
-             .format("memory").queryName(sink_table)
-             .option("checkpointLocation", checkpoint_dir)
-             .trigger(availableNow=True)
-             .start())
-    query.awaitTermination()
+    _drain_to_memory(agg, checkpoint_dir, sink_table, "append")
 
 
 def dedup_event_stream(spark: SparkSession, events_path: str,
@@ -263,18 +270,8 @@ def dedup_event_stream(spark: SparkSession, events_path: str,
     Drains the backlog with availableNow into the in-memory ``sink_table``
     (same test harness shape as the other streaming ops; production swaps
     the sink for a real one and the trigger for an interval)."""
-    stream = (spark.readStream
-              .schema(EVENT_DDL)
-              .option("basePath", events_path)
-              .parquet(events_path + "/*"))
-    deduped = (stream
+    deduped = (_read_event_stream(spark, events_path)
                .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
                .withWatermark("event_time", watermark)
                .dropDuplicatesWithinWatermark(list(keys)))
-    query = (deduped.writeStream
-             .outputMode("append")
-             .format("memory").queryName(sink_table)
-             .option("checkpointLocation", checkpoint_dir)
-             .trigger(availableNow=True)
-             .start())
-    query.awaitTermination()
+    _drain_to_memory(deduped, checkpoint_dir, sink_table, "append")
