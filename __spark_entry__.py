@@ -1101,20 +1101,24 @@ def q_reader_jdbc(spark, sf_dir):
 
 
 def q_archive_scan(spark, sf_dir):
-    """Archive bundle scan gate (ZipUtils.unzip analog,
-    common/.../utils/ZipUtils.java:113-150): a deterministic zip (nation
-    members) + tar (region members) fixture is built from the sf tables,
-    shredded distributed by read_archive_members (binaryFile + mapInArrow,
-    no local unpack), and checked member-for-member — name, exact byte
-    size, and content sha256 — against the DuckDB oracle computing the same
-    facts from the source tables. Fixture timestamps are pinned (zip epoch
-    1980-01-01, tar mtime 0) so the bundles are bit-stable across runs."""
+    """Bundle-shred source gate: a deterministic zip (nation members) + tar
+    (region members) fixture — ZipUtils.unzip analog,
+    common/.../utils/ZipUtils.java:113-150 — PLUS an mbox mailbox (one
+    message per nation, body = n_comment) for the mail-intake source
+    (intake/.../sources/email/MailDataStore.java analog). All three are
+    shredded distributed (binaryFile + Arrow batches, no local unpack:
+    read_archive_members / read_mbox_messages) and checked member-for-
+    member — name, exact byte size, content sha256 — against the DuckDB
+    oracle computing the same facts from the source tables. Fixture
+    timestamps are pinned (zip epoch 1980-01-01, tar mtime 0, mbox Date
+    epoch 0) so the bundles are bit-stable across runs."""
     import io
     import shutil
     import tarfile
     import zipfile
 
     from cdc_core_spark.sources.archive import read_archive_members
+    from cdc_core_spark.sources.mail import read_mbox_messages
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = f"/tmp/cdc_entry_archive_{tag}"
@@ -1137,11 +1141,35 @@ def q_archive_scan(spark, sf_dir):
             ti = tarfile.TarInfo(f"r_{k}.txt")
             ti.size, ti.mtime = len(data), 0
             tf.addfile(ti, io.BytesIO(data))
-    m = read_archive_members(spark, f"{root}/*")
-    return m.select(
+    comments = [(k, f"{n} in region {rk}\nFrom the nations table\n")
+                for k, n, rk in sorted(
+                    (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+                    for r in _t(spark, sf_dir, "nation")
+                    .select("n_nationkey", "n_name", "n_regionkey")
+                    .collect())]
+    # hand-built mboxrd (no library folding → bit-stable): pinned From_ and
+    # Date lines, body = the comment with From_-line escaping
+    with open(os.path.join(root, "nations.mbox"), "wb") as mf:
+        for k, c in comments:
+            body = "\n".join(">" + ln if ln.lstrip(">").startswith("From ")
+                             else ln for ln in (c + "\n").split("\n"))
+            mf.write((f"From exporter@local Thu Jan  1 00:00:00 1970\n"
+                      f"From: cdc@local\nSubject: m_{k}\n"
+                      f"Date: Thu, 01 Jan 1970 00:00:00 +0000\n\n"
+                      + body).encode("utf-8"))
+    m = read_archive_members(spark, f"{root}/*.zip") \
+        .unionByName(read_archive_members(spark, f"{root}/*.tar"))
+    arch = m.select(
         F.element_at(F.split("archive", "/"), -1).alias("archive"),
         "member", "size_bytes",
         F.sha2(F.col("content"), 256).alias("content_sha"))
+    stripped = F.regexp_replace("body", "\\n+$", "")
+    mails = read_mbox_messages(spark, f"{root}/*.mbox").select(
+        F.element_at(F.split("mbox", "/"), -1).alias("archive"),
+        F.col("subject").alias("member"),
+        F.octet_length(stripped).cast("long").alias("size_bytes"),
+        F.sha2(stripped, 256).alias("content_sha"))
+    return arch.unionByName(mails)
 
 
 def q_git_replay(spark, sf_dir):
@@ -1748,6 +1776,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(r_name)) AS BIGINT),
                    sha256(r_name)
             FROM region
+            UNION ALL
+            SELECT 'nations.mbox',
+                   'm_' || CAST(n_nationkey AS VARCHAR),
+                   CAST(octet_length(encode(
+                       n_name || ' in region ' || CAST(n_regionkey AS VARCHAR)
+                       || chr(10) || 'From the nations table')) AS BIGINT),
+                   sha256(n_name || ' in region '
+                          || CAST(n_regionkey AS VARCHAR)
+                          || chr(10) || 'From the nations table')
+            FROM nation
         """,
         "git_replay": """
             WITH files AS (

@@ -1,0 +1,98 @@
+"""Mail-intake source (reference `intake` module: MailDataStore /
+IMAPConnection analogs): distributed mbox shred with mboxrd escaping,
+RFC 2047 headers, charset-decoded bodies, binary attachments."""
+
+from __future__ import annotations
+
+import os
+from email.message import EmailMessage
+
+from cdc_core_spark.sources import mail
+
+
+def _mboxrd_bytes(messages: list[EmailMessage]) -> bytes:
+    """Serialize messages to mboxrd: From_ separators + '>From ' escaping —
+    what any conformant exporter writes."""
+    out = []
+    for m in messages:
+        raw = m.as_bytes()
+        body_escaped = b"\n".join(
+            b">" + ln if ln.lstrip(b">").startswith(b"From ") else ln
+            for ln in raw.split(b"\n"))
+        out.append(b"From exporter@local Thu Jan  1 00:00:00 1970\n"
+                   + body_escaped.rstrip(b"\n") + b"\n\n")
+    return b"".join(out)
+
+
+def _msg(subject, body, sender="a@x", date="Thu, 01 Jan 1970 00:00:10 +0000",
+         attachments=()):
+    m = EmailMessage()
+    m["From"] = sender
+    m["Subject"] = subject
+    m["Date"] = date
+    m["Message-ID"] = f"<m{abs(hash(subject)) % 1000}@x>" \
+        if not subject.isascii() else f"<{subject}@x>"
+    m.set_content(body)
+    for fn, data in attachments:
+        m.add_attachment(data, maintype="application",
+                         subtype="octet-stream", filename=fn)
+    return m
+
+
+def test_mbox_messages_roundtrip(spark, tmp_path):
+    raw_png = bytes([0x89, 0x50, 0x4E, 0x47, 0x00, 0xFF])
+    msgs = [
+        _msg("plain", "hello world\n"),
+        # a body line starting with "From " must survive mboxrd escaping
+        _msg("escaped", "line one\nFrom the start of a line\n>From too\n"),
+        # RFC 2047 non-ASCII subject + an attachment
+        _msg("unié ✓", "body\n", attachments=[("img.bin", raw_png)]),
+    ]
+    p = tmp_path / "box.mbox"
+    p.write_bytes(_mboxrd_bytes(msgs))
+
+    rows = {r["subject"]: r for r in
+            mail.read_mbox_messages(spark, str(p)).collect()}
+    assert set(rows) == {"plain", "escaped", "unié ✓"}
+    assert rows["plain"]["body"] == "hello world\n"
+    assert rows["plain"]["sender"] == "a@x"
+    assert rows["plain"]["ts"] == 10_000          # Date header, epoch ms
+    assert rows["plain"]["message_id"] == "<plain@x>"
+    assert rows["escaped"]["body"] == \
+        "line one\nFrom the start of a line\n>From too\n"
+    assert rows["unié ✓"]["n_attachments"] == 1
+    assert rows["plain"]["n_attachments"] == 0
+    # per-file seq is the position in the mbox
+    assert [rows[s]["seq"] for s in ("plain", "escaped", "unié ✓")] == [0, 1, 2]
+
+    atts = mail.read_mbox_attachments(spark, str(p)).collect()
+    assert len(atts) == 1
+    assert atts[0]["filename"] == "img.bin"
+    assert bytes(atts[0]["content"]) == raw_png
+    assert atts[0]["size_bytes"] == len(raw_png)
+
+
+def test_mbox_glob_scans_many_files(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"b{i}.mbox").write_bytes(
+            _mboxrd_bytes([_msg(f"s{i}", f"body {i}\n")]))
+    df = mail.read_mbox_messages(spark, str(tmp_path / "*.mbox"))
+    got = {(os.path.basename(r["mbox"].replace("file:", "")), r["subject"])
+           for r in df.collect()}
+    assert got == {("b0.mbox", "s0"), ("b1.mbox", "s1"), ("b2.mbox", "s2")}
+
+
+def test_unparsable_date_is_null_not_crash(spark, tmp_path):
+    m = _msg("nodate", "x\n", date="not a date")
+    p = tmp_path / "d.mbox"
+    p.write_bytes(_mboxrd_bytes([m]))
+    row = mail.read_mbox_messages(spark, str(p)).first()
+    assert row["ts"] is None and row["subject"] == "nodate"
+
+
+def test_imap_source_options_shape():
+    opts = mail.imap_source_options("mail.example.com", "svc",
+                                    folder="Ingest", search="UNSEEN")
+    assert opts == {"protocol": "imaps", "host": "mail.example.com",
+                    "port": 993, "username": "svc", "folder": "Ingest",
+                    "search": "UNSEEN", "fetch": "RFC822"}
