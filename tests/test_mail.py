@@ -96,3 +96,39 @@ def test_imap_source_options_shape():
     assert opts == {"protocol": "imaps", "host": "mail.example.com",
                     "port": 993, "username": "svc", "folder": "Ingest",
                     "search": "UNSEEN", "fetch": "RFC822"}
+
+
+def test_mboxrd_roundtrip_property():
+    """Property check (pure Python, no Spark): ANY batch of text bodies —
+    including bodies full of 'From ' / '>From ' lines, blank-line runs, and
+    unicode — survives mboxrd serialize→split→parse with every message's
+    body and subject intact and in order."""
+    from email import message_from_bytes
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body_line = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=40)
+    bodies = st.lists(
+        st.lists(body_line, min_size=0, max_size=6).map(
+            lambda ls: "\n".join(ls) + "\n"),
+        min_size=1, max_size=5)
+
+    @settings(max_examples=60, deadline=None)
+    @given(bodies=bodies)
+    def check(bodies):
+        msgs = [_msg(f"s{i}", b) for i, b in enumerate(bodies)]
+        blob = _mboxrd_bytes(msgs)
+        raws = mail._split_mbox(blob)
+        assert len(raws) == len(bodies)
+        for i, raw in enumerate(raws):
+            m = message_from_bytes(raw)
+            assert mail._decode_header(m.get("Subject")) == f"s{i}"
+            got = mail._body_text(m)
+            # set_content normalizes a body's trailing newline; compare
+            # modulo that single writer-side normalization
+            assert got.rstrip("\n") == bodies[i].rstrip("\n")
+
+    check()
