@@ -111,15 +111,23 @@ def _parse_ts_ms(msg) -> int | None:
     return int(dt.timestamp() * 1000)
 
 
-def read_mbox_messages(spark: SparkSession, path: str) -> DataFrame:
+def read_mbox_messages(spark: SparkSession, path: str,
+                       on_error: str = "fail") -> DataFrame:
     """One row per message across every mbox file under ``path`` (glob ok):
     ``(mbox=full path, seq=position in file, message_id, sender, subject,
     ts=Date header as epoch ms (null when absent/unparsable), body=first
     text part, n_attachments)``. Parallelism = number of mbox files (mbox
     is not splittable — same contract as the archive scan); headers are
-    RFC 2047-decoded, bodies decoded per their declared charset."""
+    RFC 2047-decoded, bodies decoded per their declared charset.
+
+    ``on_error`` (the archive-scan contract): a non-empty file with no
+    ``From `` separator is not an mbox — ``"fail"`` (default) raises with
+    the file named, ``"skip"`` drops it (stray files in a drop directory)
+    and keeps the scan alive. An EMPTY mbox is legal either way."""
     import email
 
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     bin_df = (spark.read.format("binaryFile").load(path)
               .select("path", "content"))
 
@@ -127,7 +135,15 @@ def read_mbox_messages(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for name, blob in zip(pdf["path"], pdf["content"]):
-                for seq, raw in enumerate(_split_mbox(bytes(blob))):
+                raws = _split_mbox(bytes(blob))
+                if not raws and len(blob):
+                    if on_error == "skip":
+                        continue
+                    raise RuntimeError(
+                        f"file {name!r} is non-empty but has no 'From ' "
+                        "separator line — not an mbox (on_error='skip' "
+                        "drops stray files instead)")
+                for seq, raw in enumerate(raws):
                     m = email.message_from_bytes(raw)
                     rows.append((
                         name, seq, m.get("Message-ID"),

@@ -132,3 +132,20 @@ def test_mboxrd_roundtrip_property():
             assert got.rstrip("\n") == bodies[i].rstrip("\n")
 
     check()
+
+
+def test_stray_non_mbox_file_routing(spark, tmp_path):
+    """A non-empty file with no From_ separator is not an mbox: fail mode
+    names it, skip mode drops it and keeps the scan alive; an EMPTY mbox
+    is legal in both modes."""
+    import pytest
+
+    (tmp_path / "good.mbox").write_bytes(_mboxrd_bytes([_msg("ok", "x\n")]))
+    (tmp_path / "stray.mbox").write_bytes(b"\x89PNG not mail at all")
+    (tmp_path / "empty.mbox").write_bytes(b"")
+
+    with pytest.raises(Exception, match="stray.mbox"):
+        mail.read_mbox_messages(spark, str(tmp_path / "*.mbox")).collect()
+    got = mail.read_mbox_messages(spark, str(tmp_path / "*.mbox"),
+                                  on_error="skip").collect()
+    assert [r["subject"] for r in got] == ["ok"]
