@@ -1104,7 +1104,8 @@ def q_archive_scan(spark, sf_dir):
     """Bundle-shred source gate: a deterministic zip (nation members) + tar
     (region members) fixture — ZipUtils.unzip analog,
     common/.../utils/ZipUtils.java:113-150 — PLUS an mbox mailbox (one
-    message per nation, body = n_comment) for the mail-intake source
+    message per nation, body derived from n_name/n_regionkey and carrying
+    an escaped From-line) for the mail-intake source
     (intake/.../sources/email/MailDataStore.java analog). All three are
     shredded distributed (binaryFile + Arrow batches, no local unpack:
     read_archive_members / read_mbox_messages) and checked member-for-
@@ -1124,9 +1125,10 @@ def q_archive_scan(spark, sf_dir):
     root = f"/tmp/cdc_entry_archive_{tag}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
-    nations = sorted((r["n_nationkey"], r["n_name"]) for r in
-                     _t(spark, sf_dir, "nation")
-                     .select("n_nationkey", "n_name").collect())
+    nrows = sorted((r["n_nationkey"], r["n_name"], r["n_regionkey"])
+                   for r in _t(spark, sf_dir, "nation")
+                   .select("n_nationkey", "n_name", "n_regionkey").collect())
+    nations = [(k, n) for k, n, _rk in nrows]
     regions = sorted((r["r_regionkey"], r["r_name"]) for r in
                      _t(spark, sf_dir, "region")
                      .select("r_regionkey", "r_name").collect())
@@ -1142,11 +1144,7 @@ def q_archive_scan(spark, sf_dir):
             ti.size, ti.mtime = len(data), 0
             tf.addfile(ti, io.BytesIO(data))
     comments = [(k, f"{n} in region {rk}\nFrom the nations table\n")
-                for k, n, rk in sorted(
-                    (r["n_nationkey"], r["n_name"], r["n_regionkey"])
-                    for r in _t(spark, sf_dir, "nation")
-                    .select("n_nationkey", "n_name", "n_regionkey")
-                    .collect())]
+                for k, n, rk in nrows]
     # hand-built mboxrd (no library folding → bit-stable): pinned From_ and
     # Date lines, body = the comment with From_-line escaping
     with open(os.path.join(root, "nations.mbox"), "wb") as mf:

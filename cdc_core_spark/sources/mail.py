@@ -42,31 +42,62 @@ _FROM_ESC = re.compile(rb"^(>+)(From )", re.M)
 
 def _split_mbox(blob: bytes) -> list[bytes]:
     """Split raw mbox bytes into per-message bytes (the ``From `` separator
-    lines dropped, mboxrd ``>From `` escapes undone). Works line-wise, so a
-    message body that was properly escaped by the writer can never be
-    mistaken for a boundary. The blank SEPARATOR line a writer emits before
-    the next ``From `` line belongs to the mailbox framing, not the
-    message, so exactly one trailing blank line is stripped per message —
-    the standard mboxrd reader convention."""
+    lines dropped, mboxrd ``>From `` escapes undone). Framing is strictly
+    ``\\n``-line-wise (NOT splitlines, which also breaks on a bare ``\\r``
+    — an embedded CR must never fabricate a message boundary the writer
+    didn't escape). The blank SEPARATOR line a writer emits before the
+    next ``From `` line belongs to the mailbox framing, not the message,
+    so exactly one trailing blank line (LF or CRLF — IMAP-staged mboxes
+    are CRLF) is stripped per message — the standard mboxrd reader
+    convention."""
     msgs: list[list[bytes]] = []
-    for line in blob.splitlines(keepends=True):
-        if line.startswith(b"From "):
+    segs = blob.split(b"\n")
+    for i, seg in enumerate(segs):
+        if seg.startswith(b"From "):
             msgs.append([])
             continue
         if msgs:   # leading junk before the first From_ line is not a message
-            msgs[-1].append(line)
+            msgs[-1].append(seg + (b"\n" if i < len(segs) - 1 else b""))
     out = []
     for m in msgs:
         raw = b"".join(m)
-        if raw.endswith(b"\n\n"):
+        if raw.endswith(b"\r\n\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith(b"\n\n"):
             raw = raw[:-1]
         out.append(_FROM_ESC.sub(_unescape_one, raw))
     return out
 
 
+def _check_mbox(name: str, blob: bytes, on_error: str) -> list[bytes] | None:
+    """Shared stray-file routing (the archive-scan contract): a non-empty
+    file with no ``From `` separator is not an mbox — fail names it, skip
+    returns None; an empty mbox is a legal empty list."""
+    raws = _split_mbox(blob)
+    if not raws and len(blob):
+        if on_error == "skip":
+            return None
+        raise RuntimeError(
+            f"file {name!r} is non-empty but has no 'From ' separator "
+            "line — not an mbox (on_error='skip' drops stray files "
+            "instead)")
+    return raws
+
+
 def _unescape_one(m: "re.Match[bytes]") -> bytes:
     # mboxrd: strip exactly ONE ">" — ">>From " was an escaped ">From "
     return m.group(1)[1:] + m.group(2)
+
+
+def _safe_decode(data: bytes, charset: str | None) -> str:
+    """Decode with the declared charset, falling back to UTF-8: real mail
+    routinely declares bogus charsets (``x-unknown``…), and one such
+    message must degrade to replacement characters, not kill the whole
+    distributed scan with a LookupError."""
+    try:
+        return data.decode(charset or "utf-8", errors="replace")
+    except LookupError:
+        return data.decode("utf-8", errors="replace")
 
 
 def _decode_header(raw: str | None) -> str | None:
@@ -76,7 +107,7 @@ def _decode_header(raw: str | None) -> str | None:
     parts = []
     for text, charset in email.header.decode_header(raw):
         if isinstance(text, bytes):
-            text = text.decode(charset or "utf-8", errors="replace")
+            text = _safe_decode(text, charset)
         parts.append(text)
     return "".join(parts)
 
@@ -92,13 +123,13 @@ def _body_text(msg) -> str | None:
         payload = part.get_payload(decode=True)
         if payload is None:
             continue
-        return payload.decode(part.get_content_charset() or "utf-8",
-                              errors="replace")
+        return _safe_decode(payload, part.get_content_charset())
     return None
 
 
 def _parse_ts_ms(msg) -> int | None:
     import email.utils
+    from datetime import timezone
     raw = msg.get("Date")
     if not raw:
         return None
@@ -108,6 +139,10 @@ def _parse_ts_ms(msg) -> int | None:
         return None
     if dt is None:
         return None
+    if dt.tzinfo is None:
+        # RFC 5322 '-0000' (unknown zone) parses NAIVE; pin it to UTC so
+        # ts never depends on the executor host's local timezone
+        dt = dt.replace(tzinfo=timezone.utc)
     return int(dt.timestamp() * 1000)
 
 
@@ -133,16 +168,11 @@ def read_mbox_messages(spark: SparkSession, path: str,
 
     def shred(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for name, blob in zip(pdf["path"], pdf["content"]):
-                raws = _split_mbox(bytes(blob))
-                if not raws and len(blob):
-                    if on_error == "skip":
-                        continue
-                    raise RuntimeError(
-                        f"file {name!r} is non-empty but has no 'From ' "
-                        "separator line — not an mbox (on_error='skip' "
-                        "drops stray files instead)")
+                raws = _check_mbox(name, bytes(blob), on_error)
+                if raws is None:
+                    continue
+                rows = []
                 for seq, raw in enumerate(raws):
                     m = email.message_from_bytes(raw)
                     rows.append((
@@ -152,39 +182,63 @@ def read_mbox_messages(spark: SparkSession, path: str,
                         _parse_ts_ms(m), _body_text(m),
                         sum(1 for p in m.walk() if p.get_filename()),
                     ))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "mbox", "seq", "message_id", "sender", "subject",
-                    "ts", "body", "n_attachments"])
+                # one output frame PER FILE: memory stays bounded by a
+                # single mbox's parsed text (~the blob the scan already
+                # holds), never the whole input batch of files
+                if rows:
+                    yield pd.DataFrame(rows, columns=[
+                        "mbox", "seq", "message_id", "sender", "subject",
+                        "ts", "body", "n_attachments"])
 
     return bin_df.mapInPandas(shred, schema=MAIL_SCHEMA)
 
 
-def read_mbox_attachments(spark: SparkSession, path: str) -> DataFrame:
+#: flush threshold for decoded attachment bytes per output frame — the
+#: archive scan's batch-bounding rule (archive._FLUSH_BYTES rationale)
+_ATT_FLUSH_BYTES = 256 << 20
+
+
+def read_mbox_attachments(spark: SparkSession, path: str,
+                          on_error: str = "fail") -> DataFrame:
     """One row per attachment: ``(mbox, seq, filename, size_bytes,
     content=raw bytes)`` — the opaque-binary + typed-metadata shape the
-    multimodal operators consume (operators/multimodal.py)."""
+    multimodal operators consume (operators/multimodal.py). Same
+    ``on_error`` stray-file routing as ``read_mbox_messages``; decoded
+    attachment bytes flush to output in ≤256 MB frames so an
+    attachment-heavy mailbox never buffers whole in one Arrow batch."""
     import email
 
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     bin_df = (spark.read.format("binaryFile").load(path)
               .select("path", "content"))
 
+    def flush(rows):
+        return pd.DataFrame(rows, columns=[
+            "mbox", "seq", "filename", "size_bytes", "content"])
+
     def shred(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for name, blob in zip(pdf["path"], pdf["content"]):
-                for seq, raw in enumerate(_split_mbox(bytes(blob))):
+                raws = _check_mbox(name, bytes(blob), on_error)
+                if raws is None:
+                    continue
+                rows, buffered = [], 0
+                for seq, raw in enumerate(raws):
                     m = email.message_from_bytes(raw)
                     for part in m.walk():
                         fn = part.get_filename()
                         if not fn:
                             continue
                         data = part.get_payload(decode=True) or b""
+                        if rows and buffered + len(data) >= _ATT_FLUSH_BYTES:
+                            yield flush(rows)
+                            rows, buffered = [], 0
                         rows.append((name, seq, _decode_header(fn),
                                      len(data), data))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "mbox", "seq", "filename", "size_bytes", "content"])
+                        buffered += len(data)
+                if rows:
+                    yield flush(rows)
 
     return bin_df.mapInPandas(shred, schema=ATTACHMENT_SCHEMA)
 

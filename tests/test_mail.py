@@ -149,3 +149,49 @@ def test_stray_non_mbox_file_routing(spark, tmp_path):
     got = mail.read_mbox_messages(spark, str(tmp_path / "*.mbox"),
                                   on_error="skip").collect()
     assert [r["subject"] for r in got] == ["ok"]
+
+
+def test_hostile_real_world_mail_edges():
+    """Pure-Python edge battery from the review: bare-CR bodies must not
+    fabricate boundaries, CRLF mboxes drop exactly one framing blank line,
+    bogus charsets degrade to replacement text instead of LookupError, and
+    naive RFC 5322 '-0000' dates pin to UTC."""
+    from email import message_from_bytes
+
+    # bare \r before 'From ' is ONE \n-line: no bogus boundary
+    blob = (b"From x Thu Jan  1 00:00:00 1970\n"
+            b"Subject: s\n\nhello\rFrom mid\n\n")
+    raws = mail._split_mbox(blob)
+    assert len(raws) == 1
+    assert mail._body_text(message_from_bytes(raws[0])) == "hello\rFrom mid\n"
+
+    # CRLF mbox: the framing blank line is stripped, body keeps its CRLF
+    blob = (b"From x Thu Jan  1 00:00:00 1970\r\n"
+            b"Subject: s\r\n\r\nbody\r\n\r\n")
+    raws = mail._split_mbox(blob)
+    assert len(raws) == 1
+    assert mail._body_text(message_from_bytes(raws[0])) == "body\r\n"
+
+    # unknown charset: replacement decode, not a task-killing LookupError
+    assert mail._safe_decode(b"caf\xe9", "x-bogus-charset") == "caf�"
+    assert mail._decode_header("=?x-bogus?B?aGVsbG8=?=") == "hello"
+
+    # naive '-0000' date is UTC, independent of host timezone
+    m = message_from_bytes(b"Date: Thu, 01 Jan 1970 00:00:10 -0000\n\nx")
+    assert mail._parse_ts_ms(m) == 10_000
+
+
+def test_attachments_stray_file_routing(spark, tmp_path):
+    """read_mbox_attachments shares the on_error contract (a stray file
+    must not silently contribute zero rows under the default)."""
+    import pytest
+
+    raw = bytes([1, 2, 3])
+    (tmp_path / "good.mbox").write_bytes(
+        _mboxrd_bytes([_msg("ok", "x\n", attachments=[("a.bin", raw)])]))
+    (tmp_path / "stray.mbox").write_bytes(b"not mail")
+    with pytest.raises(Exception, match="stray.mbox"):
+        mail.read_mbox_attachments(spark, str(tmp_path / "*.mbox")).collect()
+    got = mail.read_mbox_attachments(spark, str(tmp_path / "*.mbox"),
+                                     on_error="skip").collect()
+    assert len(got) == 1 and bytes(got[0]["content"]) == raw
