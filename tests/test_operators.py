@@ -567,6 +567,12 @@ def test_ivf_append_equals_full_store(spark, tmp_path):
         F.input_file_name().alias("f")).distinct().collect()}
     assert len({f.split("cell=")[1].split("/")[0] for f in read}) <= 3
 
+    # the crashed-append retry safety net: a duplicated id must be caught
+    import pytest
+    with pytest.raises(ValueError, match="already stored"):
+        similarity.ivf_append(new, "vec_id", "embedding", path,
+                              check_disjoint=True)
+
 
 def test_pii_scrub_matches_duckdb_oracle(spark):
     """pii_scrub / pii_count vs the exact DuckDB SQL mirror — same regex
