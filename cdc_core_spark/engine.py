@@ -26,7 +26,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_core_spark.lake import SnapshotTable, bucket_expr, sql_type
+from cdc_core_spark.lake import (SnapshotTable, bucket_expr,
+                                 field_projection, sql_type)
 from cdc_core_spark.lww import lww_reduce, lww_reduce_in_partition
 from cdc_core_spark.registry import SchemaDef, SchemaRegistry, validate_evolution
 
@@ -69,7 +70,12 @@ def valid_event_pred(key_cols: list[str] = ("repo", "path"),
                      content_col: str | None = "content"):
     """Quarantine predicate (reference DLQ: MessageProcessor.java:216-225):
     data op code, non-null KEY columns (schema-driven, not hardcoded — the
-    engine serves any registered entity), DELETE must not carry content.
+    engine serves any registered entity), non-null VERSION columns (the
+    reference requires a TransactionId.sequence; a null (op_ts, event_seq)
+    would enter LWW as the smallest-possible version — invisible on read
+    yet counted as applied, and out-versioned by any redelivered older
+    event — so it must quarantine, not apply), and DELETE must not carry
+    content.
 
     Null-safe by construction: a null op makes the raw conjunction NULL,
     which `filter(pred)` drops but `filter(~pred)` ALSO drops — the counting
@@ -78,6 +84,7 @@ def valid_event_pred(key_cols: list[str] = ("repo", "path"),
     pred = F.col("op").isin(*DATA_OPS)
     for k in key_cols:
         pred = pred & F.col(k).isNotNull()
+    pred = pred & F.col("op_ts").isNotNull() & F.col("event_seq").isNotNull()
     if content_col is not None:
         pred = pred & ~((F.col("op") == OP_DELETE)
                         & F.col(content_col).isNotNull())
@@ -93,6 +100,8 @@ def _error_reason(key_cols: list[str] = ("repo", "path")):
         F.when(~F.coalesce(F.col("op").isin(*DATA_OPS), F.lit(False)),
                F.lit("invalid_op"))
         .when(null_key, F.lit("null_key"))
+        .when(F.col("op_ts").isNull() | F.col("event_seq").isNull(),
+              F.lit("null_version"))
         .otherwise(F.lit("delete_with_content"))
     )
 
@@ -107,27 +116,35 @@ class CdcEngine:
         self.entity = entity
         self.n_buckets = n_buckets
         self.salt = salt
-        # "mor" (merge-on-read deltas, default) | "cow-jvm" | "cow-arrow"
+        # "mor" (merge-on-read deltas, default) | "cow-jvm" | "cow-arrow".
+        # Validated HERE: an unrecognized value (a typo'd env var) would
+        # otherwise silently fall through apply_epoch's mode checks into a
+        # copy-on-write rewrite per epoch — a confusing failure far from
+        # the actual mistake
         self.merge_mode = merge_mode or os.environ.get("CDC_MERGE_STRATEGY", "mor")
+        if self.merge_mode not in ("mor", "cow-jvm", "cow-arrow"):
+            raise ValueError(
+                f"unknown merge_mode {self.merge_mode!r} (from the "
+                "merge_mode argument or CDC_MERGE_STRATEGY): expected "
+                "'mor', 'cow-jvm' or 'cow-arrow'")
         self.table = SnapshotTable(os.path.join(root, "target"))
         self.errors_dir = os.path.join(root, "errors")
 
     # ------------------------------------------------------------------ state
     @property
     def current_schema(self) -> SchemaDef:
-        ver = self.table.latest().props["schema_version"]
+        ver = self.table.latest_meta().props["schema_version"]
         return self.registry.get(self.entity, ver)
 
     def _key_cols(self) -> list[str]:
-        return self.table.latest().key_cols
+        return self.table.latest_meta().key_cols
 
     def _sync_buckets(self) -> None:
         """The table snapshot owns the bucket count (it can change via
         compact(n_buckets=...)); resync so a fresh engine instance
         constructed with a stale count never mis-buckets."""
         if self.table.exists():
-            self.n_buckets = self.table.latest().n_buckets
-
+            self.n_buckets = self.table.latest_meta().n_buckets
 
     def _pred_args(self, events: DataFrame) -> tuple[list[str], str | None]:
         """(key_cols, content_col) for the validity predicate — key columns
@@ -154,7 +171,7 @@ class CdcEngine:
                 self.table.root, fields=fields, key_cols=sdef.key_cols(),
                 n_buckets=self.n_buckets, aliases=dict(sdef.aliases),
                 props={"schema_version": schema_version})
-        elif self.table.latest().props.get("initial_loaded"):
+        elif self.table.latest_meta().props.get("initial_loaded"):
             raise FileExistsError(
                 f"table at {self.table.root} is already initial-loaded")
         # else: crash-rerun — the schema-only v0 snapshot was published but
@@ -216,7 +233,7 @@ class CdcEngine:
             # marker (and any future table-level flags)
             self.table.commit_metadata(
                 [dict(f) for f in new.fields], dict(new.aliases), epoch=None,
-                props={**self.table.latest().props,
+                props={**self.table.latest_meta().props,
                        "schema_version": new.version})
             cur = new
         return cur
@@ -229,17 +246,10 @@ class CdcEngine:
         null-fill added columns; attach version + storage-bucket columns.
         ``extra_cols`` pass through untouched (e.g. checkpoint_epoch for the
         group-commit path)."""
-        present = set(events.columns)
-        inv: dict[str, list[str]] = {}
-        for old, new in sdef.aliases.items():
-            inv.setdefault(new, []).append(old)
-        cols = []
-        for f in sdef.fields:
-            name = f["name"]
-            cands = ([name] if name in present else []) + [o for o in inv.get(name, []) if o in present]
-            c = (F.coalesce(*[F.col(x) for x in cands]) if len(cands) > 1
-                 else F.col(cands[0]) if cands else F.lit(None))
-            cols.append(c.cast(sql_type(f["type"])).alias(name))
+        # the projection itself is THE shared lake.field_projection — the
+        # LWW merge depends on events being projected identically to stored
+        # files, so the alias/coalesce/cast logic must have one definition
+        cols = field_projection(set(events.columns), sdef.fields, sdef.aliases)
         cols.append(F.col("op").cast("int").alias("op"))
         cols.append(F.col("op_ts").cast("bigint").alias("_op_ts"))
         cols.append(F.col("event_seq").cast("bigint").alias("_event_seq"))
@@ -287,9 +297,13 @@ class CdcEngine:
         if err_stats is None:
             # standalone path: one aggregation job for malformed lineage.
             # bucket_expr is already total on null keys (xxhash64 skips null
-            # inputs), and any coalesce-to-sentinel would TYPE-COERCE
-            # non-string keys and disagree with the write-side bucket ids
-            nb = bucket_expr(key_cols, self.n_buckets)
+            # inputs); keys are CAST to their declared types before hashing
+            # because the write side buckets after _normalize_events' casts
+            # and xxhash64 hashes int vs bigint differently — a raw-typed
+            # hash would put stats in buckets the data never lands in
+            ktypes = {f["name"]: f["type"] for f in sdef.fields
+                      if f["name"] in key_cols}
+            nb = bucket_expr(key_cols, self.n_buckets, cast_types=ktypes)
             err_stats = {
                 r["_bucket"]: r["n"] for r in
                 (data.filter(~vpred).withColumn("_bucket", nb)
@@ -343,7 +357,19 @@ class CdcEngine:
         # yields every per-bucket manifest stat. (An observe/CollectMetrics
         # fusion into the write job was measured SLOWER — n_buckets×4
         # conditional aggregates per row cost more than one cached job.)
+        # persist released in the finally: a failed stats collect or commit
+        # (concurrent-writer CAS, task failure) must not pin the cached
+        # winner set in executor memory — a long-running foreachBatch driver
+        # retrying failed microbatches would leak one cache per failure
         winners.persist()
+        try:
+            return self._apply_epoch_committed(
+                winners, epoch, err_stats, key_cols, payload_cols, t0)
+        finally:
+            winners.unpersist()
+
+    def _apply_epoch_committed(self, winners, epoch, err_stats, key_cols,
+                               payload_cols, t0):
         stat_rows = (winners.groupBy("_bucket")
                      .agg(F.count(F.lit(1)).alias("events_applied"),
                           F.sum("_n_events").alias("events_read"),
@@ -365,7 +391,6 @@ class CdcEngine:
             delta = (winners.drop("_n_events", "_max_seq")
                      .withColumn("_deleted", F.col("op") == OP_DELETE).drop("op"))
             self.table.commit_delta(delta, epoch=epoch, manifests=manifests)
-            winners.unpersist()
             return manifests
 
         # Job 2 (copy-on-write): rewrite touched buckets as merged base files.
@@ -388,7 +413,6 @@ class CdcEngine:
         merged = merged.withColumn("_deleted", F.col("op") == OP_DELETE).drop("op")
         self.table.commit_merge(merged, touched, epoch=epoch, manifests=manifests,
                                 pre_partitioned=pre_part)
-        winners.unpersist()
         return manifests
 
     def apply_epoch_group(self, events: DataFrame, epochs: list[int],
@@ -565,7 +589,7 @@ class CdcEngine:
                        compact_every: int | None, group_commit: bool,
                        beat, transform=None) -> None:
         if (not self.table.exists()
-                or not self.table.latest().props.get("initial_loaded")):
+                or not self.table.latest_meta().props.get("initial_loaded")):
             if source_df is None:
                 raise ValueError(
                     "table missing or initial load incomplete, and no "
@@ -606,9 +630,16 @@ class CdcEngine:
         key_cols = self._key_cols()
         kc, cc = self._pred_args(events)
         vpred = valid_event_pred(kc, cc)
-        # bucket_expr is total on null keys (xxhash64 skips nulls); a
-        # coalesce-to-string sentinel would mis-bucket non-string keys
-        nb = bucket_expr(key_cols, self.n_buckets)
+        # bucket_expr is total on null keys (xxhash64 skips nulls); keys
+        # CAST to their declared types so these stats bucket exactly like
+        # the normalized winners (raw event files may carry narrower
+        # physical types — see bucket_expr's cast_types contract). Key
+        # TYPES are stable across the stream: widening a key would change
+        # the whole storage bucketing and requires an explicit re-bucket
+        ktypes = {f["name"]: f["type"]
+                  for f in self.table.latest_meta().fields
+                  if f["name"] in key_cols}
+        nb = bucket_expr(key_cols, self.n_buckets, cast_types=ktypes)
         data = scope.filter(~F.coalesce(F.col("op"), F.lit(-1)).isin(*SCHEMA_OPS))
         stat_rows = (data.withColumn("_bucket", nb).withColumn("_ok", vpred)
                      .groupBy("checkpoint_epoch", "_bucket", "_ok")

@@ -114,10 +114,21 @@ def sql_type(t: str) -> str:
     return _TYPES[t.lower()]
 
 
-def bucket_expr(key_cols: list[str], n_buckets: int):
+def bucket_expr(key_cols: list[str], n_buckets: int,
+                cast_types: dict[str, str] | None = None):
     """Deterministic storage bucket of a key — xxhash64 over the full key so
-    a hot repo spreads across buckets (unlike bucket(repo) alone)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    a hot repo spreads across buckets (unlike bucket(repo) alone).
+
+    ``cast_types`` ({col: logical type}): consumers hashing RAW event
+    columns (lineage stats over un-normalized scans) MUST cast to the
+    declared key types first — xxhash64 hashes the same value differently
+    per physical type (int 7 and bigint 7 land in different buckets), and
+    the write path buckets AFTER normalization casts, so an event file
+    carrying a narrower type than the table schema would otherwise put
+    stats and data in disagreeing buckets."""
+    cols = [F.col(c).cast(sql_type(cast_types[c])) if cast_types is not None
+            else F.col(c) for c in key_cols]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
 
 @dataclass
@@ -191,6 +202,23 @@ class SnapshotTable:
         if not paths:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
         return self._load_snapshot(paths[-1])
+
+    def latest_meta(self) -> Snapshot:
+        """``latest()`` WITHOUT resolving the manifest-list sidecar — for
+        metadata-only consumers (schema / key_cols / n_buckets / props
+        lookups, which the engine performs several times per epoch): one
+        O(1) doc read instead of an O(total-files) sidecar parse at
+        10^6-file scale (the same rule ``history()`` follows). ``files``
+        is deliberately ``None`` so a consumer that actually touches data
+        fails loudly instead of silently seeing an empty table — call
+        ``latest()`` for those."""
+        paths = self._snapshot_paths()
+        if not paths:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        with open(paths[-1]) as f:
+            d = json.load(f)
+        d["files"] = None
+        return Snapshot(**d)
 
     def _load_snapshot(self, path: str) -> Snapshot:
         # plain read, NOT _load_snapshot_doc: that choke point counts
@@ -915,17 +943,23 @@ def _sid_for(prev: Snapshot, fields: list[dict]) -> str:
     return f"s{len(prev.schemas)}"
 
 
-def _normalize(df: DataFrame, fields: list[dict], aliases: dict) -> DataFrame:
-    """Project any historical file schema onto the current logical schema:
-    rename via alias map, null-fill missing columns, cast (covers widening)."""
-    present = set(df.columns)
-    inv = {}
+def field_projection(present: set[str], fields: list[dict],
+                     aliases: dict) -> list:
+    """THE single definition of the schema-projection columns — alias-map
+    rename (old writers → new name, coalesced), null-fill missing columns,
+    cast to the declared type (covers widening). Shared by the read-side
+    file normalization (``_normalize``) and the engine's write-side event
+    projection (``CdcEngine._normalize_events``): the LWW merge depends on
+    events being projected IDENTICALLY to stored files, so the logic must
+    not be able to drift between the two."""
+    inv: dict[str, list[str]] = {}
     for old, new in aliases.items():
         inv.setdefault(new, []).append(old)
     cols = []
     for f in fields:
         name, typ = f["name"], sql_type(f["type"])
-        candidates = ([name] if name in present else []) + [o for o in inv.get(name, []) if o in present]
+        candidates = ([name] if name in present else []) + \
+            [o for o in inv.get(name, []) if o in present]
         if len(candidates) > 1:
             c = F.coalesce(*[F.col(x) for x in candidates])
         elif candidates:
@@ -933,6 +967,14 @@ def _normalize(df: DataFrame, fields: list[dict], aliases: dict) -> DataFrame:
         else:
             c = F.lit(None)
         cols.append(c.cast(typ).alias(name))
+    return cols
+
+
+def _normalize(df: DataFrame, fields: list[dict], aliases: dict) -> DataFrame:
+    """Project any historical file schema onto the current logical schema:
+    rename via alias map, null-fill missing columns, cast (covers widening)."""
+    present = set(df.columns)
+    cols = field_projection(present, fields, aliases)
     for vc, typ in INTERNAL_COLS.items():
         default = F.lit(False) if typ == "boolean" else F.lit(None)
         cols.append((F.col(vc) if vc in present else default).cast(typ).alias(vc))

@@ -29,8 +29,10 @@ def is_valid_event(ev: pd.DataFrame) -> pd.Series:
     DELETE carries no payload content."""
     ok_op = ev["op"].isin(DATA_OPS)
     ok_key = ev["repo"].notna() & ev["path"].notna()
+    # null version = no LWW position (engine quarantines as null_version)
+    ok_ver = ev["op_ts"].notna() & ev["event_seq"].notna()
     ok_del = ~((ev["op"] == OP_DELETE) & ev["content"].notna())
-    return ok_op & ok_key & ok_del
+    return ok_op & ok_key & ok_ver & ok_del
 
 
 def expected_final(source_repos: pd.DataFrame, change_events: pd.DataFrame,

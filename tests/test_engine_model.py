@@ -111,13 +111,19 @@ def gen_case(seed: int):
     n_bad = max(8, n_events // 16)
     bad = ev.sample(n=n_bad, random_state=int(rng.integers(1 << 30))).copy()
     bad["event_seq"] = np.arange(n_events + 1, n_events + 1 + n_bad, dtype=np.int64)
-    kinds = rng.integers(0, 4, size=n_bad)
+    kinds = rng.integers(0, 6, size=n_bad)
+    bad["op_ts"] = bad["op_ts"].astype("Int64")
+    bad["event_seq"] = bad["event_seq"].astype("Int64")
     bad.iloc[kinds == 0, bad.columns.get_loc("repo")] = None
     bad.iloc[kinds == 1, bad.columns.get_loc("path")] = None
     bad.iloc[kinds == 2, bad.columns.get_loc("op")] = 9
     sel = np.flatnonzero(kinds == 3)
     bad.iloc[sel, bad.columns.get_loc("op")] = 5
     bad.iloc[sel, bad.columns.get_loc("content")] = "corrupt"
+    # null VERSION components: no LWW position -> must quarantine, never
+    # enter the fold as a smallest-possible version
+    bad.iloc[kinds == 4, bad.columns.get_loc("op_ts")] = None
+    bad.iloc[kinds == 5, bad.columns.get_loc("event_seq")] = None
     ev = pd.concat([ev, bad], ignore_index=True)
 
     # at-least-once: exact same-epoch duplicate deliveries (~5%)
@@ -170,6 +176,8 @@ def _valid(r: dict) -> bool:
         return False
     if r["repo"] is None or r["path"] is None:
         return False
+    if pd.isna(r["op_ts"]) or pd.isna(r["event_seq"]):
+        return False   # null version has no LWW position
     return not (r["op"] == 5 and r["content"] is not None)
 
 

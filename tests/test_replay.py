@@ -49,6 +49,85 @@ def test_schema_evolved_final_schema(spark, t1, registry, tmp_path):
     assert eng.table.latest().props["schema_version"] == "2.1"
 
 
+def test_null_version_events_quarantined(spark, tmp_path):
+    """A data event with a null op_ts or event_seq has no LWW position (the
+    reference requires a TransactionId.sequence): it must route to the DLQ
+    as null_version — applying it would make it invisible on read yet
+    counted, and out-versioned by any redelivered OLDER event."""
+    from cdc_core_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "repo", "type": "string", "nullable": False, "key": True},
+            {"name": "path", "type": "string", "nullable": False, "key": True},
+            {"name": "content", "type": "string", "nullable": True},
+        ]}])
+    ddl = ("op int, repo string, path string, content string, "
+           "op_ts long, event_seq long, schema_version string")
+    rows = [
+        (4, "r1", "p1", "null-ts", None, 9, "1.0"),   # null op_ts
+        (4, "r1", "p1", "null-seq", 99, None, "1.0"),  # null event_seq
+        (4, "r1", "p1", "winner", 10, 1, "1.0"),
+    ]
+    eng = CdcEngine(spark, str(tmp_path / "e"), reg, n_buckets=4)
+    eng.initial_load(spark.createDataFrame(
+        [("r1", "p1", "c0")], "repo string, path string, content string"))
+    m = eng.apply_epoch(spark.createDataFrame(rows, ddl), 0)
+    assert sum(r["events_error"] for r in m) == 2
+    assert sum(r["events_applied"] for r in m) == 1
+    errs = eng.errors_df().collect()
+    assert {r["error_reason"] for r in errs} == {"null_version"}
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in eng.read_final().collect()}
+    assert got == {("r1", "p1"): "winner"}
+
+
+def test_manifest_stats_survive_narrow_key_types(spark, tmp_path):
+    """Event files may carry a NARROWER physical key type than the table
+    schema (int32 ids written before a widening): per-bucket lineage stats
+    must land in the same buckets as the winners — xxhash64 hashes int and
+    bigint differently, so the stats scan casts keys to the declared types
+    first. Regression: events_read silently read 0 in every applied bucket
+    while the raw-hash buckets' counts were dropped."""
+    from cdc_core_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "k", "type": "long", "nullable": False, "key": True},
+            {"name": "v", "type": "string", "nullable": True},
+        ]}])
+    evdir = str(tmp_path / "ev")
+    (spark.createDataFrame(
+        [(4, 7, "v1", 10, 1, "1.0", 0), (4, 9, "v2", 11, 2, "1.0", 0)],
+        "op int, k int, v string, op_ts long, event_seq long, "
+        "schema_version string, checkpoint_epoch int")
+     .write.partitionBy("checkpoint_epoch").parquet(evdir))
+    eng = CdcEngine(spark, str(tmp_path / "e"), reg, n_buckets=16)
+    eng.initial_load(spark.createDataFrame([(7, "v0")], "k long, v string"))
+    eng.replay(evdir)
+    per = {r["partition_id"]: r for r in eng.manifests_df().collect()
+           if r["checkpoint_epoch"] == 0}
+    assert sum(r["events_read"] for r in per.values()) == 2
+    for r in per.values():   # stats attribute to the buckets data landed in
+        assert r["events_read"] == r["events_applied"]
+    got = {r["k"]: r["v"] for r in eng.read_final().collect()}
+    assert got == {7: "v1", 9: "v2"}
+
+
+def test_merge_mode_validated_at_construction(spark, tmp_path, monkeypatch):
+    """A typo'd CDC_MERGE_STRATEGY must fail at engine construction, not
+    silently run every epoch as a copy-on-write rewrite."""
+    import pytest
+
+    with pytest.raises(ValueError, match="mor-delta"):
+        CdcEngine(spark, str(tmp_path / "x"), None, merge_mode="mor-delta")
+    monkeypatch.setenv("CDC_MERGE_STRATEGY", "MOR")
+    with pytest.raises(ValueError, match="MOR"):
+        CdcEngine(spark, str(tmp_path / "y"), None)
+
+
 def test_null_op_quarantined_consistently(spark, tmp_path):
     """A null op must land in the DLQ AND the error count — on both the
     standalone apply_epoch path and the replay fast path (the predicate is
