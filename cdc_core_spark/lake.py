@@ -411,19 +411,13 @@ class SnapshotTable:
         if sid not in schemas:
             schemas[sid] = fields
 
-        commit_id = uuid.uuid4().hex[:12]
-        stage_rel = os.path.join("data", f"commit-{commit_id}")
-        stage_abs = os.path.join(self.root, stage_rel)
+        stage_abs = os.path.join(self.root, "data",
+                                 f"commit-{uuid.uuid4().hex[:12]}")
         new_files: list[dict] = []
         if touched_buckets:
-            staged = df if pre_partitioned else df.repartition(
-                max(len(touched_buckets), 1), "_bucket")
-            staged.write.partitionBy("_bucket").mode("overwrite").parquet(stage_abs)
-            for bdir in glob.glob(os.path.join(stage_abs, "_bucket=*")):
-                b = int(os.path.basename(bdir).split("=")[1])
-                for p in glob.glob(os.path.join(bdir, "*.parquet")):
-                    new_files.append({"path": os.path.relpath(p, self.root),
-                                      "bucket": b, "schema_id": sid})
+            new_files = self._stage_files(df, stage_abs, ["_bucket"],
+                                          len(touched_buckets),
+                                          pre_partitioned, sid, None)
         touched = set(touched_buckets)
         carried = [] if rebucket else [f for f in prev.files if f["bucket"] not in touched]
         manifest_rows = manifests() if callable(manifests) else manifests
@@ -433,6 +427,46 @@ class SnapshotTable:
                         manifests=manifest_rows, parent=prev.version,
                         props=props if props is not None else prev.props,
                         maintenance=maintenance)
+        return self._publish_or_clean(snap, stage_abs)
+
+    def _stage_files(self, df: DataFrame, stage_abs: str,
+                     partition_cols: list[str], n_partitions: int,
+                     pre_partitioned: bool, sid: str,
+                     kind: str | None) -> list[dict]:
+        """THE shared stage-write + file-walk used by every commit flavor
+        (delta, grouped delta, merge): write ``df`` partitioned by
+        ``partition_cols`` under ``stage_abs`` and return one record per
+        staged parquet (paths relative to the table root; ``_bucket=`` →
+        ``bucket``, ``checkpoint_epoch=`` → ``epoch``). One definition so
+        the staged layout and record shape can never drift between the
+        commit paths."""
+        staged = df if pre_partitioned else df.repartition(
+            max(n_partitions, 1), *partition_cols)
+        (staged.write.partitionBy(*partition_cols)
+         .mode("overwrite").parquet(stage_abs))
+        key_of = {"_bucket": "bucket", "checkpoint_epoch": "epoch"}
+        new_files: list[dict] = []
+
+        def walk(d: str, depth: int, extra: dict) -> None:
+            if depth == len(partition_cols):
+                for f in glob.glob(os.path.join(d, "*.parquet")):
+                    rec = {"path": os.path.relpath(f, self.root), **extra,
+                           "schema_id": sid}
+                    if kind is not None:
+                        rec["kind"] = kind
+                    new_files.append(rec)
+                return
+            col = partition_cols[depth]
+            for sub in glob.glob(os.path.join(d, f"{col}=*")):
+                walk(sub, depth + 1, {**extra,
+                     key_of[col]: int(os.path.basename(sub).split("=")[1])})
+
+        walk(stage_abs, 0, {})
+        return new_files
+
+    def _publish_or_clean(self, snap: Snapshot, stage_abs: str) -> Snapshot:
+        """Optimistic publish; losing the CAS to a concurrent writer removes
+        this commit's staged files (they were never referenced)."""
         try:
             self._publish(snap)
         except FileExistsError:
@@ -463,29 +497,17 @@ class SnapshotTable:
         schemas = dict(prev.schemas)
         if sid not in schemas:
             schemas[sid] = prev.fields
-        commit_id = uuid.uuid4().hex[:12]
-        stage_rel = os.path.join("data", f"delta-{commit_id}")
-        stage_abs = os.path.join(self.root, stage_rel)
-        staged = df if pre_partitioned else df.repartition(
-            max(prev.n_buckets // 2, 1), "_bucket")
-        staged.write.partitionBy("_bucket").mode("overwrite").parquet(stage_abs)
-        new_files: list[dict] = []
-        for bdir in glob.glob(os.path.join(stage_abs, "_bucket=*")):
-            b = int(os.path.basename(bdir).split("=")[1])
-            for p in glob.glob(os.path.join(bdir, "*.parquet")):
-                new_files.append({"path": os.path.relpath(p, self.root),
-                                  "bucket": b, "schema_id": sid, "kind": "delta"})
+        stage_abs = os.path.join(self.root, "data",
+                                 f"delta-{uuid.uuid4().hex[:12]}")
+        new_files = self._stage_files(df, stage_abs, ["_bucket"],
+                                      prev.n_buckets // 2, pre_partitioned,
+                                      sid, "delta")
         manifest_rows = manifests(new_files) if callable(manifests) else manifests
         snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
                         key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
                         schemas=schemas, files=prev.files + new_files,
                         manifests=manifest_rows, parent=prev.version, props=prev.props)
-        try:
-            self._publish(snap)
-        except FileExistsError:
-            shutil.rmtree(stage_abs, ignore_errors=True)
-            raise
-        return snap
+        return self._publish_or_clean(snap, stage_abs)
 
     def commit_delta_grouped(self, df: DataFrame, epochs: list[int],
                              manifests,
@@ -514,35 +536,19 @@ class SnapshotTable:
         schemas = dict(prev.schemas)
         if sid not in schemas:
             schemas[sid] = prev.fields
-        commit_id = uuid.uuid4().hex[:12]
-        stage_rel = os.path.join("data", f"delta-{commit_id}")
-        stage_abs = os.path.join(self.root, stage_rel)
-        staged = df if pre_partitioned else df.repartition(
+        stage_abs = os.path.join(self.root, "data",
+                                 f"delta-{uuid.uuid4().hex[:12]}")
+        new_files = self._stage_files(
+            df, stage_abs, ["checkpoint_epoch", "_bucket"],
             max(prev.n_buckets // 2, 1) * max(len(epochs), 1),
-            "checkpoint_epoch", "_bucket")
-        (staged.write.partitionBy("checkpoint_epoch", "_bucket")
-         .mode("overwrite").parquet(stage_abs))
-        new_files: list[dict] = []
-        for edir in glob.glob(os.path.join(stage_abs, "checkpoint_epoch=*")):
-            e = int(os.path.basename(edir).split("=")[1])
-            for bdir in glob.glob(os.path.join(edir, "_bucket=*")):
-                b = int(os.path.basename(bdir).split("=")[1])
-                for p in glob.glob(os.path.join(bdir, "*.parquet")):
-                    new_files.append({"path": os.path.relpath(p, self.root),
-                                      "bucket": b, "schema_id": sid,
-                                      "kind": "delta", "epoch": e})
+            pre_partitioned, sid, "delta")
         manifest_rows = manifests(new_files) if callable(manifests) else manifests
         snap = Snapshot(version=prev.version + 1, epoch=epochs[-1] if epochs else None,
                         n_buckets=prev.n_buckets,
                         key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
                         schemas=schemas, files=prev.files + new_files,
                         manifests=manifest_rows, parent=prev.version, props=prev.props)
-        try:
-            self._publish(snap)
-        except FileExistsError:
-            shutil.rmtree(stage_abs, ignore_errors=True)
-            raise
-        return snap
+        return self._publish_or_clean(snap, stage_abs)
 
     def commit_metadata(self, new_fields: list[dict], new_aliases: dict,
                         epoch: int | None = None,
