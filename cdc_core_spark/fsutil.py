@@ -1,0 +1,93 @@
+"""Scheme-aware small-file IO for store sidecars (_ivf_centroids.json,
+_index_meta.json): scheme-less paths use local POSIX IO (atomic temp +
+rename via coordination._atomic_write_json's contract), scheme'd paths
+(``s3a://``, ``hdfs://``, ``file:/``…) go through the Hadoop FileSystem
+API on the driver — the stores themselves are written by Spark, so a
+sidecar that only worked on the local filesystem would strand a
+cell-partitioned IVF store or a term-bucketed text index written to object
+storage without its codebook/metadata (the 100-TB deployment shape).
+
+Driver-side only and small (a few KB of JSON) — never row data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path or path.startswith("file:/")
+
+
+def _hadoop(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def read_text(spark, path: str) -> str:
+    if not _is_remote(path):
+        with open(path) as f:
+            return f.read()
+    fs, jpath, jvm = _hadoop(spark, path)
+    stream = fs.open(jpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def write_text(spark, path: str, text: str) -> None:
+    """Publish a small text file. Local paths get the full atomic temp +
+    fsync + rename contract; Hadoop paths write a ``.tmp`` sibling then
+    rename (atomic on HDFS; on S3A the rename is copy+delete — fine for a
+    sidecar whose readers tolerate the previous version, documented)."""
+    if not _is_remote(path):
+        _atomic_write_text_local(path, text)
+        return
+    fs, jpath, jvm = _hadoop(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(f"rename {path}.tmp -> {path} failed")
+
+
+def _atomic_write_text_local(path: str, text: str) -> None:
+    import tempfile
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="_", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def read_json(spark, path: str):
+    return json.loads(read_text(spark, path))
+
+
+def write_json(spark, path: str, doc) -> None:
+    write_text(spark, path, json.dumps(doc))

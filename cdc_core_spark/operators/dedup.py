@@ -26,27 +26,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def normalize_text(col) -> "F.Column":
+def normalize_text(col, unicode_letters: bool = False) -> "F.Column":
     """Canonicalize before hashing: lowercase, collapse whitespace, strip
-    non-alphanumerics (keeps spaces)."""
+    non-alphanumerics (keeps spaces).
+
+    The default alphabet is ASCII ``[a-z0-9]`` — it mirrors the DuckDB SQL
+    oracles character-for-character. Under it, EVERY non-Latin-script doc
+    (CJK, Cyrillic, …) normalizes to the empty string, which would merge
+    unrelated documents into one dedup group — so the near-dup operators
+    exclude empty normalizations from candidate generation, and
+    ``unicode_letters=True`` switches the kept classes to ``\p{L}\p{N}``
+    (any letter/digit, java.util.regex and RE2 both support them) for
+    multilingual corpora."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    pat = r"[^\p{L}\p{N}\s]" if unicode_letters else r"[^a-z0-9\s]"
+    c = F.regexp_replace(c, pat, " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                unicode_letters: bool = False) -> DataFrame:
     """Exact duplicate groups by sha256(normalized text): returns one row per
-    duplicate-set with the canonical (min) id and the group size."""
-    h = F.sha2(normalize_text(text_col), 256)
+    duplicate-set with the canonical (min) id and the group size. Docs that
+    normalize to "" DO group together here — identical (empty) normal forms
+    are exact duplicates by definition; pass unicode_letters=True so
+    non-Latin text keeps its content instead of normalizing empty."""
+    h = F.sha2(normalize_text(text_col, unicode_letters), 256)
     return (df.withColumn("text_hash", h)
             .groupBy("text_hash")
             .agg(F.min(id_col).alias("canonical_id"),
                  F.count("*").alias("dup_count")))
 
 
-def tokens(col) -> "F.Column":
-    return F.split(normalize_text(col), " ")
+def tokens(col, unicode_letters: bool = False) -> "F.Column":
+    return F.split(normalize_text(col, unicode_letters), " ")
 
 
 def word_ngrams(t: "F.Column", n: int) -> "F.Column":
@@ -69,14 +83,15 @@ def word_ngrams(t: "F.Column", n: int) -> "F.Column":
     return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(full)
 
 
-def ngrams(col, n: int = 3) -> "F.Column":
+def ngrams(col, n: int = 3, unicode_letters: bool = False) -> "F.Column":
     """Distinct word n-grams of the normalized text."""
-    return F.array_distinct(word_ngrams(tokens(col), n))
+    return F.array_distinct(word_ngrams(tokens(col, unicode_letters), n))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_postings: int | None = None) -> DataFrame:
+                        max_postings: int | None = None,
+                        unicode_letters: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold via inverted index:
     |A∩B| from gram co-occurrence counts, |A|,|B| from per-doc gram counts.
     Shuffle cost O(total grams), never O(N²).
@@ -88,10 +103,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     biases Jaccard of the surviving pairs because the intersection counter
     loses the gram — hence default None (exact, what the oracle checks) and
     opt-in at scale."""
-    g = (df.select(F.col(id_col).alias("doc"), ngrams(text_col, n).alias("grams"))
-           .withColumn("n_grams", F.size("grams")))
+    # empty normalizations are excluded: a doc whose whole text normalizes
+    # away (non-Latin under the ASCII default) has no content to shingle,
+    # and keeping it would emit jaccard=1.0 for every such pair. lazy
+    # localCheckpoint: the normalize+shingle pipeline feeds sizes AND both
+    # self-join sides (and the freq agg under max_postings) — unmaterialized
+    # it would run 3-4x (the same rationale as minhash_near_dupes)
+    g = (df.select(F.col(id_col).alias("doc"),
+                   ngrams(text_col, n, unicode_letters).alias("grams"))
+           .filter((F.size("grams") > 1) | (F.element_at("grams", 1) != ""))
+           .withColumn("n_grams", F.size("grams"))
+           .localCheckpoint(eager=False))
     sizes = g.select("doc", "n_grams")
-    inv = g.select("doc", F.explode("grams").alias("gram"))
+    inv = g.select("doc", F.explode("grams").alias("gram")).localCheckpoint(eager=False)
     if max_postings is not None:
         freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
         inv = (inv.join(F.broadcast(freq.filter(F.col("_df") > max_postings)
@@ -120,7 +144,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 _MAX_LONG = (1 << 63) - 1
 
 
-def minhash_signature(col, num_perm: int = 64, shingle_n: int = 3) -> "F.Column":
+def minhash_signature(col, num_perm: int = 64, shingle_n: int = 3,
+                      unicode_letters: bool = False) -> "F.Column":
     """MinHash signature as array<long>: per permutation i, min over shingles
     of xxhash64(shingle, i). All JVM-side.
 
@@ -134,7 +159,7 @@ def minhash_signature(col, num_perm: int = 64, shingle_n: int = 3) -> "F.Column"
     ``(a_i*h+b_i) mod (2^31-1)`` family is ~1.4× SLOWER here — pmod is an
     integer division and 65 of them cost more than 64 seeded xxhash64 calls
     on short shingle strings (5k-doc A/B: 3.6s vs 2.6s)."""
-    sh = ngrams(col, shingle_n)
+    sh = ngrams(col, shingle_n, unicode_letters)
     init = F.array_repeat(F.lit(_MAX_LONG), num_perm)
 
     def step(acc, s):
@@ -162,7 +187,8 @@ def _pairs_from_buckets(bdf: DataFrame, max_bucket: int) -> DataFrame:
 def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, bands: int = 16,
                        shingle_n: int = 3, threshold: float = 0.5,
-                       max_bucket: int = 64) -> DataFrame:
+                       max_bucket: int = 64,
+                       unicode_letters: bool = False) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
 
     Candidates = pairs colliding in ≥1 of ``bands`` bands (rows/band =
@@ -170,7 +196,10 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     positions; pairs below threshold are filtered after the cheap estimate.
     ``max_bucket`` drops degenerate buckets (see _pairs_from_buckets).
     """
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        # ValueError, not assert: python -O strips asserts and the silent
+        # consequence is unbanded signature positions (lost recall)
+        raise ValueError(f"num_perm={num_perm} must divide into bands={bands}")
     r = num_perm // bands
     # localCheckpoint (lazy), not cache(): the signature pipeline feeds the
     # band explode AND both sides of the candidate join — unmaterialized it
@@ -182,9 +211,14 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     # the RDD and reclaimed by the ContextCleaner once the result DataFrame
     # is dropped. (Tradeoff: checkpointed partitions aren't recomputable on
     # executor loss; acceptable for a derived, rerunnable dedup pass.)
-    sigs = df.select(F.col(id_col).alias("doc"),
-                     minhash_signature(text_col, num_perm, shingle_n).alias("sig")
-                     ).localCheckpoint(eager=False)
+    # empty normalizations excluded — same rule as ngram_jaccard_pairs:
+    # every such doc shares one degenerate signature and they would all
+    # pair with estimated jaccard 1.0
+    sigs = (df.filter(normalize_text(text_col, unicode_letters) != "")
+            .select(F.col(id_col).alias("doc"),
+                    minhash_signature(text_col, num_perm, shingle_n,
+                                      unicode_letters).alias("sig"))
+            .localCheckpoint(eager=False))
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bkey"))
@@ -268,7 +302,11 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     """
     sym = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
            .unionByName(pairs.select(F.col(b_col).alias("src"),
-                                     F.col(a_col).alias("dst"))))
+                                     F.col(a_col).alias("dst"))
+                        ).localCheckpoint(eager=False))
+    # ^ lazy checkpoint: every propagation round joins against sym, and the
+    # caller's pairs plan (e.g. the inverted-index jaccard join) would
+    # otherwise re-execute from scratch once per round
     labels = nodes.select(F.col(node_col).alias("node"),
                           F.col(node_col).alias("label")).localCheckpoint(eager=False)
     converged = False
@@ -343,17 +381,20 @@ def _simhash_fold(col):
     return pandas_udf(_simhash_fold_fn, "long")(col)
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              unicode_letters: bool = False) -> DataFrame:
     """SimHash fingerprints: token hashing in the JVM (xxhash64 over tokens),
     bit-fold in Arrow/numpy."""
-    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    tok_hashes = F.transform(tokens(text_col, unicode_letters),
+                             lambda t: F.xxhash64(t))
     return df.select(F.col(id_col).alias("doc"),
                      _simhash_fold(tok_hashes).alias("simhash"))
 
 
 def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       unicode_letters: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k, blocked on
     ``max_hamming + 1`` bit-slice bands (pigeonhole: k differing bits can
     dirty at most k of k+1 bands, so every qualifying pair collides in ≥1
@@ -387,7 +428,11 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     # lazy localCheckpoint: the fingerprint pipeline (tokenize + xxhash +
     # Arrow bit-fold, the dominant cost) feeds the band explode AND both
     # sides of the verify join — unmaterialized it would run 3×
-    sh = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
+    # empty normalizations excluded (fingerprint 0 for all of them — they
+    # would pair up at hamming 0); same rule as the other near-dup paths
+    sh = simhash64(df.filter(normalize_text(text_col, unicode_letters) != ""),
+                   id_col, text_col,
+                   unicode_letters).localCheckpoint(eager=False)
     if max_bucket is None:
         import math
         # counting sh (not df) materializes the checkpoint the downstream
@@ -431,22 +476,37 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
 def embedding_near_dupes(df: DataFrame, id_col: str, vec_col: str,
                          dim: int, threshold: float = 0.95,
                          n_planes: int = 16, bands: int = 4,
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42,
+                         max_bucket: int | None = None) -> DataFrame:
     """Embedding cosine near-duplicates: banded random-hyperplane LSH
     (candidates = pairs agreeing on ALL bits of ≥1 band — banding gives the
     same OR-amplification as MinHash LSH, so a flipped bit near a hyperplane
-    doesn't lose the pair), exact cosine rerank on candidates."""
-    assert n_planes % bands == 0
+    doesn't lose the pair), exact cosine rerank on candidates.
+
+    ``max_bucket=None`` (default) sizes the bucket cap FROM the corpus —
+    ``max(256, 4 · ceil(n_docs / 2^r))`` with ``r = n_planes/bands`` band
+    bits — exactly the simhash rule: a fixed cap silently drops EVERY
+    bucket once ``n_docs`` outgrows ``cap · 2^r`` (the default r=4 bands
+    have only 16 possible keys, so a fixed 1024 cap saturates at ~16k
+    vectors and the function would return zero pairs with no warning).
+    The sizing counts the checkpointed projection frame the band explode
+    and rerank join read anyway."""
+    if n_planes % bands != 0:
+        # ValueError, not assert: python -O strips asserts and the silent
+        # consequence is unbanded hyperplane bits (lost recall)
+        raise ValueError(f"n_planes={n_planes} must divide into bands={bands}")
+    from cdc_core_spark.operators.similarity import _dot_with_lit, _norm
     r = n_planes // bands
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    def dot_lit(vec, plane) -> "F.Column":
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return F.aggregate(F.zip_with(vec, arr, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, x: acc + x)
-    vecs = df.select(F.col(id_col).alias("doc"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
-    bits = [F.when(dot_lit(F.col("v"), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    vecs = (df.select(F.col(id_col).alias("doc"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .localCheckpoint(eager=False))
+    if max_bucket is None:
+        import math
+        max_bucket = max(256, 4 * math.ceil(vecs.count() / 2 ** r))
+    bits = [F.when(_dot_with_lit(F.col("v"), p) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
             for p in planes]
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -456,12 +516,12 @@ def embedding_near_dupes(df: DataFrame, id_col: str, vec_col: str,
     b = (vecs.select("doc", F.explode(band_arr).alias("bd"))
              .select("doc", F.col("bd.band").alias("band"),
                      F.col("bd.bkey").alias("bkey")))
-    cand = _pairs_from_buckets(b, max_bucket=1024)
+    cand = _pairs_from_buckets(b, max_bucket)
     pairs = (cand.join(vecs.select(F.col("doc").alias("doc_a"), F.col("v").alias("va")), "doc_a")
                  .join(vecs.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb")), "doc_b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("va", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    na = _norm(F.col("va"))
+    nb = _norm(F.col("vb"))
     # norm floor: zero vectors must not produce NaN (NaN >= t is TRUE under
     # Spark's NaN-greatest ordering). Threshold the UNROUNDED cosine — the
     # same boundary invariant ngram_jaccard_pairs documents above; rounding

@@ -39,16 +39,25 @@ def split_bucket(id_col, salt: str, buckets: int = 1000):
 def consistent_split(df: DataFrame, id_col: str, holdout_permille: int = 20,
                      salt: str = "split-v1",
                      split_col: str = "split") -> DataFrame:
-    """Tag every row 'holdout' (bucket < permille) or 'train'."""
+    """Tag every row 'holdout' (bucket < permille) or 'train'.
+
+    A NULL id has no stable identity to hash, so its split is NULL — never
+    a silent 'train' (the when/otherwise fallthrough would have hidden it):
+    the same population ``consistent_sample`` excludes, made visible so the
+    caller can repair or filter it deliberately."""
     b = split_bucket(id_col, salt)
     return df.withColumn(
         split_col,
-        F.when(b < holdout_permille, F.lit("holdout")).otherwise(F.lit("train")))
+        F.when(F.col(id_col).isNull(), F.lit(None).cast("string"))
+         .when(b < holdout_permille, F.lit("holdout"))
+         .otherwise(F.lit("train")))
 
 
 def consistent_sample(df: DataFrame, id_col: str, permille: int,
                       salt: str = "sample-v1") -> DataFrame:
-    """Keep a deterministic ~permille/1000 subset (same ids every run)."""
+    """Keep a deterministic ~permille/1000 subset (same ids every run).
+    NULL ids are excluded (a null bucket fails the comparison) — consistent
+    with consistent_split's NULL tag for the same rows."""
     return df.filter(split_bucket(id_col, salt) < permille)
 
 

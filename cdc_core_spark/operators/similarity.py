@@ -23,6 +23,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdc_core_spark import fsutil
+
+
+def _sep(path: str) -> str:
+    """path + '/' — sidecars join with the store path textually so scheme'd
+    URIs (s3a://…) survive (os.path.join mangles nothing here, but keep the
+    join scheme-neutral and explicit)."""
+    return path if path.endswith("/") else path + "/"
+
 
 def _dot_with_lit(vec_col, q: list[float]) -> "F.Column":
     arr = F.array(*[F.lit(float(x)) for x in q])
@@ -61,7 +70,11 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     Python."""
     cn = (centroids ** 2).sum(axis=1)
     c_t = centroids.T.copy()
-    out_schema = f"{id_col} long, cell int"
+    # the id column passes through untouched — carry its REAL type (string
+    # uuid/url ids are as valid as integers; hardcoding long would make
+    # Arrow fail the coercion deep inside the executor)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, cell int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,14 +124,16 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
     at 100 TB this is the difference between an ANN index and a scan.
     Centroids ride a ``_ivf_centroids.json`` sidecar (underscore-prefixed →
     invisible to Spark readers)."""
-    import json
-    import os
     if centroids is None:
         centroids = deterministic_centroids(df, vec_col, n_cells, id_col)
     assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump(centroids.tolist(), f)
+    # scheme-aware sidecar publish: the store itself is written by Spark to
+    # any filesystem — a local-only codebook write would strand an
+    # object-store IVF layout without its centroids (fsutil routes s3a/hdfs
+    # paths through the Hadoop FileSystem API)
+    fsutil.write_json(df.sparkSession, _sep(path) + "_ivf_centroids.json",
+                      centroids.tolist())
     return centroids
 
 
@@ -140,10 +155,9 @@ def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str,
     verifies with a semi-join over the stored ids (one id-column scan);
     it is also the safe re-run mode after a crashed append, where a blind
     retry of a half-committed batch is exactly how duplicates happen."""
-    import json
-    import os
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        centroids = np.array(json.load(f), dtype=np.float64)
+    centroids = np.array(
+        fsutil.read_json(df.sparkSession, _sep(path) + "_ivf_centroids.json"),
+        dtype=np.float64)
     if check_disjoint:
         spark = df.sparkSession
         existing = spark.read.parquet(path).select(id_col).distinct()
@@ -166,10 +180,9 @@ def ivf_probe_scan(spark, path: str, query: list[float],
     turns into directory pruning, so only ~nprobe/n_cells of the files are
     read (assert via ``input_file_name()`` on this frame; the top-k result
     downstream loses file provenance at its exchange)."""
-    import json
-    import os
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        centroids = np.array(json.load(f), dtype=np.float64)
+    centroids = np.array(
+        fsutil.read_json(spark, _sep(path) + "_ivf_centroids.json"),
+        dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     d = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:nprobe]]
@@ -206,7 +219,18 @@ def cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
     construction — the correctness baseline that
     ``dedup.embedding_near_dupes`` (hyperplane-LSH bucketed, subquadratic)
     approximates; at 10^9 vectors use the LSH variant and rerank.
+
+    Requires an INTEGER id column: the block pack serializes ids as int64
+    byte buffers alongside the matrix. String-keyed corpora should join a
+    monotonically-increasing surrogate first (checked up front — failing
+    here beats an opaque Arrow error after the GEMM pass).
     """
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"cosine_pairs_exact needs an integer id column, got {id_col}: "
+            f"{id_type} — add a surrogate id (e.g. monotonically_increasing"
+            "_id) and map back after")
     thr = float(threshold)
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("_v"))

@@ -167,6 +167,11 @@ def _write_bucketed(index: DataFrame, path: str, n_buckets: int,
      .write.partitionBy("term_bucket").mode(mode).parquet(path))
 
 
+def _meta_path(path: str) -> str:
+    # textual join so scheme'd store URIs (s3a://…) survive
+    return (path if path.endswith("/") else path + "/") + "_index_meta.json"
+
+
 def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
     """Persist the inverted index PARTITIONED BY TERM-HASH BUCKET — the
     storage layout that makes a query a directory-pruned read: the probed
@@ -174,19 +179,19 @@ def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
     of the index files instead of all of them (the Solr-shard analog, and the
     same shape as ``similarity.ivf_write``). Bucket count rides a
     ``_index_meta.json`` sidecar (underscore-prefixed → invisible to Spark)."""
-    import os
-
-    from cdc_core_spark.coordination import _atomic_write_json
+    from cdc_core_spark import fsutil
 
     # materialize once: the write AND the doc-count job below both consume
     # the (tokenize + explode + groupBy) plan
     index = index.localCheckpoint(eager=False)
     _write_bucketed(index, path, n_buckets, "overwrite")
     # corpus doc count rides the sidecar so tfidf queries never pay a
-    # full-index countDistinct pass (one extra job HERE, at write time)
+    # full-index countDistinct pass (one extra job HERE, at write time).
+    # fsutil: sidecar IO is scheme-aware, so an index written to object
+    # storage keeps its metadata next to it
     n_docs = index.select(F.count_distinct("doc")).first()[0]
-    _atomic_write_json(os.path.join(path, "_index_meta.json"),
-                       {"n_buckets": n_buckets, "n_docs": n_docs})
+    fsutil.write_json(index.sparkSession, _meta_path(path),
+                      {"n_buckets": n_buckets, "n_docs": n_docs})
 
 
 def append_text_index(index: DataFrame, path: str,
@@ -219,14 +224,10 @@ def append_text_index(index: DataFrame, path: str,
     n_terms_matched contract). Re-run with ``check_disjoint=True`` (any
     already-landed doc raises, telling you this batch needs the rebuild
     path) or rebuild via ``write_text_index``."""
-    import json
-    import os
-
-    from cdc_core_spark.coordination import _atomic_write_json
+    from cdc_core_spark import fsutil
 
     spark = index.sparkSession
-    with open(os.path.join(path, "_index_meta.json")) as f:
-        meta = json.load(f)
+    meta = fsutil.read_json(spark, _meta_path(path))
     n_buckets = int(meta["n_buckets"])
     # materialize once: the disjointness probe, the doc-count job, and the
     # write all consume the same (tokenize + explode + groupBy) plan — the
@@ -246,7 +247,7 @@ def append_text_index(index: DataFrame, path: str,
     n_new = index.select(F.count_distinct("doc")).first()[0]
     _write_bucketed(index, path, n_buckets, "append")
     meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
-    _atomic_write_json(os.path.join(path, "_index_meta.json"), meta)
+    fsutil.write_json(spark, _meta_path(path), meta)
 
 
 def compact_text_index(spark, path: str) -> None:
@@ -270,7 +271,13 @@ def compact_text_index(spark, path: str) -> None:
     import shutil
 
     from cdc_core_spark.coordination import _atomic_write_json
+    from cdc_core_spark.fsutil import _is_remote
 
+    if _is_remote(path):
+        raise NotImplementedError(
+            "compact_text_index's directory-swap protocol needs a POSIX "
+            "rename; for an object-store index, rewrite to a NEW path with "
+            "write_text_index and repoint readers")
     with open(os.path.join(path, "_index_meta.json")) as f:
         meta = json.load(f)
     n_buckets = int(meta["n_buckets"])
@@ -294,10 +301,8 @@ def probe_index_scan(spark, path: str, terms: list[str]) -> DataFrame:
     terms → their hash buckets (computed by the same JVM xxhash64 the writer
     used, via a one-row-per-term probe job — tiny, justified) → a
     partition-column IN-filter Catalyst turns into directory pruning."""
-    import json
-    import os
-    with open(os.path.join(path, "_index_meta.json")) as f:
-        n_buckets = json.load(f)["n_buckets"]
+    from cdc_core_spark import fsutil
+    n_buckets = fsutil.read_json(spark, _meta_path(path))["n_buckets"]
     norm, _unsat = _normalize_terms(terms)
     probe = spark.createDataFrame([(t,) for t in norm], "term string")
     buckets = sorted({r["b"] for r in probe.select(
@@ -316,12 +321,10 @@ def search_text_stored(spark, path: str, terms: list[str], mode: str = "any",
     ``scoring="tfidf"`` reads the corpus doc count from the index sidecar
     (the pruned scan can't see other buckets' docs, and counting them would
     defeat the pruning)."""
-    import json
-    import os
+    from cdc_core_spark import fsutil
     pruned = probe_index_scan(spark, path, terms).drop("term_bucket")
     n_docs = None
     if scoring == "tfidf":
-        with open(os.path.join(path, "_index_meta.json")) as f:
-            n_docs = json.load(f)["n_docs"]
+        n_docs = fsutil.read_json(spark, _meta_path(path))["n_docs"]
     return search_text(pruned, terms, mode=mode, limit=limit,
                        scoring=scoring, n_docs=n_docs)

@@ -864,3 +864,125 @@ def test_search_text_randomized_vs_python_model(spark):
                             for t in hit), 4)
                     want[i] = (len(hit), sc)
                 assert got == want, (q, mode, scoring)
+
+
+def test_dedup_unicode_and_empty_normalization_handling(spark):
+    """ASCII-default normalization collapses non-Latin docs to "" — the
+    near-dup operators must EXCLUDE those from candidate generation (else
+    every CJK pair scores 1.0), exact_dedup groups them (documented), and
+    unicode_letters=True keeps their content distinct."""
+    rows = [(1, "机器学习模型训练"), (2, "完全不同的文本内容"),
+            (3, "plain english text here"), (4, "plain english text here"),
+            (5, "机器学习模型训练")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # ASCII default: CJK docs are invisible to near-dup candidates
+    assert dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                     threshold=0.1).filter(
+        F.col("doc_a").isin(1, 2, 5) | F.col("doc_b").isin(1, 2, 5)
+    ).count() == 0
+    assert dedup.minhash_near_dupes(df, "doc_id", "text").filter(
+        F.col("doc_a").isin(1, 2, 5) | F.col("doc_b").isin(1, 2, 5)
+    ).count() == 0
+    assert dedup.simhash_near_dupes(df, "doc_id", "text").filter(
+        F.col("doc_a").isin(1, 2, 5) | F.col("doc_b").isin(1, 2, 5)
+    ).count() == 0
+
+    # unicode mode: identical CJK docs pair up; DIFFERENT CJK docs don't
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.9, unicode_letters=True).collect()}
+    assert (1, 5) in pairs and (3, 4) in pairs
+    assert not any({a, b} == {1, 2} for a, b in pairs)
+    # exact dedup under unicode: 3 distinct normal forms among CJK+english
+    groups = dedup.exact_dedup(df, "text", "doc_id",
+                               unicode_letters=True).collect()
+    assert sorted(g["dup_count"] for g in groups) == [1, 2, 2]
+
+
+def test_embedding_near_dupes_auto_bucket_cap(spark):
+    """The corpus-sized auto cap (max_bucket=None) must keep finding a
+    planted near-duplicate at a corpus size where a small fixed cap
+    saturates every 4-bit band bucket and silently returns nothing."""
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 8))
+    vecs[299] = vecs[0] + 1e-4          # planted near-dup of vec 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "doc_id long, embedding array<double>")
+    found = {(r["doc_a"], r["doc_b"]) for r in dedup.embedding_near_dupes(
+        df, "doc_id", "embedding", dim=8, threshold=0.999).collect()}
+    assert (0, 299) in found
+    # a cap of 1 drops every bucket — demonstrating what a saturated fixed
+    # cap does, and why the default derives from the corpus instead
+    assert dedup.embedding_near_dupes(df, "doc_id", "embedding", dim=8,
+                                      threshold=0.999,
+                                      max_bucket=1).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="divide"):
+        dedup.embedding_near_dupes(df, "doc_id", "embedding", dim=8,
+                                   n_planes=16, bands=5)
+
+
+def test_sampling_null_ids_consistent(spark):
+    """NULL ids: split tags NULL (never a silent 'train'), sample excludes —
+    the same population, visible instead of mislabeled."""
+    from cdc_core_spark.operators import sampling
+
+    df = spark.createDataFrame([("a",), ("b",), (None,)], "doc_id string")
+    tags = {r["doc_id"]: r["split"] for r in
+            sampling.consistent_split(df, "doc_id").collect()}
+    assert tags[None] is None
+    assert set(tags["a"] for _ in [0]) <= {"train", "holdout"}
+    assert sampling.consistent_sample(df, "doc_id", 1000).count() == 2
+
+
+def test_ivf_string_ids_and_exact_pairs_id_guard(spark, tmp_path):
+    """ivf paths carry the id column's REAL type (string uuids work);
+    cosine_pairs_exact rejects non-integer ids up front with guidance."""
+    import pytest
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 8))
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id string, embedding array<double>")
+    q = [float(x) for x in vecs[7]]
+    top = similarity.ivf_topk(df, "vec_id", "embedding", q, k=3,
+                              n_cells=4, nprobe=4)
+    assert top.first()["vec_id"] == "doc-007"
+    path = str(tmp_path / "ivf_str")
+    similarity.ivf_write(df, "vec_id", "embedding", path, n_cells=4)
+    stored = similarity.ivf_topk_stored(spark, path, "vec_id", "embedding",
+                                        q, k=3, nprobe=4)
+    assert stored.first()["vec_id"] == "doc-007"
+    with pytest.raises(ValueError, match="integer id"):
+        similarity.cosine_pairs_exact(df, "vec_id", "embedding", 0.9)
+
+
+def test_fsutil_hadoop_scheme_roundtrip(spark, tmp_path):
+    """fsutil routes scheme'd paths through the Hadoop FileSystem API —
+    exercised in-sandbox via file:/ (LocalFileSystem), the same code path
+    s3a/hdfs take; scheme-less paths stay on atomic POSIX IO. The stored
+    text index works end-to-end over a file:/ URI."""
+    from cdc_core_spark import fsutil
+    from cdc_core_spark.operators import textsearch as ts
+
+    p = f"file://{tmp_path}/side/meta.json"
+    fsutil.write_json(spark, p, {"a": 1})
+    assert fsutil.read_json(spark, p) == {"a": 1}
+    fsutil.write_json(spark, p, {"a": 2})      # overwrite via rename
+    assert fsutil.read_json(spark, p) == {"a": 2}
+    local = str(tmp_path / "side2/meta.json")
+    fsutil.write_json(spark, local, {"b": 3})
+    assert fsutil.read_json(spark, local) == {"b": 3}
+
+    rows = [(i, f"alpha w{i % 7} " + ("merge " * (i % 3))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uri = f"file://{tmp_path}/tidx"
+    ts.write_text_index(ts.build_text_index(df, "doc_id", "text"),
+                        uri, n_buckets=4)
+    got = ts.search_text_stored(spark, uri, ["merge"], scoring="tfidf")
+    want = ts.search_text(ts.build_text_index(df, "doc_id", "text"),
+                          ["merge"], scoring="tfidf", n_docs=60)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
