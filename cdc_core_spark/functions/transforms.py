@@ -19,16 +19,28 @@ from pyspark.sql import functions as F
 _NUM_JUNK = r"[^0-9.\-+eE]"
 
 
+def _to_integral(col, t: str) -> Column:
+    """Locale-tolerant integer parse (NumberFormat.parse().intValue()
+    semantics): strip grouping/currency junk, then try the DIRECT integral
+    cast — exact for any in-range integer string — and only fall back
+    through double (truncating toward zero) for decimal strings like
+    '1234.56', which a direct int cast rejects as null. The direct-first
+    order matters: routing every value through double would silently lose
+    precision on integer strings beyond 2^53."""
+    cleaned = F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                               _NUM_JUNK, "")
+    return F.coalesce(cleaned.try_cast(t),
+                      cleaned.try_cast("double").try_cast(t))
+
+
 def to_int(col) -> Column:
-    """IntegerTransformer: locale-tolerant parse — strips grouping separators
-    and currency symbols, then casts. 'try' semantics: unparseable → null."""
-    return F.regexp_replace(F.col(col) if isinstance(col, str) else col,
-                            _NUM_JUNK, "").try_cast("int")
+    """IntegerTransformer: locale-tolerant parse — '$1,234.56' → 1234.
+    'try' semantics: unparseable → null."""
+    return _to_integral(col, "int")
 
 
 def to_long(col) -> Column:
-    return F.regexp_replace(F.col(col) if isinstance(col, str) else col,
-                            _NUM_JUNK, "").try_cast("bigint")
+    return _to_integral(col, "bigint")
 
 
 def to_double(col) -> Column:

@@ -42,8 +42,12 @@ class Q:
         word-boundary alternation, longest name first so `:p` never corrupts
         `:p2`, and a single pass so a `:token` inside an already-substituted
         string VALUE can never be rewritten by a later parameter. String
-        values are SQL-escaped (' → '') so a quote in a value can't break or
-        inject into the expression handed to Catalyst."""
+        values escape BOTH the backslash and the quote (Spark SQL string
+        literals process backslash escapes, so quote-doubling alone leaves
+        `C:\\temp\\` ending in an escape that swallows the closing quote —
+        a parse error at best, predicate injection at worst), and the
+        common typed params (date/datetime/Decimal, IN-lists) render as
+        their SQL literal forms instead of a repr() Catalyst can't parse."""
         if self.where is None:
             return None
         if not self.params:
@@ -51,13 +55,30 @@ class Q:
         import re
 
         def lit(v) -> str:
+            import datetime
+            import decimal
             if v is None:
                 return "NULL"
             if isinstance(v, bool):
                 return "true" if v else "false"
             if isinstance(v, str):
-                return "'" + v.replace("'", "''") + "'"
-            return repr(v)
+                return ("'" + v.replace("\\", "\\\\")
+                            .replace("'", "\\'") + "'")
+            if isinstance(v, (int, float)):
+                return repr(v)
+            if isinstance(v, decimal.Decimal):
+                return str(v)
+            if isinstance(v, datetime.datetime):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            if isinstance(v, datetime.date):
+                return f"DATE '{v.isoformat()}'"
+            if isinstance(v, (list, tuple, set)):
+                items = sorted(v) if isinstance(v, set) else v
+                return "(" + ", ".join(lit(x) for x in items) + ")"
+            raise TypeError(
+                f"unsupported query parameter type {type(v).__name__}: "
+                "pass str/bool/int/float/Decimal/date/datetime or a "
+                "list/tuple for IN-lists")
 
         names = sorted(self.params, key=len, reverse=True)
         pat = re.compile(":(" + "|".join(re.escape(k) for k in names) + r")\b")
@@ -133,6 +154,7 @@ class KeysetCursor:
         self._base = base.orderBy(*order)
         self._page_size = page_size
         self._last = None          # (sort_value, tiebreak_value)
+        self._exhausted = False    # partial page seen -> no more jobs
 
     def _seek_pred(self):
         s, t = self._last
@@ -161,10 +183,17 @@ class KeysetCursor:
         return pred
 
     def next_page(self) -> list:
+        if self._exhausted:
+            return []
         df = self._base
         if self._last is not None:
             df = df.filter(self._seek_pred())
         rows = df.limit(self._page_size).collect()
+        if len(rows) < self._page_size:
+            # a partial page proves nothing remains — remember it so a full
+            # scroll never pays one extra whole scan job just to observe an
+            # empty page (an exactly-page-sized tail still needs the probe)
+            self._exhausted = True
         if rows:
             last = rows[-1]
             self._last = (last[self._sort_col], last[self._tiebreak])

@@ -59,7 +59,7 @@ class SchemaDef:
 
 @dataclass
 class SchemaOp:
-    op: str        # ADD | DROP | MODIFY | RENAME
+    op: str        # ADD | DROP | MODIFY | RENAME | NARROW
     name: str
     detail: dict = field(default_factory=dict)
 
@@ -75,8 +75,15 @@ def diff(old: SchemaDef, new: SchemaDef) -> list[SchemaOp]:
         src = om.get(name) or (om.get(_rename_src(renames, name)) if _rename_src(renames, name) else None)
         if src is None:
             ops.append(SchemaOp("ADD", name, {"type": f["type"], "nullable": f.get("nullable", True)}))
-        elif src["type"] != f["type"]:
-            ops.append(SchemaOp("MODIFY", name, {"from": src["type"], "to": f["type"]}))
+        else:
+            if src["type"] != f["type"]:
+                ops.append(SchemaOp("MODIFY", name, {"from": src["type"], "to": f["type"]}))
+            if src.get("nullable", True) and not f.get("nullable", True):
+                # nullable -> required narrowing of an EXISTING field: must
+                # surface as an op (existing null rows violate the new
+                # contract) — the same break required-ADD-without-default
+                # guards against for new fields
+                ops.append(SchemaOp("NARROW", name, {}))
     for name in om:
         if name not in nm and name not in renames:
             ops.append(SchemaOp("DROP", name))
@@ -109,10 +116,15 @@ def validate_evolution(old: SchemaDef, new: SchemaDef) -> list[SchemaOp]:
             if pair not in WIDENING:
                 raise SchemaEvolutionError(
                     f"MODIFY {op.name}: {pair[0]} → {pair[1]} is not a legal widening")
-        elif op.op == "RENAME":
-            if op.detail["to"] not in new.field_map():
-                raise SchemaEvolutionError(f"RENAME target {op.detail['to']} missing")
-        # DROP = soft-delete, always allowed (ignoreDroppedColumn semantics)
+        elif op.op == "NARROW":
+            raise SchemaEvolutionError(
+                f"field '{op.name}' narrowed nullable → required: existing "
+                "rows may hold nulls — widen back, or migrate with a "
+                "default-fill rewrite first")
+        # RENAME targets are present by construction (diff only emits
+        # renames whose target exists in the new field map) — no check
+        # needed here. DROP = soft-delete, always allowed
+        # (ignoreDroppedColumn semantics)
     return ops
 
 
@@ -210,4 +222,8 @@ class SchemaRegistry:
         return sorted(out, key=lambda d: (d.major, d.minor))
 
     def latest(self, entity: str) -> SchemaDef:
-        return self.versions(entity)[-1]
+        vs = self.versions(entity)
+        if not vs:
+            # the module's error contract, not a bare IndexError
+            raise SchemaEvolutionError(f"unknown entity {entity!r}")
+        return vs[-1]

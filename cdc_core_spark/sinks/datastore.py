@@ -115,7 +115,14 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, key_cols: list[str],
     * ``version_col`` — optimistic-concurrency guard (BaseEntity @Version /
       SchemaManager stale-write rejection, SchemaManager.java:382-387):
       UPDATE/DELETE arms only fire when ``stage.version > target.version``,
-      so replayed or stale rows can't regress a newer target row.
+      so replayed or stale rows can't regress a newer EXISTING target row.
+      Scope honestly stated: a hard DELETE leaves no version behind, so the
+      NOT MATCHED INSERT arm cannot tell a brand-new key from a stale
+      redelivery of a key deleted later — feed this sink epoch-ordered
+      exactly-once batches (what ``CdcEngine.replay``'s committed-epoch
+      skip guarantees); out-of-band replays of old batches need soft
+      deletes (``_deleted`` flag column instead of ``deleted_col``) to keep
+      the tombstone's version comparable.
     * ``column_types`` — Spark ``createTableColumnTypes`` spec for the stage
       write (e.g. ``"repo VARCHAR(64), path VARCHAR(256)"``). On Derby, give
       every STRING KEY column a VARCHAR type here: the default dialect maps

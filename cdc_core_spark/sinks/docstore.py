@@ -92,7 +92,9 @@ def find_document(spark: SparkSession, root: str, key: dict) -> DataFrame:
     ddl = ", ".join(f"{k} {tmap[k]}" for k in key_cols)
     probe = spark.createDataFrame([tuple(key[k] for k in key_cols)], ddl)
     b = probe.select(bucket_expr(key_cols, snap.n_buckets).alias("b")).first()["b"]
-    return find_by_key(tbl.read(spark, buckets=[int(b)]), key)
+    # reuse the snapshot already loaded — read() without snap= would parse
+    # the snapshot log + manifest-list sidecar a second time per point read
+    return find_by_key(tbl.read(spark, buckets=[int(b)], snap=snap), key)
 
 
 def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
@@ -130,8 +132,12 @@ def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
         tbl = SnapshotTable.create(root, fields=fields, key_cols=key_cols,
                                    n_buckets=n_buckets,
                                    props={"store": "documents"})
-    nb = tbl.latest().n_buckets
-    incoming = incoming.withColumn("_bucket", bucket_expr(key_cols, nb))
+    nb = tbl.latest_meta().n_buckets
+    # lazy localCheckpoint: the incoming lineage (often an upstream LWW
+    # shuffle) feeds the touched-bucket collect, the anti-join probe AND the
+    # commit_merge stage write — unmaterialized it would run 3x per upsert
+    incoming = (incoming.withColumn("_bucket", bucket_expr(key_cols, nb))
+                .localCheckpoint(eager=False))
     # O(touched buckets) driver list — the justified collect (cf. engine.py)
     touched = sorted(r["_bucket"] for r in
                      incoming.select("_bucket").distinct().collect())

@@ -307,3 +307,19 @@ def test_data_size_ansi_overflow_is_null(spark):
     got = {r["id"]: r["b"] for r in
            df.select("id", T.data_size("s").alias("b")).collect()}
     assert got[1] is None and got[2] is None and got[3] == 1024
+
+
+def test_to_int_parses_decimal_money_strings(spark):
+    """NumberFormat.parse().intValue() semantics: '$1,234.56' → 1234 (not
+    null — a direct int try_cast of a decimal string is null), truncation
+    toward zero, and integer strings beyond 2^53 stay EXACT (they must not
+    round-trip through double)."""
+    import cdc_core_spark.functions.transforms as T
+
+    big = 9007199254740993            # 2^53 + 1: double would corrupt it
+    df = spark.createDataFrame(
+        [("$1,234.56", str(big)), ("-2.9", "junk")], "a string, b string")
+    rows = df.select(T.to_int("a").alias("a"),
+                     T.to_long("b").alias("b")).collect()
+    assert rows[0]["a"] == 1234 and rows[0]["b"] == big
+    assert rows[1]["a"] == -2 and rows[1]["b"] is None

@@ -42,7 +42,7 @@ def test_bound_where_prefix_params_and_quote_escape():
     # quote inside a string value must be SQL-escaped, not break the expr
     q = Q(where="a = :p AND b = :p2 AND c = :name",
           params={"p": 1, "p2": 2, "name": "O'Brien"})
-    assert q.bound_where() == "a = 1 AND b = 2 AND c = 'O''Brien'"
+    assert q.bound_where() == "a = 1 AND b = 2 AND c = 'O\\'Brien'"
     q2 = Q(where="x = :flag AND y IS NOT DISTINCT FROM :none",
            params={"flag": True, "none": None})
     assert q2.bound_where() == "x = true AND y IS NOT DISTINCT FROM NULL"
@@ -136,3 +136,54 @@ def test_keyset_cursor_null_tiebreak_rejected(spark):
     with pytest.raises(ValueError, match="non-null unique"):
         ks.next_page()
         ks.next_page()
+
+
+def test_param_binding_backslashes_and_typed_literals(spark):
+    """Backslash-bearing strings must bind losslessly (Spark string literals
+    process backslash escapes — quote-doubling alone leaves a trailing
+    escape that swallows the closing quote or lets a crafted value inject
+    into the predicate), and date/Decimal/IN-list params must render as
+    real SQL literals instead of repr()."""
+    import datetime
+    import decimal
+
+    import pytest
+
+    from cdc_core_spark.query import Q, search
+
+    df = spark.createDataFrame(
+        [("C:\\temp\\", 1, datetime.date(2020, 1, 5)),
+         ("plain", 2, datetime.date(2021, 6, 1)),
+         ("x\\' OR true OR '", 3, datetime.date(2022, 1, 1))],
+        "name string, n int, d date")
+
+    got = search(df, Q(where="name = :v", params={"v": "C:\\temp\\"})).collect()
+    assert [r["n"] for r in got] == [1]
+    # the injection-shaped value matches ONLY its own row
+    got = search(df, Q(where="name = :v",
+                       params={"v": "x\\' OR true OR '"})).collect()
+    assert [r["n"] for r in got] == [3]
+
+    got = search(df, Q(where="d > :since",
+                       params={"since": datetime.date(2021, 1, 1)})).collect()
+    assert sorted(r["n"] for r in got) == [2, 3]
+    got = search(df, Q(where="n IN :ns", params={"ns": [1, 3]})).collect()
+    assert sorted(r["n"] for r in got) == [1, 3]
+    got = search(df, Q(where="n < :lim",
+                       params={"lim": decimal.Decimal("2.5")})).collect()
+    assert sorted(r["n"] for r in got) == [1, 2]
+    with pytest.raises(TypeError, match="unsupported query parameter"):
+        Q(where="n = :o", params={"o": object()}).bound_where()
+
+
+def test_keyset_cursor_short_circuits_after_partial_page(spark):
+    """A partial page proves exhaustion: the scroll must not issue one more
+    whole scan job just to observe an empty page."""
+    from cdc_core_spark.query import KeysetCursor, Q
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    cur = KeysetCursor(df, Q(sort=[("id", "asc")]), page_size=2,
+                       tiebreak="id")
+    sizes = [len(p) for p in cur]
+    assert sizes == [2, 2, 1]
+    assert cur._exhausted and cur.next_page() == []

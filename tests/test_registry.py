@@ -84,3 +84,30 @@ def test_fixture_registry_versions_chain():
     for old, new in zip(chain, chain[1:]):
         validate_evolution(old, new)  # every episode is a legal evolution
     assert reg.get("source_repos", "2.0").aliases == {"lang": "language"}
+
+
+def test_nullable_narrowing_rejected_and_unknown_entity_error():
+    """nullable → required narrowing of an EXISTING field must fail
+    validation (existing null rows violate the new contract — the same
+    break the required-ADD rule guards for new fields), and latest() of an
+    unknown entity raises the module's error type, not bare IndexError."""
+    import pytest
+
+    from cdc_core_spark.registry import (SchemaDef, SchemaEvolutionError,
+                                         SchemaRegistry, validate_evolution)
+
+    old = SchemaDef("e", 1, 0, (
+        {"name": "k", "type": "string", "nullable": False, "key": True},
+        {"name": "x", "type": "string", "nullable": True}), {})
+    new = SchemaDef("e", 1, 1, (
+        {"name": "k", "type": "string", "nullable": False, "key": True},
+        {"name": "x", "type": "string", "nullable": False}), {})
+    with pytest.raises(SchemaEvolutionError, match="narrowed"):
+        validate_evolution(old, new)
+
+    reg = SchemaRegistry.from_docs([{
+        "entity": "e", "major": 1, "minor": 0,
+        "fields": [{"name": "k", "type": "string", "nullable": False,
+                    "key": True}]}])
+    with pytest.raises(SchemaEvolutionError, match="unknown entity"):
+        reg.latest("typo_entity")
