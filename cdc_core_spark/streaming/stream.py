@@ -132,14 +132,17 @@ def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: st
                   max_files_per_trigger: int = 1,
                   available_now: bool = True,
                   source: str = "files",
-                  kafka_options: dict[str, str] | None = None):
-    """Tail the event stream (file source or Kafka) and apply each microbatch
-    through the engine. ``availableNow`` drains the backlog and stops
-    (test/backfill mode); disable it for a continuous tail."""
+                  kafka_options: dict[str, str] | None = None,
+                  queue_options: dict[str, str] | None = None):
+    """Tail the event stream (file source, Kafka, or a named queue connector)
+    and apply each microbatch through the engine. ``availableNow`` drains the
+    backlog and stops (test/backfill mode); disable it for a continuous
+    tail."""
     stream = build_stream_source(engine.spark, source=source,
                                  events_path=events_path,
                                  max_files_per_trigger=max_files_per_trigger,
-                                 kafka_options=kafka_options)
+                                 kafka_options=kafka_options,
+                                 queue_options=queue_options)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         epoch = int(batch_id)

@@ -249,6 +249,19 @@ def test_queue_branch_reaches_source_resolution(spark):
     with pytest.raises(ValueError, match="queue_options"):
         build_stream_source(spark, source="queue")
 
+    # the ingest entrypoint must forward queue_options to the source builder
+    # (reaches source resolution, not our own queue_options ValueError)
+    from cdc_core_spark.streaming.stream import stream_ingest
+
+    class _Eng:  # stream_ingest touches only .spark before source resolution
+        pass
+
+    eng = _Eng()
+    eng.spark = spark
+    with pytest.raises(Exception, match="(?i)sqs-connector|DATA_SOURCE"):
+        stream_ingest(eng, None, "/tmp/ckpt-unused", source="queue",
+                      queue_options=opts)
+
 
 def test_dedup_event_stream_drops_duplicate_deliveries(spark, t1, tmp_path):
     """dropDuplicatesWithinWatermark form of the consumer's message-id
