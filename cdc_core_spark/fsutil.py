@@ -85,6 +85,13 @@ def _atomic_write_text_local(path: str, text: str) -> None:
         os.close(dfd)
 
 
+def exists(spark, path: str) -> bool:
+    if not _is_remote(path):
+        return os.path.exists(path)
+    fs, jpath, _ = _hadoop(spark, path)
+    return bool(fs.exists(jpath))
+
+
 def read_json(spark, path: str):
     return json.loads(read_text(spark, path))
 

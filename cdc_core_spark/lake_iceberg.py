@@ -16,14 +16,28 @@ catalog conf, and the same tests run against real Iceberg tables.
 
 Contract parity with ``lake.SnapshotTable``:
 
-* **commit_delta** → ``writeTo(...).append()`` with
+* **Bucketing**: the table is partitioned by the IDENTITY of the engine's
+  own ``_bucket`` column (``lake.bucket_expr`` — xxhash64 over ALL key
+  columns), NOT by Iceberg's ``bucket(n, col)`` transform of one key
+  column. This is load-bearing for merge correctness: the engine computes
+  ``touched_buckets`` by hashing the full key, so a ``commit_merge`` frame
+  contains the complete content of exactly those buckets. If the physical
+  partition were ``bucket(n, repo)``, two keys ``(r, a)`` and ``(r, b)``
+  could share a partition while only one is in the merge frame — dynamic
+  partition overwrite would silently delete the other. Identity-partitioning
+  the engine's bucket makes ``overwritePartitions`` replace exactly the
+  touched-bucket set, byte-for-byte the SnapshotTable rule.
+* **commit_delta / commit_delta_grouped** → ``writeTo(...).append()`` with
   ``snapshot-property.cdc.epoch`` / ``.cdc.manifests`` summary props — the
   exactly-once ledger rides Iceberg snapshot summaries exactly as it rides
-  our snapshot JSON docs.
+  our snapshot JSON docs. Group commits carry every epoch's manifest rows
+  in one snapshot; ``committed_epochs`` folds per-row ``checkpoint_epoch``
+  exactly like ``SnapshotTable._fold_epochs``.
 * **commit_merge** → ``overwritePartitions()`` (the bucket-pruned
-  copy-on-write: only partitions present in ``df`` are replaced, the rest
-  carried by reference — Iceberg's dynamic partition overwrite is the same
-  touched-subset rule as SnapshotTable's ``touched_buckets``).
+  copy-on-write: only ``_bucket`` partitions present in ``df`` are
+  replaced, the rest carried by reference).
+* **commit_metadata** → Iceberg DDL (``ADD COLUMN`` / ``RENAME COLUMN`` /
+  ``ALTER COLUMN TYPE``) — metadata-only evolution, no data rewrite.
 * **committed_epochs** → scan of the ``.snapshots`` metadata table's
   summary maps (what SnapshotTable folds from its log docs, cached).
 * **read** → table scan + the same LWW fold / tombstone filter
@@ -37,6 +51,17 @@ Contract parity with ``lake.SnapshotTable``:
 * **expire_snapshots** → ``CALL <catalog>.system.expire_snapshots`` after
   folding epoch/manifest summaries forward (retention must not lose the
   exactly-once ledger — same rule as SnapshotTable's expired-base doc).
+
+Scope — what this adapter is and is not: it proves the COMMIT AND METADATA
+substrate swap (signatures mirror ``SnapshotTable``'s, epoch/lineage
+semantics identical), but it is not yet a drop-in ``engine.table``. Two
+engine conveniences are explicitly out of scope and rejected loudly rather
+than mis-handled: callable ``manifests`` (the engine's footer-stats fast
+path derives stats from OUR staged files; Iceberg manages its own files, so
+stats must be materialized pre-commit — pass a list), and in-commit
+re-bucketing (``n_buckets=`` on ``commit_merge``; Iceberg evolves partition
+specs via ``ALTER TABLE ... REPLACE PARTITION FIELD`` + a rewrite, a
+maintenance flow, not a merge flag).
 """
 
 from __future__ import annotations
@@ -46,14 +71,15 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_core_spark.lake import INTERNAL_COLS, sql_type
+from cdc_core_spark.lake import INTERNAL_COLS, bucket_expr, sql_type
 
 #: snapshot-summary keys carrying the exactly-once ledger
 EPOCH_PROP = "cdc.epoch"
 MANIFESTS_PROP = "cdc.manifests"
-#: table properties: key columns (so an adapter can attach to an existing
-#: table) and the ledger folded forward by expire_snapshots
+#: table properties: key columns + bucket count (so an adapter can attach to
+#: an existing table) and the ledger folded forward by expire_snapshots
 KEY_COLS_PROP = "cdc.key-cols"
+N_BUCKETS_PROP = "cdc.n-buckets"
 EXPIRED_EPOCHS_PROP = "cdc.expired-epochs"
 EXPIRED_MANIFESTS_PROP = "cdc.expired-manifests"
 
@@ -69,15 +95,25 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+class _IcebergCommit:
+    """Minimal snapshot-result shape returned by the commit methods — the
+    fields the engine reads off ``SnapshotTable``'s return (``manifests``,
+    ``epoch``); ``version`` is the Iceberg snapshot id."""
+
+    def __init__(self, version: int | None, epoch: int | None,
+                 manifests: list[dict]):
+        self.version = version
+        self.epoch = epoch
+        self.manifests = manifests
+
+
 class IcebergSnapshotTable:
     """SnapshotTable-shaped adapter over a real Iceberg v2 table.
 
     ``ident`` is the fully-qualified table identifier
     (``catalog.db.table``); the catalog must be configured on the session
-    (``spark.sql.catalog.<name>`` confs). Method-for-method mapping in the
-    module docstring; the engine-visible semantics (winner-row deltas,
-    internal version/tombstone columns, epoch-keyed exactly-once) are
-    unchanged — only the commit/metadata substrate is Iceberg's.
+    (``spark.sql.catalog.<name>`` confs). Method-for-method mapping and the
+    scope boundary in the module docstring.
     """
 
     def __init__(self, spark: SparkSession, ident: str):
@@ -85,6 +121,7 @@ class IcebergSnapshotTable:
         self.ident = ident
         self.catalog = ident.split(".", 1)[0]
         self._key_cols: list[str] | None = None
+        self._n_buckets: int | None = None
 
     @property
     def key_cols(self) -> list[str]:
@@ -105,29 +142,87 @@ class IcebergSnapshotTable:
     def key_cols(self, cols: list[str]) -> None:
         self._key_cols = list(cols)
 
+    @property
+    def n_buckets(self) -> int:
+        if self._n_buckets is None:
+            raw = self._table_props().get(N_BUCKETS_PROP)
+            if raw is None:
+                raise ValueError(
+                    f"table {self.ident} has no {N_BUCKETS_PROP!r} property — "
+                    "set .n_buckets explicitly for tables made elsewhere")
+            self._n_buckets = int(raw)
+        return self._n_buckets
+
+    @n_buckets.setter
+    def n_buckets(self, n: int) -> None:
+        self._n_buckets = int(n)
+
     # ---------------- DDL ----------------
     @staticmethod
     def create(spark: SparkSession, ident: str, fields: list[dict],
                key_cols: list[str], n_buckets: int = 16
                ) -> "IcebergSnapshotTable":
+        """Create the target table partitioned by the engine's OWN bucket
+        column (identity partition over ``_bucket`` = xxhash64 of the FULL
+        key, ``lake.bucket_expr``) — see the module docstring for why
+        ``bucket(n, key_cols[0])`` would corrupt multi-key merges."""
         cols = ", ".join(
             [f'{f["name"]} {sql_type(f["type"])}' for f in fields]
-            + [f"{c} {t}" for c, t in INTERNAL_COLS.items()])
-        buckets = ", ".join(f"bucket({n_buckets}, {k})" for k in key_cols[:1])
+            + [f"{c} {t}" for c, t in INTERNAL_COLS.items()]
+            + ["_bucket int"])
         spark.sql(
             f"CREATE TABLE {ident} ({cols}) USING iceberg "
-            f"PARTITIONED BY ({buckets}) "
+            "PARTITIONED BY (_bucket) "
             "TBLPROPERTIES ('format-version'='2', "
-            f"'{KEY_COLS_PROP}'='{json.dumps(key_cols)}')")
+            f"'{KEY_COLS_PROP}'='{json.dumps(key_cols)}', "
+            f"'{N_BUCKETS_PROP}'='{n_buckets}')")
         t = IcebergSnapshotTable(spark, ident)
         t.key_cols = key_cols
+        t.n_buckets = n_buckets
         return t
 
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.ident)
 
+    def commit_metadata(self, new_fields: list[dict],
+                        new_aliases: dict | None = None,
+                        epoch: int | None = None,
+                        props: dict | None = None) -> None:
+        """Metadata-only evolution (SnapshotTable.commit_metadata analog):
+        renames from ``new_aliases`` (old→resolved name, applied when the
+        old name is still live), then ADD COLUMN for new fields, then ALTER
+        COLUMN TYPE for widenings — each one Iceberg DDL statement, no data
+        rewrite. Validation (is the widen legal, is the rename unambiguous)
+        belongs to the registry, same as the lake path."""
+        current = {f.name: f.dataType.simpleString()
+                   for f in self.spark.table(self.ident).schema.fields}
+        for old, new in (new_aliases or {}).items():
+            if old in current and new not in current:
+                self.spark.sql(f"ALTER TABLE {self.ident} "
+                               f"RENAME COLUMN {old} TO {new}")
+                current[new] = current.pop(old)
+        for f in new_fields:
+            t = sql_type(f["type"])
+            if f["name"] not in current:
+                self.spark.sql(f"ALTER TABLE {self.ident} "
+                               f"ADD COLUMN {f['name']} {t}")
+            elif current[f["name"]] != t:
+                self.spark.sql(f"ALTER TABLE {self.ident} "
+                               f"ALTER COLUMN {f['name']} TYPE {t}")
+
     # ---------------- commits ----------------
-    def _props(self, writer, epoch: int | None, manifests: list[dict]):
+    def _writer(self, df: DataFrame, epoch: int | None,
+                manifests: list[dict]):
+        if callable(manifests):
+            raise TypeError(
+                "IcebergSnapshotTable does not accept callable manifests: "
+                "the footer-stats fast path derives stats from "
+                "SnapshotTable's OWN staged files, which Iceberg manages "
+                "internally — materialize the manifest rows before the "
+                "commit and pass a list (module docstring, Scope)")
+        df = self._ensure_bucket(df)
+        # fanout: partitioned v2 append without requiring a sort by _bucket
+        writer = df.writeTo(self.ident).option("fanout-enabled", "true")
         if epoch is not None:
             writer = writer.option(f"snapshot-property.{EPOCH_PROP}",
                                    str(epoch))
@@ -136,20 +231,64 @@ class IcebergSnapshotTable:
                                    json.dumps(manifests))
         return writer
 
-    def commit_delta(self, df: DataFrame, epoch: int | None,
-                     manifests: list[dict]) -> None:
-        """MOR delta: one atomic append snapshot, epoch + manifest rows in
-        the snapshot summary (Transaction.newAppend + summary props)."""
-        self._props(df.drop("_bucket").writeTo(self.ident),
-                    epoch, manifests).append()
+    def _ensure_bucket(self, df: DataFrame) -> DataFrame:
+        if "_bucket" in df.columns:
+            return df
+        return df.withColumn(
+            "_bucket", bucket_expr(self.key_cols, self.n_buckets))
 
-    def commit_merge(self, df: DataFrame, epoch: int | None,
-                     manifests: list[dict]) -> None:
+    def _last_snapshot_id(self) -> int | None:
+        row = (self.snapshots().orderBy(F.col("committed_at").desc())
+               .select("snapshot_id").limit(1).collect())
+        return int(row[0]["snapshot_id"]) if row else None
+
+    def commit_delta(self, df: DataFrame, epoch: int | None,
+                     manifests, pre_partitioned: bool = False
+                     ) -> _IcebergCommit:
+        """MOR delta: one atomic append snapshot, epoch + manifest rows in
+        the snapshot summary (Transaction.newAppend + summary props).
+        ``pre_partitioned`` is accepted for signature parity; Iceberg's
+        fanout writer makes the pre-shuffle an optimization, not a
+        requirement."""
+        self._writer(df, epoch, manifests).append()
+        return _IcebergCommit(self._last_snapshot_id(), epoch, manifests)
+
+    def commit_delta_grouped(self, df: DataFrame, epochs: list[int],
+                             manifests, pre_partitioned: bool = False
+                             ) -> _IcebergCommit:
+        """Group-commit MOR: several epochs' winners in ONE append snapshot;
+        per-epoch committedness is recovered from the manifest rows'
+        ``checkpoint_epoch`` (same fold rule as SnapshotTable)."""
+        last = epochs[-1] if epochs else None
+        self._writer(df, last, manifests).append()
+        return _IcebergCommit(self._last_snapshot_id(), last, manifests)
+
+    def commit_merge(self, df: DataFrame, touched_buckets: list[int],
+                     epoch: int | None, manifests,
+                     new_fields: list[dict] | None = None,
+                     new_aliases: dict | None = None,
+                     props: dict | None = None,
+                     pre_partitioned: bool = False,
+                     n_buckets: int | None = None,
+                     maintenance: bool = False) -> _IcebergCommit:
         """Copy-on-write merge: dynamic partition overwrite replaces exactly
-        the bucket partitions present in ``df`` and carries the rest — the
-        Iceberg form of SnapshotTable's touched-bucket rewrite."""
-        self._props(df.drop("_bucket").writeTo(self.ident),
-                    epoch, manifests).overwritePartitions()
+        the ``_bucket`` partitions present in ``df`` and carries the rest —
+        the Iceberg form of SnapshotTable's touched-bucket rewrite (the
+        identity-partition layout makes the two partition sets identical;
+        ``touched_buckets`` is accepted for signature parity and the frame's
+        own partitions are the authority, as with overwritePartitions).
+        DDL rides ahead of the data commit via ``commit_metadata``."""
+        if n_buckets is not None and n_buckets != self.n_buckets:
+            raise NotImplementedError(
+                "re-bucketing via commit_merge(n_buckets=) is a lake-path "
+                "flag; with Iceberg, evolve the partition spec (ALTER TABLE "
+                "... REPLACE PARTITION FIELD) and rewrite_data_files "
+                "instead (module docstring, Scope)")
+        if new_fields or new_aliases:
+            self.commit_metadata(new_fields or [], new_aliases)
+        self._writer(df, epoch, manifests).overwritePartitions()
+        return _IcebergCommit(self._last_snapshot_id(), epoch,
+                              manifests if isinstance(manifests, list) else [])
 
     # ---------------- reads ----------------
     def read(self, with_internal_cols: bool = False) -> DataFrame:
@@ -157,23 +296,33 @@ class IcebergSnapshotTable:
         df = self.spark.table(self.ident)
         keys = self.key_cols
         payload = [c for c in df.columns
-                   if c not in keys and c not in INTERNAL_COLS]
+                   if c not in keys and c not in INTERNAL_COLS
+                   and c != "_bucket"]
         out = lww_reduce(df, keys, payload + ["_deleted"])
         if not with_internal_cols:
-            out = out.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+            out = out.filter(~F.col("_deleted")).drop("_bucket",
+                                                      *INTERNAL_COLS)
         return out
 
     def snapshots(self) -> DataFrame:
         return self.spark.table(f"{self.ident}.snapshots")
 
     def committed_epochs(self) -> set[int]:
-        """Live snapshot summaries ∪ the expired-ledger table property —
-        exactly-once resume must survive retention, same as SnapshotTable's
-        expired-base doc."""
+        """Live snapshot summaries ∪ per-manifest-row epochs (group commits)
+        ∪ the expired-ledger table property — exactly-once resume must
+        survive retention, same as SnapshotTable's expired-base doc and
+        ``_fold_epochs`` rule."""
         rows = (self.snapshots()
-                .select(F.element_at("summary", EPOCH_PROP).alias("e"))
-                .filter(F.col("e").isNotNull()).collect())
-        return {int(r["e"]) for r in rows} | self._ledger_epochs()
+                .select(F.element_at("summary", EPOCH_PROP).alias("e"),
+                        F.element_at("summary", MANIFESTS_PROP).alias("m"))
+                .filter(F.col("e").isNotNull() | F.col("m").isNotNull())
+                .collect())
+        eps = {int(r["e"]) for r in rows if r["e"] is not None}
+        for r in rows:
+            for m in json.loads(r["m"]) if r["m"] else []:
+                if m.get("checkpoint_epoch", -1) >= 0:
+                    eps.add(m["checkpoint_epoch"])
+        return eps | self._ledger_epochs()
 
     def all_manifests(self) -> list[dict]:
         """Lineage rows from live snapshot summaries PLUS the manifests
@@ -218,6 +367,10 @@ class IcebergSnapshotTable:
         props of to-be-expired snapshots are re-committed as table
         properties first (the expired-base-doc analog), then Iceberg
         expires. Exactly-once resume survives retention."""
+        if keep_last < 1:
+            # same guard as SnapshotTable: keep_last=0 would otherwise slice
+            # snaps[:-0] == [] and silently expire NOTHING
+            raise ValueError("keep_last must be >= 1")
         snaps = (self.snapshots().orderBy("committed_at").collect())
         expiring = snaps[:-keep_last]
         eps = sorted({int(s["summary"][EPOCH_PROP]) for s in expiring

@@ -76,7 +76,11 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0,
     else:
         names, data = [f"c{i}" for i in range(len(rows[0]))], rows
     names = [str(n) for n in names]
-    width = len(names)
+    # width = widest row, not the header row: real writers omit trailing
+    # blank header cells, so slicing to len(names) would silently drop the
+    # extra columns' data — pad the header with generated names instead
+    width = max([len(names)] + [len(r) for r in data])
+    names = names + [f"c{i}" for i in range(len(names), width)]
     data = [tuple((r + [None] * width)[:width]) for r in data]
     if schema:
         return spark.createDataFrame(data, schema=schema)
@@ -264,6 +268,12 @@ def _parse_xlsx(path: str, sheet: str | int = 0) -> list[list]:
                         val = None
                     elif t == "s":
                         val = shared[int(v.text)]
+                    elif t == "str":
+                        val = v.text  # formula cell's cached TEXT result
+                    elif t == "b":
+                        val = v.text.strip() == "1"
+                    elif t == "e":
+                        val = v.text  # error cell: surface "#DIV/0!" etc.
                     else:
                         num = float(v.text)
                         val = int(num) if num.is_integer() else num

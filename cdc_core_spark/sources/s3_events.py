@@ -52,6 +52,26 @@ def _default_resolver(bucket: str, key: str) -> str:
     return f"s3a://{bucket}/{key}"
 
 
+def malformed_notifications(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """The notification lines ``parse_s3_events`` silently drops because the
+    JSON itself is unparseable (``from_json`` → null struct). Valid JSON that
+    merely lacks ``Records`` — e.g. the s3:TestEvent sent on bucket
+    configuration — is NOT flagged: dropping those is the contract. Used by
+    the ingest loop's ``on_malformed`` guard so a corrupt feed line can't
+    silently strand its objects (the module's whole premise is that there is
+    no LIST fallback to rediscover them).
+
+    Spark's PERMISSIVE ``from_json`` returns a null-FIELDED struct (not a
+    null struct) for corrupt input, so unparseable JSON is detected via the
+    ``columnNameOfCorruptRecord`` channel rather than a null test."""
+    parsed = F.from_json(
+        F.col(value_col), S3_EVENT_SCHEMA + ", _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"})
+    return df.filter(F.col(value_col).isNotNull()
+                     & (F.trim(F.col(value_col)) != F.lit(""))
+                     & parsed["_corrupt"].isNotNull())
+
+
 def notified_paths(notifications: DataFrame,
                    resolver: Callable[[str, str], str] = _default_resolver,
                    value_col: str = "value") -> list[str]:
@@ -67,7 +87,9 @@ def s3_event_ingest(engine, notifications_path: str, checkpoint_dir: str,
                     resolver: Callable[[str, str], str] = _default_resolver,
                     schema: str | None = None,
                     file_format: str = "parquet",
-                    available_now: bool = True):
+                    available_now: bool = True,
+                    on_malformed: str = "error",
+                    on_missing: str = "error"):
     """Notification-driven engine ingest: tail the notification feed (a text
     stream of S3 event JSON — swap the file source for the SQS/Kafka feed in
     deployment, the body is source-agnostic like stream_ingest), and per
@@ -75,14 +97,41 @@ def s3_event_ingest(engine, notifications_path: str, checkpoint_dir: str,
 
     Exactly-once composition is unchanged: Spark checkpoints the
     notification offsets, redelivered batches hit the engine's
-    committed-epoch skip, and the epoch merge is idempotent."""
+    committed-epoch skip, and the epoch merge is idempotent.
+
+    Failure routing — both knobs exist because there is no LIST fallback to
+    rediscover a dropped object, so silent loss must be opt-in:
+
+    * ``on_malformed``: ``"error"`` (default) fails the batch when a feed
+      line is unparseable JSON (``malformed_notifications``) so the poison
+      line is surfaced instead of its objects silently never syncing;
+      ``"skip"`` drops them (documented residue).
+    * ``on_missing``: a notified object can 404 at scan time (lifecycle
+      expiry between notification and scan) — the scan error would otherwise
+      fail the batch and every restart redelivers the same batch, halting the
+      stream permanently. ``"error"`` (default) keeps that loud behavior;
+      ``"skip"`` drops missing paths after a driver-side existence probe
+      (O(batch) metadata calls)."""
+    from cdc_core_spark import fsutil
+    from cdc_core_spark.streaming.stream import stream_epoch_base
+
     spark = engine.spark
+    epoch_base = stream_epoch_base(engine, checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        epoch = int(batch_id)
+        epoch = epoch_base + int(batch_id)
         if epoch in engine.table.committed_epochs():
             return
+        if on_malformed != "skip":
+            bad = malformed_notifications(batch_df).limit(3).collect()
+            if bad:
+                sample = "; ".join(r["value"][:120] for r in bad)
+                raise ValueError(
+                    f"unparseable S3 event notification line(s) in batch "
+                    f"{batch_id} (on_malformed='skip' to drop): {sample}")
         paths = notified_paths(batch_df, resolver)
+        if on_missing == "skip":
+            paths = [p for p in paths if fsutil.exists(spark, p)]
         if not paths:
             return
         reader = spark.read.format(file_format)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_core_spark import fsutil
 from cdc_core_spark.engine import CdcEngine
 
 EVENT_DDL = ("op bigint, repo string, path string, commit string, lang string, "
@@ -96,11 +97,8 @@ def build_stream_source(spark, source: str = "files",
     if source == "files":
         if events_path is None:
             raise ValueError("events_path is required for the files source")
-        return (spark.readStream
-                .schema(EVENT_DDL)
-                .option("maxFilesPerTrigger", max_files_per_trigger)
-                .option("basePath", events_path)
-                .parquet(events_path + "/*"))
+        return _read_event_stream(spark, events_path,
+                                  max_files_per_trigger=max_files_per_trigger)
     if source == "kafka":
         from cdc_core_spark.functions.avro_codec import from_avro_envelope
         reader = spark.readStream.format("kafka")
@@ -128,6 +126,33 @@ def build_stream_source(spark, source: str = "files",
     raise ValueError(f"unknown stream source {source!r}")
 
 
+def stream_epoch_base(engine: CdcEngine, checkpoint_dir: str) -> int:
+    """Pin the stable ``batch_id → checkpoint_epoch`` offset for a streaming
+    tail. Spark numbers microbatches from 0 PER CHECKPOINT while the table's
+    ``committed_epochs()`` ledger is table-global — using ``batch_id`` as the
+    epoch id against a table bootstrapped by a batch ``replay`` (epochs 0..k
+    already committed) would make the exactly-once skip treat the FIRST new
+    microbatches as redeliveries and silently drop them. The base is chosen
+    once per checkpoint dir (``max(committed)+1`` for a fresh checkpoint, 0
+    if none) and persisted in a ``_``-prefixed marker INSIDE the checkpoint
+    dir, so after a restart the redelivered batch ids map to the SAME epochs
+    they committed under. A pre-existing checkpoint without a marker keeps
+    the legacy base of 0 — its batch ids already committed under that
+    mapping, so shifting it would double-apply."""
+    root = checkpoint_dir.rstrip("/")
+    marker = root + "/_cdc_epoch_base.json"
+    spark = engine.spark
+    if fsutil.exists(spark, marker):
+        return int(fsutil.read_json(spark, marker)["epoch_base"])
+    if fsutil.exists(spark, root + "/offsets"):
+        base = 0  # legacy checkpoint created before the marker existed
+    else:
+        committed = engine.table.committed_epochs()
+        base = (max(committed) + 1) if committed else 0
+    fsutil.write_json(spark, marker, {"epoch_base": base})
+    return base
+
+
 def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: str,
                   max_files_per_trigger: int = 1,
                   available_now: bool = True,
@@ -143,9 +168,10 @@ def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: st
                                  max_files_per_trigger=max_files_per_trigger,
                                  kafka_options=kafka_options,
                                  queue_options=queue_options)
+    epoch_base = stream_epoch_base(engine, checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        epoch = int(batch_id)
+        epoch = epoch_base + int(batch_id)
         if epoch in engine.table.committed_epochs():
             return  # redelivered batch after restart — exactly-once skip
         if batch_df.isEmpty():
@@ -162,14 +188,18 @@ def stream_ingest(engine: CdcEngine, events_path: str | None, checkpoint_dir: st
     return query  # continuous mode: caller owns stop()/awaitTermination()
 
 
-def _read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """THE event-log stream source (shared by every streaming operator
-    below, so the schema / basePath / epoch-subdir glob contract is defined
-    once): a file stream over the partitioned event-log directory."""
-    return (spark.readStream
-            .schema(EVENT_DDL)
-            .option("basePath", events_path)
-            .parquet(events_path + "/*"))
+def _read_event_stream(spark: SparkSession, events_path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """THE event-log stream source (shared by ``build_stream_source`` and
+    every streaming operator below, so the schema / basePath / epoch-subdir
+    glob contract is defined once): a file stream over the partitioned
+    event-log directory."""
+    reader = (spark.readStream
+              .schema(EVENT_DDL)
+              .option("basePath", events_path))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_path + "/*")
 
 
 def _drain_to_memory(df: DataFrame, checkpoint_dir: str, sink_table: str,
@@ -204,16 +234,20 @@ def keyed_read_state_stream(spark: SparkSession, events_path: str,
     state_ddl = "processed_seq bigint, n_events bigint, n_errors bigint"
 
     def track(key, pdfs, state: GroupState):
+        import pandas as pd
         seq, n, err = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            seq = max(seq, int(pdf["event_seq"].max()))
+            # event_seq is nullable in EVENT_DDL: an all-null batch for a key
+            # gives max()=NaN, and int(NaN) would kill the streaming query
+            mx = pd.to_numeric(pdf["event_seq"], errors="coerce").max()
+            if pd.notna(mx):
+                seq = max(seq, int(mx))
             ok = pdf["op"].isin([3, 4, 5])
             n += int(ok.sum())
             err += int((~ok).sum())
         state.update((seq, n, err))
-        import pandas as pd
         yield pd.DataFrame({"repo": [key[0]], "path": [key[1]],
                             "processed_seq": [seq], "n_events": [n],
                             "n_errors": [err]})

@@ -115,3 +115,61 @@ def test_attach_to_existing_table_recovers_key_cols(spark, ice):
         bare = IcebergSnapshotTable(spark, ice.ident)
         bare._table_props = lambda: {}   # simulate a foreign table
         bare.key_cols
+
+
+def test_merge_overwrites_only_touched_buckets(spark, ice):
+    """The finding this layout exists for: two keys sharing the FIRST key
+    column but living in different engine buckets — a merge frame carrying
+    only one of them must not delete the other (identity `_bucket`
+    partitioning makes overwritePartitions replace exactly the touched
+    buckets; `bucket(n, repo)` partitioning would clobber both)."""
+    from cdc_core_spark.lake import bucket_expr
+
+    # find two paths of the same repo that hash to DIFFERENT buckets
+    probe = spark.createDataFrame(
+        [("r", f"p{i}") for i in range(32)], "repo string, path string"
+    ).withColumn("_bucket", bucket_expr(["repo", "path"], 4)).collect()
+    by_bucket: dict[int, str] = {}
+    for r in probe:
+        by_bucket.setdefault(r["_bucket"], r["path"])
+        if len(by_bucket) >= 2:
+            break
+    (b1, pa), (b2, pb) = list(by_bucket.items())[:2]
+    assert b1 != b2
+
+    ice.commit_delta(_rows(spark, [("r", pa, "v1", 100, 1, False),
+                                   ("r", pb, "w1", 100, 2, False)]),
+                     epoch=0, manifests=[])
+    # merge frame holds ONLY pa's bucket content
+    ice.commit_merge(_rows(spark, [("r", pa, "v2", 200, 3, False)]),
+                     touched_buckets=[b1], epoch=1, manifests=[])
+    got = {(r["repo"], r["path"]): r["content"] for r in ice.read().collect()}
+    assert got == {("r", pa): "v2", ("r", pb): "w1"}
+
+
+def test_callable_manifests_rejected_loudly(spark):
+    """Sandbox-runnable (no jars touched): the engine's footer-stats fast
+    path passes a CALLABLE — the adapter must reject it with guidance, not
+    json.dumps a function into a snapshot property."""
+    t = IcebergSnapshotTable(spark, "ice.db.unused")
+    t.key_cols = ["repo"]
+    t.n_buckets = 4
+    with pytest.raises(TypeError, match="callable manifests"):
+        t.commit_delta(spark.range(1), epoch=0, manifests=lambda files: [])
+
+
+def test_rebucket_flag_rejected_loudly(spark):
+    t = IcebergSnapshotTable(spark, "ice.db.unused")
+    t.key_cols = ["repo"]
+    t.n_buckets = 4
+    with pytest.raises(NotImplementedError, match="REPLACE PARTITION FIELD"):
+        t.commit_merge(spark.range(1), [0], epoch=None, manifests=[],
+                       n_buckets=8)
+
+
+def test_expire_keep_last_zero_rejected(spark):
+    """keep_last=0 would slice snaps[:-0] == [] and silently expire NOTHING
+    — same ValueError guard as lake.SnapshotTable."""
+    t = IcebergSnapshotTable(spark, "ice.db.unused")
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)

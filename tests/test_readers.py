@@ -304,3 +304,38 @@ def test_archive_aes_zip_detected_and_gated(tmp_path, monkeypatch):
 
     with pytest.raises(RuntimeError, match="pyzipper"):
         list(_zip_members("drop/a.zip", bytes(blob), None, b"pw"))
+
+
+def test_read_excel_formula_bool_error_cells(spark, tmp_path):
+    """Cells Excel itself writes that the fixture writer doesn't: t="str"
+    (formula's cached TEXT result), t="b" (boolean), t="e" (error) — the
+    numeric fallthrough used to crash on the first and silently turn the
+    second into 0/1."""
+    import zipfile
+    p = tmp_path / "f.xlsx"
+    readers.write_excel_minimal(str(p), ["a"], [("x",)])
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+             '<row><c t="str"><v>abc</v></c><c t="b"><v>1</v></c>'
+             '<c t="b"><v>0</v></c><c t="e"><v>#DIV/0!</v></c>'
+             '<c><v>2</v></c></row>'
+             "</sheetData></worksheet>")
+    with zipfile.ZipFile(p) as zin:
+        items = {n: zin.read(n) for n in zin.namelist()}
+    items["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zout:
+        for n, data in items.items():
+            zout.writestr(n, data)
+    assert readers._parse_xlsx(str(p)) == [["abc", True, False, "#DIV/0!", 2]]
+
+
+def test_read_excel_pads_header_narrower_than_data(spark, tmp_path):
+    """Real writers omit trailing blank header cells, leaving the header row
+    narrower than the data rows — the extra columns must be padded with
+    generated names, not silently truncated."""
+    p = tmp_path / "w.xlsx"
+    readers.write_excel_minimal(str(p), ["a", "b"], [("x", "y", "z")])
+    df = readers.read_excel(spark, str(p))
+    assert df.columns == ["a", "b", "c2"]
+    row = df.collect()[0]
+    assert (row["a"], row["b"], row["c2"]) == ("x", "y", "z")

@@ -282,3 +282,136 @@ def test_dedup_event_stream_drops_duplicate_deliveries(spark, t1, tmp_path):
     n_distinct_in = ev.select(*keys).distinct().count()
     assert got.count() == n_distinct_in
     assert got.select(*keys).distinct().count() == n_distinct_in
+
+
+def test_stream_epoch_base_unit(spark, tmp_path):
+    """batch_id → epoch mapping: fresh checkpoint over a table with
+    committed epochs starts PAST them; the marker pins the base across
+    restarts (even as more epochs commit); a pre-marker legacy checkpoint
+    keeps base 0."""
+    import os
+
+    from cdc_core_spark.streaming.stream import stream_epoch_base
+
+    class _T:
+        def __init__(self, eps):
+            self.eps = eps
+
+        def committed_epochs(self):
+            return self.eps
+
+    class _E:
+        pass
+
+    e = _E()
+    e.spark = spark
+    e.table = _T({0, 1, 2})
+    ck1 = str(tmp_path / "ck1")
+    assert stream_epoch_base(e, ck1) == 3
+    e.table = _T({0, 1, 2, 3, 4})      # stream itself committed more
+    assert stream_epoch_base(e, ck1) == 3  # marker wins: mapping is stable
+
+    ck2 = str(tmp_path / "ck2")
+    os.makedirs(os.path.join(ck2, "offsets"))
+    assert stream_epoch_base(e, ck2) == 0  # legacy checkpoint: keep 0
+
+    ck3 = str(tmp_path / "ck3")
+    e.table = _T(set())
+    assert stream_epoch_base(e, ck3) == 0  # empty table: same as before
+
+
+def test_stream_ingest_after_batch_bootstrap_applies_new_events(
+        spark, t1, registry, tmp_path):
+    """THE silent-drop scenario: a table bootstrapped by the batch replay
+    already holds committed epochs 0..k; a NEW streaming checkpoint's batch
+    0 used to collide with epoch 0's exactly-once skip and drop the first
+    microbatches. The epoch base must map it past the bootstrap."""
+    eng = CdcEngine(spark, str(tmp_path / "eng"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.initial_load(src, "1.0")
+    eng.replay(f'{t1["dir"]}/change_events')
+    committed = eng.table.committed_epochs()
+    assert committed
+    base = max(committed) + 1
+
+    # one NEW update event, versioned past everything in the fixture
+    ev = (spark.read.option("basePath", f'{t1["dir"]}/change_events')
+          .parquet(f'{t1["dir"]}/change_events/*'))
+    one = (ev.filter(F.col("op") == 4).limit(1)
+           .withColumn("op_ts", F.col("op_ts") + F.lit(10**9))
+           .withColumn("event_seq", F.col("event_seq") + F.lit(10**9))
+           .withColumn("content", F.lit("STREAMED-AFTER-BOOTSTRAP"))
+           .drop("checkpoint_epoch"))
+    key = one.select("repo", "path").collect()[0]
+    newdir = str(tmp_path / "new_events")
+    one.write.parquet(newdir + "/checkpoint_epoch=0")
+
+    stream_ingest(eng, newdir, str(tmp_path / "ckpt2"))
+    got = (eng.read_final()
+           .filter((F.col("repo") == key["repo"])
+                   & (F.col("path") == key["path"])).collect())
+    assert [r["content"] for r in got] == ["STREAMED-AFTER-BOOTSTRAP"]
+    assert base in eng.table.committed_epochs()
+
+
+def test_s3_event_ingest_malformed_and_missing_routing(spark, tmp_path):
+    """Failure routing: a corrupt notification line fails the batch loudly
+    by default and is droppable by opt-in; a notified object missing at
+    scan time fails by default and is skippable by opt-in."""
+    import json
+
+    import pytest
+
+    from cdc_core_spark.registry import SchemaRegistry
+    from cdc_core_spark.sources.s3_events import s3_event_ingest
+
+    reg = SchemaRegistry.from_docs([{
+        "entity": "source_repos", "major": 1, "minor": 0,
+        "fields": [
+            {"name": "repo", "type": "string", "nullable": False, "key": True},
+            {"name": "path", "type": "string", "nullable": False, "key": True},
+            {"name": "content", "type": "string", "nullable": True},
+        ]}])
+    eng = CdcEngine(spark, str(tmp_path / "state"), reg, n_buckets=4)
+    eng.initial_load(spark.createDataFrame(
+        [("r1", "p1", "c0")], "repo string, path string, content string"))
+
+    obj_dir = tmp_path / "objects"
+    obj_dir.mkdir()
+    (spark.createDataFrame(
+        [(3, "r1", "pA", "c1", 10, 1, "1.0")],
+        "op long, repo string, path string, content string, op_ts long, "
+        "event_seq long, schema_version string")
+     .coalesce(1).write.parquet(str(obj_dir / "ev1.parquet")))
+
+    def notif(key):
+        return json.dumps({"Records": [
+            {"eventName": "ObjectCreated:Put",
+             "eventTime": "2024-01-01T00:00:00.000Z",
+             "s3": {"bucket": {"name": "b"},
+                    "object": {"key": key, "size": 1}}}]})
+
+    resolver = lambda b, k: str(obj_dir / k)  # noqa: E731
+
+    # corrupt line + a valid one in the same feed: default fails loudly
+    ndir1 = tmp_path / "n1"
+    ndir1.mkdir()
+    (ndir1 / "feed.json").write_text("{this is not json\n" + notif("ev1.parquet"))
+    with pytest.raises(Exception, match="unparseable"):
+        s3_event_ingest(eng, str(ndir1), str(tmp_path / "ck_a"),
+                        resolver=resolver)
+    # opt-in skip drops the poison line, still applies the valid object
+    s3_event_ingest(eng, str(ndir1), str(tmp_path / "ck_b"),
+                    resolver=resolver, on_malformed="skip")
+    assert {r["path"] for r in eng.read_final().collect()} == {"p1", "pA"}
+
+    # notified object that 404s at scan time: default fails, skip proceeds
+    ndir2 = tmp_path / "n2"
+    ndir2.mkdir()
+    (ndir2 / "feed.json").write_text(notif("gone.parquet"))
+    with pytest.raises(Exception):
+        s3_event_ingest(eng, str(ndir2), str(tmp_path / "ck_c"),
+                        resolver=resolver)
+    s3_event_ingest(eng, str(ndir2), str(tmp_path / "ck_d"),
+                    resolver=resolver, on_missing="skip")
+    assert {r["path"] for r in eng.read_final().collect()} == {"p1", "pA"}
