@@ -287,6 +287,21 @@ def _replay_initial(spark, sf_dir):
         F.col("c_name").alias("content"))
 
 
+def _run_replay_epochs(eng, adapted, wrap=None):
+    """THE two-epoch replay split shared by every engine gate (parity filter
+    on ``event_seq``, in-band DDL rows riding epoch 1) — defined once so the
+    gates can never drift into replaying different streams. ``wrap``
+    transforms each epoch batch before it enters the engine (the Avro
+    wire-roundtrip gate)."""
+    for epoch in (0, 1):
+        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
+        if epoch == 1:  # in-band DDL: 1.1 ADD, 2.0 RENAME, 2.1 WIDEN
+            batch = _ddl_rows(eng.spark).unionByName(batch)
+        if wrap is not None:
+            batch = wrap(batch)
+        eng.apply_epoch(batch, epoch)
+
+
 def q_cdc_engine_replay(spark, sf_dir):
     """END-TO-END ENGINE RUN, not a query shape: adapt the events stream onto
     the CDC envelope (op / key / version tuple), run the real CdcEngine —
@@ -324,12 +339,7 @@ def q_cdc_engine_replay(spark, sf_dir):
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
 
-    adapted = _adapt_events(spark, sf_dir)
-    for epoch in (0, 1):
-        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
-        if epoch == 1:  # in-band DDL: 1.1 ADD, 2.0 RENAME, 2.1 WIDEN
-            batch = _ddl_rows(spark).unionByName(batch)
-        eng.apply_epoch(batch, epoch)
+    _run_replay_epochs(eng, _adapt_events(spark, sf_dir))
     return eng.read_final().select(
         "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))
@@ -353,12 +363,7 @@ def q_cdc_engine_manifests(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
-    adapted = _adapt_events(spark, sf_dir)
-    for epoch in (0, 1):
-        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
-        if epoch == 1:
-            batch = _ddl_rows(spark).unionByName(batch)
-        eng.apply_epoch(batch, epoch)
+    _run_replay_epochs(eng, _adapt_events(spark, sf_dir))
     mf = eng.manifests_df()
     return (mf.filter(F.col("checkpoint_epoch") >= 0)
             .groupBy(F.col("checkpoint_epoch").cast("bigint").alias("checkpoint_epoch"))
@@ -397,7 +402,13 @@ def q_stream_engine_replay(spark, sf_dir):
                                    F.lit(2)).cast("int")))
     adapted = pad(_adapt_events(spark, sf_dir)).unionByName(
         pad(_ddl_rows(spark)).withColumn("checkpoint_epoch", F.lit(1)))
-    adapted.repartition(2, "checkpoint_epoch").write.mode("overwrite").parquet(evdir)
+    # one file per epoch dir (coalesce + partitionBy): a hash repartition on
+    # the epoch value collides both epochs into ONE partition (murmur3 of 0
+    # and 1 are both odd) -> one file -> one microbatch; the epoch-subdir
+    # layout is what _read_event_stream's basePath/glob contract expects and
+    # gives the stream a genuine multi-microbatch replay
+    (adapted.coalesce(1).write.partitionBy("checkpoint_epoch")
+     .mode("overwrite").parquet(evdir))
     stream_ingest(eng, evdir, ckpt, max_files_per_trigger=1, available_now=True)
     return eng.read_final().select(
         "repo", "path", "language", "size_bytes", "rev",
@@ -429,12 +440,7 @@ def q_cdc_out_chain(spark, sf_dir):
     eng = CdcEngine(spark, f"{base}/up", _replay_registry(), n_buckets=8,
                     merge_mode="mor")
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
-    adapted = _adapt_events(spark, sf_dir)
-    for epoch in (0, 1):
-        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
-        if epoch == 1:
-            batch = _ddl_rows(spark).unionByName(batch)
-        eng.apply_epoch(batch, epoch)
+    _run_replay_epochs(eng, _adapt_events(spark, sf_dir))
 
     snap = eng.table.latest()
     changes = eng.table.read_changes(spark, 0)
@@ -472,13 +478,10 @@ def q_avro_envelope_roundtrip(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
-    adapted = _adapt_events(spark, sf_dir)
-    for epoch in (0, 1):
-        batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
-        if epoch == 1:
-            batch = _ddl_rows(spark).unionByName(batch)
-        wire = to_avro_envelope(batch)           # the Kafka-value shape
-        eng.apply_epoch(from_avro_envelope(wire), epoch)
+    _run_replay_epochs(
+        eng, _adapt_events(spark, sf_dir),
+        # the Kafka-value wire shape: serialize, then decode, per epoch
+        wrap=lambda batch: from_avro_envelope(to_avro_envelope(batch)))
     return eng.read_final().select(
         "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))
@@ -792,7 +795,10 @@ def q_text_search(spark, sf_dir):
     corpus count in SQL over the WHOLE corpus, so a green row proves
     append == rebuild, sidecar doc-count accumulation, AND the scoring
     contracts in one gate."""
+    import glob as _glob
+    import shutil
     import tempfile
+    import time
 
     from cdc_core_spark.operators import textsearch as ts
     d = _t(spark, sf_dir, "documents")
@@ -800,8 +806,19 @@ def q_text_search(spark, sf_dir):
     tag = os.path.basename(sf_dir.rstrip("/"))
     # per-invocation unique dir (NOT a fixed rmtree'd path): the returned
     # frames read this index lazily, so a concurrent second invocation
-    # clobbering a shared path would fail or corrupt the first's scan
-    path = tempfile.mkdtemp(prefix=f"cdc_entry_tidx_{tag}_")
+    # clobbering a shared path would fail or corrupt the first's scan.
+    # Bounded leak: unique dirs live under one parent and dirs older than
+    # an hour are swept on entry, so repeated runs can't fill /tmp
+    parent = f"/tmp/cdc_entry_tidx_{tag}"
+    os.makedirs(parent, exist_ok=True)
+    cutoff = time.time() - 3600
+    for stale in _glob.glob(os.path.join(parent, "run_*")):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+    path = tempfile.mkdtemp(prefix="run_", dir=parent)
     old = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
     ts.write_text_index(ts.build_text_index(old, "doc_id", "text"),

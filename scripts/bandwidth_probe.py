@@ -18,7 +18,10 @@ import numpy as np
 
 
 def _copy(_) -> float:
-    a = np.zeros(200_000_000 // 8)  # 200 MB working set per process
+    a = np.ones(200_000_000 // 8)  # 200 MB working set per process
+    # ones, not zeros: calloc'd pages stay mapped to the kernel's shared
+    # zero page until first write, so a zeros() source would make every
+    # "read" a zero-page cache hit and overstate bandwidth ~2x
     b = a
     for _ in range(10):
         b = a.copy()

@@ -57,6 +57,8 @@ def main() -> None:
 
     fixture = ensure_fixture(scale)
     pyz = "/tmp/cdc_core_spark_pkg.zip"
+    if os.path.exists(pyz):
+        os.remove(pyz)  # zip -qr UPDATES in place and would keep deleted/renamed modules
     subprocess.run(["zip", "-qr", pyz, "cdc_core_spark"], cwd=REPO, check=True)
     warm_page_cache(fixture)
 

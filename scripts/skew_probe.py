@@ -18,9 +18,11 @@ All three produce identical winners (asserted via a content checksum; the
 generator makes (op_ts, event_seq) unique per key so ties cannot hide a
 strategy bug). Writes SKEW_PROBE.json at the repo root.
 
-    python scripts/skew_probe.py [n_events] [n_keys] [hot_permille]
+    python scripts/skew_probe.py [n_events] [n_keys] [hot_permille_sweep]
 
-Defaults: 8M events, 200k keys, 250 permille on the single hot key.
+``hot_permille_sweep`` is a comma-separated list of integer permille cells
+(e.g. ``50,250,500``); each cell is a full probe. Defaults: 8M events,
+200k keys, sweep ``50,250,500``.
 Deterministic: hotness comes from xxhash64(id), not rand().
 """
 
@@ -72,7 +74,11 @@ def crc(df) -> int:
 def probe_one(spark, n_events: int, n_keys: int, hot_pm: int,
               cpus: int) -> dict:
     ev = build_events(spark, n_events, n_keys, hot_pm)
-    ev = ev.localCheckpoint(eager=True)   # freeze input: generation cost out
+    # persist (NOT localCheckpoint): unpersist() below actually releases
+    # cache blocks, while a localCheckpoint's RDD blocks are freed only at
+    # JVM GC of the RDD — across a multi-cell sweep that accumulates GBs and
+    # contaminates later cells' timings with eviction/spill
+    ev = ev.persist()
     hot_rows = ev.filter("path = 'src/f0.py'").count()
 
     results: dict[str, float] = {}
