@@ -581,8 +581,10 @@ def q_journal_roundtrip(spark, sf_dir):
     ad = _adapt_events(spark, sf_dir).filter(F.col("op").isin(3, 4, 5))
     journal.write_journal(
         ad.select("op", "repo", "path", "op_ts", "event_seq"), root)
-    start = 1704240000000   # 2024-01-03T00Z (bucket '2024010300')
-    end = 1704495600000     # 2024-01-05T23Z (bucket '2024010523', inclusive)
+    start = 1704240000000   # 2024-01-03T00:00:00.000Z (bucket '2024010300')
+    end = 1704499199999     # 2024-01-05T23:59:59.999Z — read_journal's range
+    # is ms-precise (hour-bucket pruning + row-level op_ts trim), so the
+    # inclusive-through-hour-23 intent needs the hour's last millisecond
     j = journal.read_journal(spark, root, start_ms=start, end_ms=end)
     return (j.groupBy("repo")
             .agg(F.count("*").alias("n_events"),

@@ -162,6 +162,13 @@ def encode_record(fields: list[tuple[str, str, bool]], row: dict) -> bytes:
                 _write_long(buf, 0)     # union branch 0 = null
                 continue
             _write_long(buf, 1)         # union branch 1 = value
+        elif v is None or (isinstance(v, float) and pd.isna(v)
+                           and t != "double"):
+            # a None in a NON-nullable field must fail loudly here, not
+            # serialize str(None) == "None" (string fields) or crash with a
+            # bare TypeError mid-task (long fields) — wire-format corruption
+            raise ValueError(
+                f"null value for non-nullable Avro field {name!r} ({t})")
         _encode_value(buf, t, v)
     return bytes(buf)
 
@@ -236,7 +243,11 @@ def from_avro_envelope(df: DataFrame, value_col: str = "value",
         import pyarrow as pa
         types = [(n, getattr(pa, _PA[t])()) for n, t, _ in fields]
         for b in batches:
-            rows = [decode_record(fields, bytes(v))
+            # null value cells (e.g. Kafka tombstone messages) decode to an
+            # all-null record — matching the native from_avro PERMISSIVE
+            # path, where bytes(None) would instead kill the task
+            rows = [decode_record(fields, bytes(v)) if v is not None
+                    else {n: None for n, _, _ in fields}
                     for v in b.column(0).to_pylist()]
             yield pa.RecordBatch.from_arrays(
                 [pa.array([r[n] for r in rows], type=t) for n, t in types],

@@ -119,12 +119,15 @@ def apply_decision_table_fixpoint(df: DataFrame, rules: list[DecisionRule],
     ``max_passes`` passes don't converge — silent partial state is worse
     than failing loudly. ``fired_col`` reflects the LAST pass only (at
     quiescence that is the stable activation set)."""
-    in_cols = df.columns
-
     def _crc(d: DataFrame) -> int:
-        # decimal sum: long xxhash64 values overflow a BIGINT accumulator
-        # under ANSI mode
-        row = d.select(F.sum(F.xxhash64(*[F.col(c) for c in in_cols])
+        # hash the frame's CURRENT columns, not the input's: rules may write
+        # rule-created columns, and a checksum blind to them would declare
+        # quiescence while that state keeps changing (a pass that only adds
+        # a new column trivially differs from its input, which just means
+        # "not converged yet" — correct). decimal sum: long xxhash64 values
+        # overflow a BIGINT accumulator under ANSI mode
+        cols = sorted(d.columns)
+        row = d.select(F.sum(F.xxhash64(*[F.col(c) for c in cols])
                              .cast("decimal(20,0)")).alias("h")).collect()[0]
         return int(row["h"]) if row["h"] is not None else 0
 

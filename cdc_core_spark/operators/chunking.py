@@ -76,7 +76,11 @@ def pack_documents(df: DataFrame, strata_col: str, id_col: str,
     out = (df.select(F.col(strata_col), F.col(id_col),
                      F.col(tokens_col).cast("long").alias(tokens_col))
            .withColumn("_raw_pack", raw))
-    dense = Window.partitionBy(strata_col).orderBy("_raw_pack")
+    # nulls LAST to match the SQL oracle's default null ordering: a NULL
+    # tokens value yields a NULL _raw_pack, and Spark's default ASC NULLS
+    # FIRST would give it pack_id 0 and shift every real pack id up
+    dense = Window.partitionBy(strata_col).orderBy(
+        F.col("_raw_pack").asc_nulls_last())
     return (out.withColumn("pack_id",
                            (F.dense_rank().over(dense) - 1).cast("long"))
             .drop("_raw_pack"))

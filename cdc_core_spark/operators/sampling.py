@@ -66,9 +66,13 @@ def stratified_sample_exact(df: DataFrame, strata_col: str, id_col: str,
     """Exactly min(k, |stratum|) rows per stratum: rank by the salted hash
     (id as the total-order tiebreak) inside each stratum and keep the top k.
     One shuffle on the strata column; at scale prefer many strata per
-    partition (the window is per-stratum sequential)."""
+    partition (the window is per-stratum sequential). NULL ids are excluded
+    BEFORE ranking — consistent with consistent_split/consistent_sample's
+    NULL handling; left in, their NULL hash would sort NULLS FIRST and
+    preferentially fill the k slots."""
     w = (Window.partitionBy(strata_col)
          .orderBy(split_bucket(id_col, salt, buckets=1 << 48),
                   F.col(id_col)))
-    return (df.withColumn("_rk", F.row_number().over(w))
+    return (df.filter(F.col(id_col).isNotNull())
+            .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k).drop("_rk"))

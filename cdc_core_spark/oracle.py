@@ -85,6 +85,8 @@ def state_crc(final_df) -> int:
     rows) — the cross-harness invariant the verify recipe and the scaling
     runs both quote; keeping the expression in one place keeps them
     comparable."""
-    return int(final_df.selectExpr(
+    row = final_df.selectExpr(
         "sum(crc32(concat_ws('|', repo, path, content_sha256))) AS c"
-    ).first()["c"])
+    ).first()
+    # a legitimately empty converged state (every key deleted) sums to NULL
+    return int(row["c"]) if row["c"] is not None else 0

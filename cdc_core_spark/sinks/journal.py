@@ -45,11 +45,15 @@ def write_journal(events: DataFrame, root: str, ts_col: str = "op_ts") -> None:
 
 def read_journal(spark: SparkSession, root: str,
                  start_ms: int | None = None,
-                 end_ms: int | None = None) -> DataFrame:
-    """Read the journal, partition-pruned to the requested time range: the
-    filter is expressed over the bucket PARTITION columns (lexicographic
-    compare of the zero-padded yyyyMMddHH string), so Catalyst prunes whole
-    hour directories before any file is opened."""
+                 end_ms: int | None = None,
+                 ts_col: str = "op_ts") -> DataFrame:
+    """Read the journal, partition-pruned AND row-filtered to the requested
+    time range: the coarse filter is expressed over the bucket PARTITION
+    columns (lexicographic compare of the zero-padded yyyyMMddHH string), so
+    Catalyst prunes whole hour directories before any file is opened; a
+    row-level ``ts_col`` predicate then trims the boundary hours — without
+    it a non-hour-aligned range (e.g. 10:30-11:15) silently returns every
+    event of hours 10 and 11."""
     df = spark.read.parquet(root)
     # partition discovery type-infers "_m=01" to int 1 — re-pad to the
     # zero-padded string form before the lexicographic range compare
@@ -65,6 +69,8 @@ def read_journal(spark: SparkSession, root: str,
 
     if start_ms is not None:
         df = df.filter(bucket >= fmt(start_ms))
+        df = df.filter(F.col(ts_col) >= F.lit(start_ms))
     if end_ms is not None:
         df = df.filter(bucket <= fmt(end_ms))
+        df = df.filter(F.col(ts_col) <= F.lit(end_ms))
     return df.drop(*_BUCKET_COLS)

@@ -41,13 +41,19 @@ def canon(df: pd.DataFrame) -> tuple[str, list[str], int]:
         if isinstance(v, (bytes, bytearray)):
             return v.hex()
         import numpy as np
+        if isinstance(v, np.floating):   # float32/float64 — NEVER truncate
+            # np.float32 is NOT a subclass of float, so a float32 NaN would
+            # skip the top guard and canon as "f:nan" ≠ "NULL"
+            return "NULL" if math.isnan(float(v)) else f"f:{float(v):.6g}"
         if isinstance(v, (bool, np.bool_)):
             return f"b:{bool(v)}"
-        if isinstance(v, np.floating):   # float32/float64 — NEVER truncate
-            return f"f:{float(v):.6g}"
         if isinstance(v, (int, np.integer)):
             return f"i:{int(v)}"
-        return str(v)  # timestamps/datetime64/decimals render as text
+        # strings (and text-rendered timestamps/decimals): tag + escape the
+        # row separator so ('a|b','c') ≠ ('a','b|c') and the literal string
+        # 'NULL' ≠ SQL NULL — without this, structurally different results
+        # hash identical and the gate prints a false OK
+        return "s:" + str(v).replace("\\", "\\\\").replace("|", "\\|")
 
     rows = sorted(
         ["|".join(cell(v) for v in rec) for rec in df.itertuples(index=False, name=None)]

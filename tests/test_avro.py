@@ -170,3 +170,38 @@ def test_fallback_dataframe_roundtrip_exact_longs(spark, monkeypatch):
     assert got[row_big["op"]]["size_bytes"] == big
     assert got[row_big["op"]]["rev"] == big + 2
     assert got[ROW_NULLS["op"]]["size_bytes"] is None
+
+
+def test_encode_record_rejects_null_in_non_nullable_field():
+    """A None in a non-nullable field must fail loudly, not serialize the
+    literal string 'None' (wire corruption) or crash with a bare TypeError
+    mid-task."""
+    import pytest
+
+    from cdc_core_spark.functions.avro_codec import encode_record
+
+    fields = [("repo", "string", False), ("rev", "long", False)]
+    with pytest.raises(ValueError, match="non-nullable.*repo"):
+        encode_record(fields, {"repo": None, "rev": 1})
+    with pytest.raises(ValueError, match="non-nullable.*rev"):
+        encode_record(fields, {"repo": "r", "rev": None})
+
+
+def test_from_avro_envelope_null_value_yields_null_record(spark):
+    """A NULL value cell (Kafka tombstone message) must decode to an
+    all-null record like the native from_avro PERMISSIVE path — not kill
+    the task with bytes(None)."""
+    from cdc_core_spark.functions.avro_codec import (from_avro_envelope,
+                                                     to_avro_envelope)
+
+    df = spark.createDataFrame([ROW], schema=", ".join(
+        f"{n} {'bigint' if t == 'long' else ('int' if t == 'int' else t)}"
+        for n, t, _ in FIELDS))
+    wire = to_avro_envelope(df).union(
+        spark.createDataFrame([(None,)], "value binary"))
+    back = from_avro_envelope(wire).collect()
+    assert len(back) == 2
+    by_repo = {r["repo"]: r for r in back}
+    assert by_repo["r3"]["op"] == 4
+    null_row = by_repo[None]
+    assert all(v is None for v in null_row.asDict().values())

@@ -98,3 +98,21 @@ def test_salience_orders_cross_group_dependencies(spark):
                                fired_col="fired")
     assert _rows(out, "id", "pm", "fired") == [
         (1, 60, "vip,urgent,cap"), (2, 50, "high")]
+
+
+def test_fixpoint_checksums_rule_created_columns(spark):
+    """The convergence checksum hashes the frame's CURRENT columns, not the
+    input's — state carried only in rule-created columns must count toward
+    quiescence (and converge here: the created values are stable functions
+    of stable inputs)."""
+    from cdc_core_spark.functions.decision_table import (
+        DecisionRule, apply_decision_table_fixpoint)
+
+    df = spark.createDataFrame([(1,), (5,)], "x long")
+    rules = [
+        DecisionRule("grow", "x < 3", {"x": "x + 1"}, salience=1),
+        DecisionRule("mirror", "true", {"snap": "x * 10"}, salience=0),
+    ]
+    out = apply_decision_table_fixpoint(df, rules, max_passes=10)
+    got = sorted((r["x"], r["snap"]) for r in out.collect())
+    assert got == [(3, 30), (5, 50)]

@@ -986,3 +986,32 @@ def test_fsutil_hadoop_scheme_roundtrip(spark, tmp_path):
                           ["merge"], scoring="tfidf", n_docs=60)
     assert [tuple(r) for r in got.collect()] == \
         [tuple(r) for r in want.collect()]
+
+
+def test_stratified_sample_exact_excludes_null_ids(spark):
+    """NULL ids hash to NULL, which sorts NULLS FIRST under the rank window
+    — left in, they'd preferentially FILL the k slots; the contract is the
+    same exclusion consistent_split/consistent_sample apply."""
+    from cdc_core_spark.operators import sampling
+
+    rows = ([(i, "s") for i in range(10)]
+            + [(None, "s")] * 5)
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = sampling.stratified_sample_exact(df, "stratum", "doc_id", k=4)
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 4 and None not in got
+
+
+def test_pack_documents_null_tokens_rank_last(spark):
+    """A NULL tokens value yields a NULL raw pack key; it must take the LAST
+    pack id (matching the SQL oracle's default null ordering), not pack 0
+    shifting every real pack up (Spark default is ASC NULLS FIRST)."""
+    from cdc_core_spark.operators import chunking
+
+    rows = [("en", 1, 800), ("en", 2, 5000), ("en", 3, None)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, toks long")
+    out = chunking.pack_documents(df, "lang", "doc_id", "toks",
+                                  target_tokens=2000)
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    assert got[3] == max(got.values())      # null-token doc packs LAST
+    assert got[2] == 0 and got[1] == 1      # oversized then quota, dense

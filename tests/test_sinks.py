@@ -100,8 +100,14 @@ def test_journal_write_read_pruned(spark, tmp_path):
 
     back = journal.read_journal(spark, root)
     assert back.count() == 8 and "_h" not in back.columns
+    # the range is ms-precise: partition pruning trims to hour dirs, then a
+    # row-level op_ts predicate trims the boundary hours — a non-aligned
+    # range must NOT return every event of the touched hours
+    exact = journal.read_journal(spark, root, start_ms=base + hour,
+                                 end_ms=base + hour)
+    assert sorted(r["event_id"] for r in exact.collect()) == [2]
     one_hour = journal.read_journal(spark, root, start_ms=base + hour,
-                                    end_ms=base + hour)
+                                    end_ms=base + 2 * hour - 1)
     assert sorted(r["event_id"] for r in one_hour.collect()) == [2, 3]
     # partition pruning: the range predicate references only partition
     # columns, so it must land in PartitionFilters (pruned before any file
