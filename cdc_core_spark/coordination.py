@@ -34,7 +34,7 @@ import time
 import uuid
 
 
-def _atomic_write_json(path: str, doc) -> None:
+def _atomic_write_json(path: str, doc, exclusive: bool = False) -> None:
     """Temp-file + fsync + rename + dir-fsync JSON publish — THE single copy
     of this pattern (lake's snapshot/sidecar/retention-ledger writes import
     it too). The fsyncs matter: without fsync-before-rename a power loss can
@@ -45,7 +45,13 @@ def _atomic_write_json(path: str, doc) -> None:
     temp name is "_"-prefixed so debris a SIGKILL leaves behind (cleanup
     never runs) is invisible to Spark directory scans: some callers (the
     text-index sidecar) publish INTO a directory Spark reads as parquet,
-    where an unhidden temp file would brick every subsequent read."""
+    where an unhidden temp file would brick every subsequent read.
+
+    ``exclusive=True`` publishes via ``os.link`` (hard link fails with
+    EEXIST if the destination exists) instead of rename (which silently
+    REPLACES) — the compare-and-swap the snapshot log's version contention
+    relies on: two writers racing to the same v{N}.json must leave exactly
+    one committed and one FileExistsError, never a clobbered commit."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix="_", suffix=".tmp")
@@ -54,7 +60,17 @@ def _atomic_write_json(path: str, doc) -> None:
             json.dump(doc, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, path)
+        if exclusive:
+            try:
+                os.link(tmp, path)
+            except OSError as e:
+                import errno
+                if e.errno == errno.EEXIST:
+                    raise FileExistsError(path) from None
+                raise
+            os.remove(tmp)
+        else:
+            os.rename(tmp, path)
     except BaseException:
         try:
             os.remove(tmp)

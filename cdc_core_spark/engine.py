@@ -35,8 +35,6 @@ OP_INSERT, OP_UPDATE, OP_DELETE = 3, 4, 5
 SCHEMA_OPS = (0, 1, 2)
 DATA_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
 
-ENVELOPE_COLS = ("op", "op_ts", "event_seq", "txid", "schema_version")
-
 
 def _list_epochs(events_path: str) -> list[int] | None:
     """Epoch ids from the hive partition layout — a filesystem listing, not a
@@ -212,7 +210,7 @@ class CdcEngine:
                                        "initial_loaded": True})
 
     # -------------------------------------------------------- schema evolution
-    def _apply_schema_ops(self, events: DataFrame, epoch: int,
+    def _apply_schema_ops(self, events: DataFrame,
                           schema_rows: list | None = None) -> SchemaDef:
         """In-band DDL path (op codes 0/1/2, AvroChangeType.isSchemaChange,
         entity/.../model/AvroChangeType.java:40-49): route to the registry and
@@ -243,7 +241,9 @@ class CdcEngine:
                           extra_cols: tuple[str, ...] = ()) -> DataFrame:
         """Project raw events onto the current schema: alias-map renamed
         payload columns (old writers → new name), cast (covers widening),
-        null-fill added columns; attach version + storage-bucket columns.
+        null-fill added columns; attach the version columns (the storage
+        bucket is computed on the WINNER set by each caller — attaching it
+        per raw event here would be a dead expression).
         ``extra_cols`` pass through untouched (e.g. checkpoint_epoch for the
         group-commit path)."""
         # the projection itself is THE shared lake.field_projection — the
@@ -254,8 +254,7 @@ class CdcEngine:
         cols.append(F.col("op_ts").cast("bigint").alias("_op_ts"))
         cols.append(F.col("event_seq").cast("bigint").alias("_event_seq"))
         cols.extend(F.col(c) for c in extra_cols)
-        out = events.select(cols)
-        return out.withColumn("_bucket", bucket_expr(sdef.key_cols(), self.n_buckets))
+        return events.select(cols)
 
     # ------------------------------------------------------------- epoch apply
     def apply_epoch(self, events: DataFrame, epoch: int,
@@ -285,7 +284,7 @@ class CdcEngine:
         footer maxima of the staged columns."""
         t0 = time.monotonic()
         self._sync_buckets()
-        sdef = self._apply_schema_ops(events, epoch, schema_rows=schema_rows)
+        sdef = self._apply_schema_ops(events, schema_rows=schema_rows)
         key_cols = sdef.key_cols()
         payload_cols = [f["name"] for f in sdef.fields if f["name"] not in key_cols]
 
@@ -440,7 +439,7 @@ class CdcEngine:
         group at every DDL-carrying epoch)."""
         t0 = time.monotonic()
         self._sync_buckets()
-        sdef = self._apply_schema_ops(events, epochs[0], schema_rows=schema_rows)
+        sdef = self._apply_schema_ops(events, schema_rows=schema_rows)
         key_cols = sdef.key_cols()
         payload_cols = [f["name"] for f in sdef.fields if f["name"] not in key_cols]
 
@@ -519,8 +518,12 @@ class CdcEngine:
         """DLQ: original event + reason, per-epoch overwrite (idempotent rerun).
         Reference: error messages re-tagged mode=Error with correlation id
         (MessageProcessor.sendError, BaseKafkaProducer keyed send)."""
-        out = bad.withColumn("error_reason",
-                             _error_reason(self._pred_args(bad)[0]))
+        # strip any in-event checkpoint_epoch column (the streaming EVENT
+        # envelope carries one): the quarantine epoch is the DIRECTORY name,
+        # and a stale in-file copy would contradict it for any non-Spark
+        # reader of the DLQ files (Spark shadows it; pyarrow/DuckDB don't)
+        out = bad.drop("checkpoint_epoch").withColumn(
+            "error_reason", _error_reason(self._pred_args(bad)[0]))
         (out.write.mode("overwrite")
             .parquet(os.path.join(self.errors_dir, f"checkpoint_epoch={epoch}")))
 

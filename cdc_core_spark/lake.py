@@ -302,7 +302,7 @@ class SnapshotTable:
 
     def _publish(self, snap: Snapshot) -> None:
         path = os.path.join(self.log_dir, f"v{snap.version:012d}.json")
-        if os.path.exists(path):
+        if os.path.exists(path):  # fast path; the REAL arbiter is below
             raise FileExistsError(f"snapshot {snap.version} already committed")
         doc = dict(snap.__dict__)
         if len(snap.files) > self.inline_files_max:
@@ -312,7 +312,11 @@ class SnapshotTable:
             ref = f"v{snap.version:012d}-files.json"
             _atomic_write_json(os.path.join(self.log_dir, ref), snap.files)
             doc["files"] = {"ref": ref, "n": len(snap.files)}
-        _atomic_write_json(path, doc)  # atomic publish
+        # exclusive=True is the version CAS itself: a rename-based publish
+        # silently REPLACES an existing v{N}.json, so two lease-less writers
+        # racing the same version could both "succeed" with one commit
+        # (files, manifests, epoch) vanishing from the chain
+        _atomic_write_json(path, doc, exclusive=True)
         if self._epochs_cache is not None:
             # fold our own commit into the cache incrementally — the hot
             # streaming path never re-reads the snapshot log
@@ -748,8 +752,29 @@ class SnapshotTable:
             if not dry_run:
                 os.remove(abs_p)
         if not dry_run:   # sweep now-empty staging directories bottom-up
-            for d, subdirs, files in os.walk(self.data_dir, topdown=False):
-                if d != self.data_dir and not subdirs and not files:
+            for d, _subdirs, _files in os.walk(self.data_dir, topdown=False):
+                if d == self.data_dir:
+                    continue
+                # live view, not the walk's snapshot: children removed
+                # earlier in this same bottom-up pass must count as gone
+                entries = list(os.scandir(d))
+                only_hidden = entries and all(
+                    e.is_file() and e.name[0] in "_." for e in entries)
+                if only_hidden and all(e.stat().st_mtime <= cutoff
+                                       for e in entries):
+                    # a crashed commit's staging dir retains its _SUCCESS
+                    # marker forever (hidden files are skipped above) —
+                    # once a dir holds ONLY hidden metadata older than the
+                    # grace window, the markers are debris too: remove them
+                    # so the rmdir can land instead of accumulating
+                    # crash-debris directories without bound
+                    for e in entries:
+                        try:
+                            os.remove(e.path)
+                        except OSError:
+                            pass
+                    entries = []
+                if not entries:
                     try:
                         os.rmdir(d)
                     except OSError:

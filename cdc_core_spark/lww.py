@@ -139,17 +139,34 @@ def lww_reduce_in_partition(df: DataFrame, key_cols: list[str]) -> DataFrame:
     The fold is associative: each Arrow batch is concatenated with the
     winners-so-far and re-reduced, bounding memory at O(distinct keys in
     partition) instead of O(partition).
+
+    mapInArrow + ArrowDtype-backed pandas, NOT plain mapInPandas: the
+    default Arrow→pandas conversion turns an int64 column containing ANY
+    null into float64 (numpy has no nullable int), silently rounding values
+    ≥ 2^53 on the way through — and a schema evolution that ADDs a bigint
+    column guarantees nulls in old base rows, so after one evolution every
+    cow-arrow merge would corrupt snowflake-scale ids while the max_by
+    paths return them exactly. ArrowDtype columns keep the original Arrow
+    buffers (and exact int64) end to end — the same reason the Avro codec
+    uses mapInArrow.
     """
     cols = df.columns
     schema = df.schema
 
-    def reduce_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def reduce_partition(batches):
+        import pyarrow as pa
         acc = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        in_schema = None
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
-            # na_position='first' + dropna=False: pandas sorts NaN LAST and
+            if in_schema is None:
+                in_schema = b.schema
+            pdf = (pa.Table.from_batches([b])
+                   .to_pandas(types_mapper=pd.ArrowDtype))
+            both = pdf if acc is None else pd.concat([acc, pdf],
+                                                     ignore_index=True)
+            # na_position='first' + dropna=False: pandas sorts NA LAST and
             # drops null group keys by default — either would silently make
             # this fold diverge from Spark's max_by (null version loses,
             # null keys form their own group) on the other merge paths
@@ -158,6 +175,7 @@ def lww_reduce_in_partition(df: DataFrame, key_cols: list[str]) -> DataFrame:
             acc = (both.groupby(key_cols, as_index=False, sort=False,
                                 dropna=False).tail(1))
         if acc is not None:
-            yield acc[cols]
+            out = pa.Table.from_pandas(acc[cols], preserve_index=False)
+            yield from out.cast(in_schema).to_batches()
 
-    return df.mapInPandas(reduce_partition, schema=schema)
+    return df.mapInArrow(reduce_partition, schema=schema)

@@ -118,10 +118,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     inv = g.select("doc", F.explode("grams").alias("gram")).localCheckpoint(eager=False)
     if max_postings is not None:
         freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-        inv = (inv.join(F.broadcast(freq.filter(F.col("_df") > max_postings)
-                                    .select("gram").withColumn("_stop", F.lit(True))),
-                        "gram", "left")
-               .filter(F.col("_stop").isNull()).drop("_stop"))
+        stop = freq.filter(F.col("_df") > max_postings).select("gram")
+        inv = inv.join(F.broadcast(stop), "gram", "left_anti")
     co = (inv.alias("a").join(inv.alias("b"),
                               (F.col("a.gram") == F.col("b.gram"))
                               & (F.col("a.doc") < F.col("b.doc")))
@@ -239,7 +237,8 @@ def minhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
 def decontaminate(train: DataFrame, evalset: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 13, min_overlap: int = 1,
-                  broadcast_eval: bool = True) -> DataFrame:
+                  broadcast_eval: bool = True,
+                  unicode_letters: bool = False) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing ≥ ``min_overlap``
     distinct word n-grams with ANY eval-set document (the classic 13-gram
     rule used to scrub eval leakage from web-scale corpora).
@@ -251,13 +250,24 @@ def decontaminate(train: DataFrame, evalset: DataFrame,
     unusually large eval side (falls back to a shuffle join).
 
     Returns (id, n_contaminated_grams, contaminated) — one row per train
-    doc, so the caller filters ``~contaminated`` to scrub."""
-    ev_grams = (evalset.select(F.explode(ngrams(text_col, n)).alias("gram"))
-                .distinct())
+    doc, so the caller filters ``~contaminated`` to scrub.
+
+    Empty normalizations are excluded on BOTH sides (same rule as every
+    other ngrams() consumer in this module): a doc whose whole text
+    normalizes away under the ASCII default emits the single gram '', and
+    one such eval doc would otherwise flag every such train doc —
+    entire non-Latin corpus slices scrubbed as "contaminated". For genuine
+    non-Latin decontamination pass ``unicode_letters=True``."""
+    ev_grams = (evalset
+                .select(F.explode(ngrams(text_col, n, unicode_letters))
+                        .alias("gram"))
+                .filter(F.col("gram") != "").distinct())
     if broadcast_eval:
         ev_grams = F.broadcast(ev_grams)
-    tr = train.select(F.col(id_col).alias("doc"),
-                      F.explode(ngrams(text_col, n)).alias("gram"))
+    tr = (train.select(F.col(id_col).alias("doc"),
+                       F.explode(ngrams(text_col, n, unicode_letters))
+                       .alias("gram"))
+          .filter(F.col("gram") != ""))
     hits = (tr.join(ev_grams, "gram")
             .groupBy("doc")
             .agg(F.count(F.lit(1)).alias("n_contaminated_grams")))
@@ -342,13 +352,15 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
                    n: int = 3, threshold: float = 0.5,
-                   max_postings: int | None = None) -> DataFrame:
+                   max_postings: int | None = None,
+                   unicode_letters: bool = False) -> DataFrame:
     """End-to-end duplicate clustering: exact n-gram Jaccard pairs ≥
     threshold → connected components → ``(doc, cluster_id, is_canonical)``.
     Deterministic (exact Jaccard edges), so it carries a SQL oracle via a
     recursive-closure CTE."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
-                                threshold=threshold, max_postings=max_postings)
+                                threshold=threshold, max_postings=max_postings,
+                                unicode_letters=unicode_letters)
     nodes = df.select(F.col(id_col).alias("doc"))
     comp = connected_components(pairs, nodes)
     return comp.withColumn("is_canonical", F.col("doc") == F.col("cluster_id"))

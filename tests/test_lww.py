@@ -104,3 +104,23 @@ def test_adaptive_salt_probe_and_equivalence(spark):
                lww_reduce_adaptive(df, ["repo", "path"], ["v"],
                                    **kw).collect()}
         assert got == want
+
+
+def test_lww_in_partition_exact_bigints_past_2_53_with_nulls(spark):
+    """The cow-arrow fold must not round int64 values >= 2^53: the default
+    Arrow->pandas conversion coerces a nullable int64 column to float64
+    (numpy has no nullable int), and a post-evolution base always carries
+    nulls in the added column. ArrowDtype keeps the exact buffers."""
+    from cdc_core_spark.lww import lww_reduce_in_partition
+
+    big = (1 << 53) + 1            # not representable as float64
+    rows = [("r", "a", None, 100, 1),
+            ("r", "a", big, 200, 2),      # winner carries the huge id
+            ("r", "b", big + 2, 50, 3)]
+    df = (spark.createDataFrame(
+              rows, "repo string, path string, ext_id long, "
+                    "_op_ts long, _event_seq long")
+          .repartition(2, "repo", "path"))
+    got = {(r["repo"], r["path"]): r["ext_id"]
+           for r in lww_reduce_in_partition(df, ["repo", "path"]).collect()}
+    assert got == {("r", "a"): big, ("r", "b"): big + 2}
