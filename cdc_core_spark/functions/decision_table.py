@@ -126,7 +126,10 @@ def apply_decision_table_fixpoint(df: DataFrame, rules: list[DecisionRule],
         # a new column trivially differs from its input, which just means
         # "not converged yet" — correct). decimal sum: long xxhash64 values
         # overflow a BIGINT accumulator under ANSI mode
-        cols = sorted(d.columns)
+        # fired_col reflects the LAST pass only (documented) — including
+        # it would make the very first pass always register as a change,
+        # failing max_passes=1 rulesets that are genuinely quiescent
+        cols = sorted(c for c in d.columns if c != fired_col)
         row = d.select(F.sum(F.xxhash64(*[F.col(c) for c in cols])
                              .cast("decimal(20,0)")).alias("h")).collect()[0]
         return int(row["h"]) if row["h"] is not None else 0

@@ -309,7 +309,13 @@ class SnapshotTable:
             # split the file list into a sidecar manifest-list document:
             # sidecar first, snapshot rename last — a crash in between
             # leaves an unreferenced sidecar, never a dangling ref
-            ref = f"v{snap.version:012d}-files.json"
+            # per-writer-UNIQUE ref: two lease-less writers racing the same
+            # version both stage a sidecar, and a shared name would let the
+            # CAS loser clobber the winner's committed file list via the
+            # rename publish — the doc's {"ref": ...} pointer is the only
+            # binding, so uniqueness makes the loser's sidecar harmless
+            # debris (the expire-time sweep collects unreferenced ones)
+            ref = f"v{snap.version:012d}-files-{uuid.uuid4().hex[:8]}.json"
             _atomic_write_json(os.path.join(self.log_dir, ref), snap.files)
             doc["files"] = {"ref": ref, "n": len(snap.files)}
         # exclusive=True is the version CAS itself: a rename-based publish
@@ -665,9 +671,16 @@ class SnapshotTable:
         # doc-delete and sidecar-delete loops — BEFORE the no-work early
         # return, because exactly that rerun usually has nothing left to
         # expire (the crashed run already deleted the docs)
-        live_docs = {os.path.basename(p) for p in paths}
-        for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files.json")):
-            if os.path.basename(abs_sc).replace("-files", "") not in live_docs:
+        # a sidecar is live iff some live doc REFERENCES it (refs are
+        # per-writer unique, so a CAS loser's sidecar and a crashed run's
+        # leftovers are both collected here)
+        live_refs = set()
+        for p in paths:
+            _, ref = self._doc_files(self._load_snapshot_doc(p))
+            if ref:
+                live_refs.add(ref)
+        for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files*.json")):
+            if os.path.basename(abs_sc) not in live_refs:
                 os.remove(abs_sc)
         expired, retained = paths[:-keep_last], paths[-keep_last:]
         if not expired:

@@ -54,7 +54,9 @@ Contract parity with ``lake.SnapshotTable``:
 
 Scope — what this adapter is and is not: it proves the COMMIT AND METADATA
 substrate swap (signatures mirror ``SnapshotTable``'s, epoch/lineage
-semantics identical), but it is not yet a drop-in ``engine.table``. Two
+semantics identical; table-level ``props`` map onto Iceberg table
+properties, a separate metadata commit — benign because the engine's props
+are idempotent markers), but it is not yet a drop-in ``engine.table``. Two
 engine conveniences are explicitly out of scope and rejected loudly rather
 than mis-handled: callable ``manifests`` (the engine's footer-stats fast
 path derives stats from OUR staged files; Iceberg manages its own files, so
@@ -209,6 +211,20 @@ class IcebergSnapshotTable:
             elif current[f["name"]] != t:
                 self.spark.sql(f"ALTER TABLE {self.ident} "
                                f"ALTER COLUMN {f['name']} TYPE {t}")
+        self._set_props(props)
+
+    def _set_props(self, props: dict | None) -> None:
+        """Table-level flags (initial_loaded, schema_version, ...) map onto
+        Iceberg table properties — a separate metadata commit, NOT atomic
+        with a data commit the way lake.SnapshotTable folds props into the
+        snapshot doc; the engine's props are idempotent markers, so a crash
+        between the two leaves a benign re-settable flag."""
+        for k, v in (props or {}).items():
+            kq = str(k).replace("'", "''")
+            vq = json.dumps(v) if not isinstance(v, str) else v
+            vq = vq.replace("'", "''")
+            self.spark.sql(f"ALTER TABLE {self.ident} SET TBLPROPERTIES "
+                           f"('{kq}'='{vq}')")
 
     # ---------------- commits ----------------
     def _writer(self, df: DataFrame, epoch: int | None,
@@ -238,6 +254,21 @@ class IcebergSnapshotTable:
             "_bucket", bucket_expr(self.key_cols, self.n_buckets))
 
     def _last_snapshot_id(self) -> int | None:
+        """The table head observed right after this writer's commit — the
+        main-branch ref, not a committed_at sort over all snapshots. Note
+        the honest caveat: with CONCURRENT writers the head read here can
+        already be someone else's later snapshot; callers chaining
+        read_changes from the returned version should hold the writer
+        lease (as engine.replay does) or read the id from their own
+        changelog position."""
+        try:
+            row = (self.spark.table(f"{self.ident}.refs")
+                   .filter(F.col("name") == "main")
+                   .select("snapshot_id").limit(1).collect())
+            if row:
+                return int(row[0]["snapshot_id"])
+        except Exception:
+            pass  # older runtimes without the refs metadata table
         row = (self.snapshots().orderBy(F.col("committed_at").desc())
                .select("snapshot_id").limit(1).collect())
         return int(row[0]["snapshot_id"]) if row else None
@@ -286,6 +317,7 @@ class IcebergSnapshotTable:
                 "instead (module docstring, Scope)")
         if new_fields or new_aliases:
             self.commit_metadata(new_fields or [], new_aliases)
+        self._set_props(props)
         self._writer(df, epoch, manifests).overwritePartitions()
         return _IcebergCommit(self._last_snapshot_id(), epoch,
                               manifests if isinstance(manifests, list) else [])
@@ -373,9 +405,18 @@ class IcebergSnapshotTable:
             raise ValueError("keep_last must be >= 1")
         snaps = (self.snapshots().orderBy("committed_at").collect())
         expiring = snaps[:-keep_last]
-        eps = sorted({int(s["summary"][EPOCH_PROP]) for s in expiring
-                      if s["summary"] and EPOCH_PROP in s["summary"]}
-                     | self._ledger_epochs())
+        eps = {int(s["summary"][EPOCH_PROP]) for s in expiring
+               if s["summary"] and EPOCH_PROP in s["summary"]}
+        # group commits carry only their LAST epoch in EPOCH_PROP; the
+        # earlier epochs live as manifest-row checkpoint_epochs — fold them
+        # too, or retention would forget them and a resume re-applies them
+        # (same _fold_epochs rule as lake.SnapshotTable's expired-base doc)
+        for sn in expiring:
+            if sn["summary"] and MANIFESTS_PROP in sn["summary"]:
+                for m in json.loads(sn["summary"][MANIFESTS_PROP]):
+                    if m.get("checkpoint_epoch", -1) >= 0:
+                        eps.add(m["checkpoint_epoch"])
+        eps = sorted(eps | self._ledger_epochs())
         # manifests fold forward too (the lineage half of the ledger);
         # dedup by canonical JSON so a retried expire (props set, CALL
         # failed) never double-counts rows still carried by live snapshots

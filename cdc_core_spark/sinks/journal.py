@@ -67,6 +67,15 @@ def read_journal(spark: SparkSession, root: str,
         return _dt.datetime.fromtimestamp(ms / 1000,
                                           _dt.timezone.utc).strftime("%Y%m%d%H")
 
+    if (start_ms is not None or end_ms is not None) \
+            and ts_col not in df.columns:
+        # fail with the real mistake, not an unresolved-column error deep in
+        # the plan: a journal written with a custom ts_col must be range-read
+        # with the SAME column, or the row-level trim would silently use the
+        # wrong timestamp
+        raise ValueError(
+            f"ts_col {ts_col!r} not in journal columns {df.columns}; pass "
+            "the ts_col the journal was written with")
     if start_ms is not None:
         df = df.filter(bucket >= fmt(start_ms))
         df = df.filter(F.col(ts_col) >= F.lit(start_ms))

@@ -80,7 +80,13 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0,
     # blank header cells, so slicing to len(names) would silently drop the
     # extra columns' data — pad the header with generated names instead
     width = max([len(names)] + [len(r) for r in data])
-    names = names + [f"c{i}" for i in range(len(names), width)]
+    taken = set(names)
+    for i in range(len(names), width):
+        pad = f"c{i}"
+        while pad in taken:   # a real header cell may already be named c{i}
+            pad += "_"
+        taken.add(pad)
+        names = names + [pad]
     data = [tuple((r + [None] * width)[:width]) for r in data]
     if schema:
         return spark.createDataFrame(data, schema=schema)

@@ -77,7 +77,10 @@ def probe_one(spark, n_events: int, n_keys: int, hot_pm: int,
     # persist (NOT localCheckpoint): unpersist() below actually releases
     # cache blocks, while a localCheckpoint's RDD blocks are freed only at
     # JVM GC of the RDD — across a multi-cell sweep that accumulates GBs and
-    # contaminates later cells' timings with eviction/spill
+    # contaminates later cells' timings with eviction/spill. Default level
+    # is MEMORY_AND_DISK: memory-pressure eviction SPILLS blocks to disk
+    # rather than recomputing the generation lineage, so the frozen-input
+    # property holds
     ev = ev.persist()
     hot_rows = ev.filter("path = 'src/f0.py'").count()
 

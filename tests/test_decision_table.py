@@ -116,3 +116,18 @@ def test_fixpoint_checksums_rule_created_columns(spark):
     out = apply_decision_table_fixpoint(df, rules, max_passes=10)
     got = sorted((r["x"], r["snap"]) for r in out.collect())
     assert got == [(3, 30), (5, 50)]
+
+
+def test_fixpoint_fired_col_quiescent_in_one_pass(spark):
+    """fired_col reflects the last pass only and is excluded from the
+    convergence checksum — a genuinely quiescent ruleset with fired_col
+    must converge even at max_passes=1."""
+    from cdc_core_spark.functions.decision_table import (
+        DecisionRule, apply_decision_table_fixpoint)
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    rules = [DecisionRule("noop", "x < 0", {"x": "x + 1"})]  # never fires
+    out = apply_decision_table_fixpoint(df, rules, max_passes=1,
+                                        fired_col="fired")
+    assert sorted(r["x"] for r in out.collect()) == [1, 2]
+    assert all(r["fired"] == "" for r in out.collect())

@@ -339,3 +339,10 @@ def test_read_excel_pads_header_narrower_than_data(spark, tmp_path):
     assert df.columns == ["a", "b", "c2"]
     row = df.collect()[0]
     assert (row["a"], row["b"], row["c2"]) == ("x", "y", "z")
+
+
+def test_read_excel_pad_names_avoid_collision(spark, tmp_path):
+    p = tmp_path / "w2.xlsx"
+    readers.write_excel_minimal(str(p), ["c2", "x"], [("a", "b", "c")])
+    df = readers.read_excel(spark, str(p))
+    assert len(set(df.columns)) == 3 and df.columns[:2] == ["c2", "x"]

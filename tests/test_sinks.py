@@ -356,3 +356,22 @@ def test_docstore_upsert_is_a_logical_rewrite_for_cdc_out(spark, tmp_path):
     with pytest.raises(ValueError, match="LOGICAL rewrite"):
         t.read_changes(spark, v1)
     assert t.read_changes(spark, v1, on_logical_rewrite="skip").count() == 0
+
+
+def test_read_journal_rejects_wrong_ts_col(spark, tmp_path):
+    """A ranged read of a journal written with a custom ts_col must fail
+    loudly when the reader's ts_col doesn't exist — not trim on the wrong
+    column or die with an unresolved-column error deep in the plan."""
+    import pytest
+
+    from cdc_core_spark.sinks import journal
+
+    root = str(tmp_path / "j2")
+    df = spark.createDataFrame([(1, 1_700_000_000_000)],
+                               "event_id long, created_ms long")
+    journal.write_journal(df, root, ts_col="created_ms")
+    with pytest.raises(ValueError, match="created_ms|ts_col"):
+        journal.read_journal(spark, root, start_ms=0, end_ms=2_000_000_000_000)
+    back = journal.read_journal(spark, root, start_ms=0,
+                                end_ms=2_000_000_000_000, ts_col="created_ms")
+    assert back.count() == 1
