@@ -16,6 +16,7 @@ falls inside the driver's leading check window (see queries() docstring).
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 from collections.abc import Callable
 
@@ -32,6 +33,75 @@ from cdc_core_spark.sources import readers  # noqa: E402
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _derby_shutdown(spark, db: str) -> None:
+    """Unboot an embedded Derby database before its directory is deleted.
+
+    Embedded Derby keeps a database booted for the JVM lifetime once any
+    connection touches it: rmtree + reconnect with ``;create=true`` hands
+    back the stale booted instance pointing at deleted inodes (container
+    -not-found / IO SQLExceptions on the rerun). Shutdown raises
+    SQLException 08006 *by contract* on success — and "no suitable
+    driver" / XJ004 when the db was never booted in this JVM — so every
+    exception here is the expected outcome and is swallowed."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db};shutdown=true")
+    except Exception:
+        pass
+
+
+def _scratch(kind: str, sf_dir: str, spark=None, clear: bool = True) -> str:
+    """Per-process scratch root for disk-backed gates.
+
+    The returned path embeds the owning PID, so concurrent drivers (a gate
+    run racing bench or ``entry()`` at the same SF tag, or two datasets
+    whose dirs share a basename) can never rmtree each other's live
+    tables: the entry-time clear only ever removes THIS process's previous
+    invocation, which is safe because gates run sequentially within a
+    process. Sibling roots left behind by dead PIDs are swept on entry —
+    liveness-checked via kill(0), never age-based, so a long-lived
+    concurrent driver's dirs survive regardless of how long it runs
+    (PID-reuse can strand a dir; the leak is bounded by distinct PIDs and
+    cleared by the next sweep after that PID dies). ``spark`` marks the
+    root as an embedded-Derby database that must be unbooted before
+    deletion; ``clear=False`` returns the root untouched (the text-index
+    gate, whose returned frames lazily scan dirs created by earlier
+    invocations in the same process)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    parent = f"/tmp/cdc_gate_{kind}_{tag}"
+    os.makedirs(parent, exist_ok=True)
+    me = os.getpid()
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        names = []
+    for name in names:
+        if not name.startswith("pid"):
+            continue
+        try:
+            pid = int(name[3:])
+        except ValueError:
+            continue
+        if pid != me and not _pid_alive(pid):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    root = os.path.join(parent, f"pid{me}")
+    if clear:
+        if spark is not None:
+            _derby_shutdown(spark, root)
+        shutil.rmtree(root, ignore_errors=True)
+    return root
 
 
 # ---------------------------------------------------------------------------
@@ -330,12 +400,9 @@ def q_cdc_engine_replay(spark, sf_dir):
     carry an invalid op and must be quarantined (DLQ,
     MessageProcessor.sendError analog) — the oracle excludes them, so
     mis-applying a malformed event fails the value-hash."""
-    import shutil
     from cdc_core_spark.engine import CdcEngine
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/cdc_entry_replay_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("replay", sf_dir)
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
 
@@ -355,12 +422,9 @@ def q_cdc_engine_manifests(spark, sf_dir):
 
     Aggregated to epoch level because partition_id is the engine's internal
     storage-bucket hash — per-epoch totals are engine-independent facts."""
-    import shutil
     from cdc_core_spark.engine import CdcEngine
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/cdc_entry_manifests_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("manifests", sf_dir)
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
     _run_replay_epochs(eng, _adapt_events(spark, sf_dir))
@@ -381,13 +445,10 @@ def q_stream_engine_replay(spark, sf_dir):
     Kappa-architecture shape: batch and streaming share one engine path).
     Must converge to the identical state as q_cdc_engine_replay, so it shares
     that query's oracle SQL."""
-    import shutil
     from cdc_core_spark.engine import CdcEngine
     from cdc_core_spark.streaming.stream import stream_ingest
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    base = f"/tmp/cdc_entry_stream_{tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("stream", sf_dir)
     root, evdir, ckpt = f"{base}/state", f"{base}/events", f"{base}/ckpt"
 
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
@@ -426,14 +487,11 @@ def q_cdc_out_chain(spark, sf_dir):
     lossless pipeline primitive (the sink turned back into a source), not
     just a read API. At 100 TB this is the fan-out shape: downstream
     consumers pay O(changes), never a table re-scan."""
-    import shutil
     from cdc_core_spark.engine import CdcEngine
     from cdc_core_spark.lake import SnapshotTable, bucket_expr
     from cdc_core_spark.lww import lww_reduce
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    base = f"/tmp/cdc_entry_chain_{tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("chain", sf_dir)
     # merge_mode pinned: read_changes requires MOR commits (cow rewrites
     # raise by design), and this gate must hold even when the suite runs
     # under CDC_MERGE_STRATEGY=cow-jvm/cow-arrow
@@ -468,14 +526,11 @@ def q_avro_envelope_roundtrip(spark, sf_dir):
     org.apache.avro reader in tests/test_avro.py (the spark-avro connector
     jar is absent from this container; when present the same API runs
     native from_avro/to_avro JVM-side)."""
-    import shutil
     from cdc_core_spark.engine import CdcEngine
     from cdc_core_spark.functions.avro_codec import (from_avro_envelope,
                                                      to_avro_envelope)
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/cdc_entry_avro_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("avro", sf_dir)
     eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
     _run_replay_epochs(
@@ -500,12 +555,9 @@ def q_datastore_writeback(spark, sf_dir):
     registry's control). Spark-first shape: parallel staged JDBC write + ONE
     set-based MERGE statement, not the reference's per-row Hibernate
     session."""
-    import shutil
     from cdc_core_spark.sinks import datastore as ds_sink
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    db = f"/tmp/cdc_writeback_{tag}"
-    shutil.rmtree(db, ignore_errors=True)
+    db = _scratch("writeback", sf_dir, spark=spark)
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     # string KEY columns need VARCHAR (Derby can't compare CLOB in MERGE ON);
@@ -550,12 +602,9 @@ def q_docstore_upsert(spark, sf_dir):
     versioned publish), and the store is read back and shredded. Must
     converge to the same external-store state as the RDBMS sink, so it
     shares _WRITEBACK_SQL."""
-    import shutil
     from cdc_core_spark.sinks import docstore
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/cdc_docstore_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("docstore", sf_dir)
     docstore.upsert_documents(_replay_initial(spark, sf_dir), root,
                               ["repo", "path"])
     docstore.upsert_documents(_writeback_winners(spark, sf_dir), root,
@@ -572,12 +621,9 @@ def q_journal_roundtrip(spark, sf_dir):
     events are appended into the audit layout, then a 3-day range read —
     partition-pruned on the hour-bucket columns — is aggregated per repo.
     The oracle filters the raw stream on the same hour buckets."""
-    import shutil
     from cdc_core_spark.sinks import journal
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/cdc_journal_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("journal", sf_dir)
     ad = _adapt_events(spark, sf_dir).filter(F.col("op").isin(3, 4, 5))
     journal.write_journal(
         ad.select("op", "repo", "path", "op_ts", "event_seq"), root)
@@ -598,12 +644,9 @@ def q_schema_from_jdbc(spark, sf_dir):
     Derby → SchemaDef derived from the database's own metadata (zero-row
     schema query) → registered and read back; emitted as (col, type,
     nullable, key) rows against a constant oracle."""
-    import shutil
     from cdc_core_spark import registry as R
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    db = f"/tmp/cdc_schema_jdbc_{tag}"
-    shutil.rmtree(db, ignore_errors=True)
+    db = _scratch("schema_jdbc", sf_dir, spark=spark)
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     _t(spark, sf_dir, "nation").write.jdbc(url, "nation", mode="overwrite",
@@ -797,29 +840,20 @@ def q_text_search(spark, sf_dir):
     corpus count in SQL over the WHOLE corpus, so a green row proves
     append == rebuild, sidecar doc-count accumulation, AND the scoring
     contracts in one gate."""
-    import glob as _glob
-    import shutil
     import tempfile
-    import time
 
     from cdc_core_spark.operators import textsearch as ts
     d = _t(spark, sf_dir, "documents")
     terms = ["merge", "stream", "vector"]
-    tag = os.path.basename(sf_dir.rstrip("/"))
     # per-invocation unique dir (NOT a fixed rmtree'd path): the returned
-    # frames read this index lazily, so a concurrent second invocation
-    # clobbering a shared path would fail or corrupt the first's scan.
-    # Bounded leak: unique dirs live under one parent and dirs older than
-    # an hour are swept on entry, so repeated runs can't fill /tmp
-    parent = f"/tmp/cdc_entry_tidx_{tag}"
+    # frames read this index lazily, so a second invocation in the same
+    # process clobbering a shared path would fail or corrupt the first's
+    # pending scan — hence clear=False and mkdtemp inside the per-PID
+    # root. Bounded leak: _scratch's PID-liveness sweep removes the whole
+    # root once its owning process dies (never age-based, so a slow run's
+    # live index is never swept out from under it).
+    parent = _scratch("tidx", sf_dir, clear=False)
     os.makedirs(parent, exist_ok=True)
-    cutoff = time.time() - 3600
-    for stale in _glob.glob(os.path.join(parent, "run_*")):
-        try:
-            if os.path.getmtime(stale) < cutoff:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass
     path = tempfile.mkdtemp(prefix="run_", dir=parent)
     old = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
@@ -1024,8 +1058,7 @@ def _part_select(df):
 def q_reader_csv(spark, sf_dir):
     """CSV reader parity (SeparatedInputReader analog): part → CSV on disk →
     read_csv with an explicit schema → values must equal the source table."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/cdc_rt_csv_{tag}"
+    out = _scratch("rt_csv", sf_dir)
     p = _t(spark, sf_dir, "part")
     p.write.mode("overwrite").option("header", True).csv(out)
     return _part_select(readers.read_csv(spark, out, header=True, schema=_PART_DDL))
@@ -1033,8 +1066,7 @@ def q_reader_csv(spark, sf_dir):
 
 def q_reader_json(spark, sf_dir):
     """JSONL reader parity (JsonInputReader analog)."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/cdc_rt_json_{tag}"
+    out = _scratch("rt_json", sf_dir)
     p = _t(spark, sf_dir, "part")
     p.write.mode("overwrite").json(out)
     return _part_select(readers.read_json(spark, out, schema=_PART_DDL,
@@ -1053,8 +1085,7 @@ def q_reader_csv_json(spark, sf_dir):
 def q_reader_fixed_width(spark, sf_dir):
     """Fixed-width reader parity (PositionalInputReader analog): render
     nation as padded fixed-offset text, re-read via substring layout."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/cdc_rt_fw_{tag}"
+    out = _scratch("rt_fw", sf_dir)
     n = _t(spark, sf_dir, "nation")
     line = F.concat(F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
                     F.rpad("n_name", 20, " "),
@@ -1072,8 +1103,7 @@ def q_reader_xml(spark, sf_dir):
     """XML reader parity (XmlInputReader analog, XmlInputReader.java:36):
     supplier → XML rowTag files via Spark 4's native XML source → read_xml
     with explicit schema → values must equal the source table."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/cdc_rt_xml_{tag}"
+    out = _scratch("rt_xml", sf_dir)
     s = _t(spark, sf_dir, "supplier")
     (s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
      .write.mode("overwrite").format("xml").option("rowTag", "supplier").save(out))
@@ -1089,8 +1119,9 @@ def q_reader_excel(spark, sf_dir):
     the container) → values must equal the source table. Driver-side by
     design: Excel carries small config/intake files in the reference, never
     bulk data."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/cdc_rt_xlsx_{tag}.xlsx"
+    root = _scratch("rt_xlsx", sf_dir)
+    os.makedirs(root)
+    out = os.path.join(root, "region.xlsx")
     r = _t(spark, sf_dir, "region")
     rows = [(int(x["r_regionkey"]), x["r_name"]) for x in
             r.select("r_regionkey", "r_name").orderBy("r_regionkey").collect()]
@@ -1105,10 +1136,7 @@ def q_reader_jdbc(spark, sf_dir):
     reference's hand-rolled paging cursor). Embedded Derby works because
     local-mode executors share the JVM; on a cluster the same call takes a
     network JDBC URL."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    db = f"/tmp/cdc_rt_jdbc_{tag}"
-    import shutil
-    shutil.rmtree(db, ignore_errors=True)
+    db = _scratch("rt_jdbc", sf_dir, spark=spark)
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     n = _t(spark, sf_dir, "nation")
@@ -1133,16 +1161,13 @@ def q_archive_scan(spark, sf_dir):
     timestamps are pinned (zip epoch 1980-01-01, tar mtime 0, mbox Date
     epoch 0) so the bundles are bit-stable across runs."""
     import io
-    import shutil
     import tarfile
     import zipfile
 
     from cdc_core_spark.sources.archive import read_archive_members
     from cdc_core_spark.sources.mail import read_mbox_messages
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/cdc_entry_archive_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("archive", sf_dir)
     os.makedirs(root)
     nrows = sorted((r["n_nationkey"], r["n_name"], r["n_regionkey"])
                    for r in _t(spark, sf_dir, "nation")
@@ -1198,7 +1223,6 @@ def q_git_replay(spark, sf_dir):
     last-touching commit index (rev), content sha256 — must equal the
     DuckDB oracle deriving the same HEAD tree directly from nation.
     Commit timestamps/identity are pinned so the history is stable."""
-    import shutil
     import subprocess
 
     from cdc_core_spark import synth
@@ -1206,12 +1230,17 @@ def q_git_replay(spark, sf_dir):
     from cdc_core_spark.registry import SchemaRegistry
     from cdc_core_spark.sources.gitsync import events_from_git
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/cdc_entry_git_{tag}"
+    root = _scratch("git", sf_dir)
     repo = os.path.join(root, "repo")
-    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(repo)
-    env = dict(os.environ, GIT_AUTHOR_NAME="gate", GIT_AUTHOR_EMAIL="g@x",
+    # hermetic fixture: drop ambient GIT_* (GIT_DIR/GIT_WORK_TREE would
+    # redirect `git -C repo` at the wrong repository) and pin both config
+    # scopes to /dev/null so host settings (commit.gpgsign, core.autocrlf,
+    # init.templateDir hooks) can't break the pinned 3-commit history or
+    # alter blob bytes under the content_sha oracle
+    env = {k: v for k, v in os.environ.items() if not k.startswith("GIT_")}
+    env.update(GIT_CONFIG_GLOBAL="/dev/null", GIT_CONFIG_SYSTEM="/dev/null",
+               GIT_AUTHOR_NAME="gate", GIT_AUTHOR_EMAIL="g@x",
                GIT_COMMITTER_NAME="gate", GIT_COMMITTER_EMAIL="g@x")
 
     def run(*args, ts):
@@ -1281,30 +1310,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-def q_consistent_split(spark, sf_dir):
-    """Deterministic content-stable train/holdout split (md5(id:salt) ->
-    permille bucket): the same doc lands on the same side across runs,
-    cluster sizes, and corpus versions - the contamination-safety property
-    random sampling lacks. md5 chosen over xxhash64 precisely so any SQL
-    engine (here: the DuckDB oracle) can recompute and audit the
-    assignment."""
-    d = _t(spark, sf_dir, "documents")
-    return sampling.consistent_split(d, "doc_id").select("doc_id", "split")
-
-
-def q_stratified_sample(spark, sf_dir):
-    """Exact k-per-stratum deterministic sample: rank docs inside each lang
-    stratum by salted hash (id tiebreak), keep the top 3 - the reproducible
-    alternative to sampleBy's per-row randomness."""
-    d = _t(spark, sf_dir, "documents")
-    return (sampling.stratified_sample_exact(d, "lang", "doc_id", k=3)
-            .select("lang", "doc_id"))
-
-
 def q_sampling_splits(spark, sf_dir):
     """Gate consolidation of the deterministic sampling family: the
-    content-stable train/holdout split joined with the exact k-per-stratum
-    sample membership — one row per doc carrying (split, in_sample), both
+    content-stable train/holdout split (md5(id:salt) → permille bucket —
+    the same doc lands on the same side across runs, cluster sizes, and
+    corpus versions, the contamination-safety property random sampling
+    lacks; md5 over xxhash64 precisely so any SQL engine can recompute
+    and audit the assignment) joined with exact k-per-stratum sample
+    membership (rank inside each lang stratum by salted hash, id
+    tiebreak — the reproducible alternative to sampleBy's per-row
+    randomness). One row per doc carrying (split, in_sample), both
     md5-deterministic paths exercised by one oracle entry."""
     d = _t(spark, sf_dir, "documents")
     split = sampling.consistent_split(d, "doc_id").select("doc_id", "split")

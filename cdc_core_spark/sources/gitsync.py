@@ -31,6 +31,7 @@ clock can never make an older mainline state win LWW.
 
 from __future__ import annotations
 
+import os
 import subprocess
 from typing import Iterator
 
@@ -46,9 +47,20 @@ META_DDL = ("op bigint, repo string, path string, commit string, rev bigint, "
             "op_ts bigint, event_seq bigint")
 
 
+def _git_env() -> dict:
+    """Subprocess env with repo-redirecting GIT_* variables dropped: an
+    ambient GIT_DIR / GIT_WORK_TREE / GIT_INDEX_FILE overrides ``git -C``
+    and would silently point every listing and hydration call at the wrong
+    repository (config scopes are left alone — log/cat-file reads are
+    config-neutral)."""
+    return {k: v for k, v in os.environ.items()
+            if k not in ("GIT_DIR", "GIT_WORK_TREE", "GIT_INDEX_FILE")}
+
+
 def _git(repo_dir: str, *args: str) -> str:
     return subprocess.run(["git", "-C", repo_dir, *args], check=True,
-                          capture_output=True, text=True).stdout
+                          capture_output=True, text=True,
+                          env=_git_env()).stdout
 
 
 def _unquote(path: str) -> str:
@@ -175,7 +187,8 @@ def fetch_blob_contents(meta: DataFrame, repo_dir: str,
                     if proc is None:
                         proc = subprocess.Popen(
                             ["git", "-C", repo_dir, "cat-file", "--batch"],
-                            stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+                            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                            env=_git_env())
                     proc.stdin.write(f"{commit}:{path}\n".encode())
                     proc.stdin.flush()
                     header = proc.stdout.readline().decode().split()
