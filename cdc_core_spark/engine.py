@@ -757,6 +757,10 @@ class CdcEngine:
 
     # ------------------------------------------------------------------- reads
     def read_final(self) -> DataFrame:
+        # the JVM shuffle fold, not table.read_aligned: measured at local[N]
+        # the exchange is an in-memory copy and always beats the aligned
+        # path's Python->JVM Arrow transfer (see read_aligned's docstring
+        # for the numbers and the cluster regime where that flips)
         return self.table.read(self.spark)
 
     def read_final_with_sha(self) -> DataFrame:
