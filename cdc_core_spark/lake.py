@@ -474,8 +474,9 @@ class SnapshotTable:
             import pyarrow.parquet as pq
 
             def fold(tab):
-                # pure-Arrow mirror of lww.fold_winners (stays C++-side, no
-                # pandas round-trip): version-sort with nulls FIRST (a null
+                # pure-Arrow mirror of the cow-arrow merge's in-partition
+                # fold (lww_reduce_in_partition), staying C++-side with no
+                # pandas round-trip: version-sort with nulls FIRST (a null
                 # version must lose, as in max_by over the version struct),
                 # then last-row-per-key with skip_nulls=False — the default
                 # 'last' SKIPS nulls, which would resurrect an older row's

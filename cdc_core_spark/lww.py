@@ -127,21 +127,6 @@ def lww_reduce_adaptive(events: DataFrame, key_cols: list[str],
                       with_stats=with_stats)
 
 
-def fold_winners(pdf: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
-    """THE in-partition LWW fold step: stable version-sort, then last row
-    per key. Shared by ``lww_reduce_in_partition`` (cow-arrow merge) and
-    ``SnapshotTable.read_aligned`` (bucket-aligned MOR read) so the two
-    folds can never drift from each other.
-
-    na_position='first' + dropna=False: pandas sorts NA LAST and drops null
-    group keys by default — either would silently diverge from Spark's
-    max_by (null version loses, null keys form their own group)."""
-    both = pdf.sort_values(["_op_ts", "_event_seq"], kind="stable",
-                           na_position="first")
-    return both.groupby(key_cols, as_index=False, sort=False,
-                        dropna=False).tail(1)
-
-
 def lww_reduce_in_partition(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Per-partition LWW reduce via an Arrow-batched incremental fold.
 
@@ -181,7 +166,16 @@ def lww_reduce_in_partition(df: DataFrame, key_cols: list[str]) -> DataFrame:
                    .to_pandas(types_mapper=pd.ArrowDtype))
             both = pdf if acc is None else pd.concat([acc, pdf],
                                                      ignore_index=True)
-            acc = fold_winners(both, key_cols)
+            # na_position='first' + dropna=False: pandas sorts NA LAST and
+            # drops null group keys by default — either would silently make
+            # this fold diverge from Spark's max_by (null version loses,
+            # null keys form their own group) on the other merge paths.
+            # (SnapshotTable.read_aligned's pure-Arrow fold mirrors the same
+            # two rules; read-vs-read_aligned equality tests pin them.)
+            both = both.sort_values(["_op_ts", "_event_seq"], kind="stable",
+                                    na_position="first")
+            acc = (both.groupby(key_cols, as_index=False, sort=False,
+                                dropna=False).tail(1))
         if acc is not None:
             out = pa.Table.from_pandas(acc[cols], preserve_index=False)
             yield from out.cast(in_schema).to_batches()
