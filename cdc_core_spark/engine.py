@@ -26,6 +26,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_core_spark import fsutil
 from cdc_core_spark.lake import (SnapshotTable, bucket_expr,
                                  field_projection, sql_type)
 from cdc_core_spark.lww import lww_reduce, lww_reduce_in_partition
@@ -525,6 +526,7 @@ class CdcEngine:
         out = bad.drop("checkpoint_epoch").withColumn(
             "error_reason", _error_reason(self._pred_args(bad)[0]))
         (out.write.mode("overwrite")
+            .option("compression", fsutil.parquet_codec())
             .parquet(os.path.join(self.errors_dir, f"checkpoint_epoch={epoch}")))
 
     # ------------------------------------------------------------------ replay
@@ -659,6 +661,7 @@ class CdcEngine:
             (bad.withColumn("error_reason", _error_reason(kc))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
+             .option("compression", fsutil.parquet_codec())
              .partitionBy("checkpoint_epoch").parquet(self.errors_dir))
 
         # Group consecutive DDL-free epochs into one job+commit each

@@ -20,6 +20,24 @@ def _is_remote(path: str) -> bool:
     return "://" in path or path.startswith("file:/")
 
 
+def parquet_codec() -> str:
+    """Codec for every ENGINE-OWNED parquet write (lake state, journal, DLQ,
+    stored text/IVF indexes, unroutable spills) — zstd, measured on the
+    20M-event scale replay: equal best-case wall vs snappy but 1.85× fewer
+    bytes at rest (870→470 MB converged state), which stabilizes the wall
+    (no dirty-page-writeback stalls) and pays again on every
+    bandwidth-bound replication/shuffle hop at 100 TB.
+
+    Set HERE (as a write option) and not only on the session builder because
+    the engine's contractual invocation mode is ``spark-submit --py-files``
+    with a caller-built SparkSession: a session-level
+    ``spark.sql.parquet.compression.codec`` default would silently revert
+    engine state to snappy for every user who didn't copy our session
+    helper. ``CDC_PARQUET_CODEC`` overrides (e.g. ``snappy`` for a
+    CPU-starved cluster whose storage is free)."""
+    return os.environ.get("CDC_PARQUET_CODEC", "zstd")
+
+
 def _hadoop(spark, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -87,6 +87,7 @@ import shutil
 import tempfile
 import uuid
 
+from cdc_core_spark import fsutil
 from cdc_core_spark.coordination import _atomic_write_json
 from dataclasses import dataclass, field
 
@@ -600,6 +601,7 @@ class SnapshotTable:
         staged = df if pre_partitioned else df.repartition(
             max(n_partitions, 1), *partition_cols)
         (staged.write.partitionBy(*partition_cols)
+         .option("compression", fsutil.parquet_codec())
          .mode("overwrite").parquet(stage_abs))
         key_of = {"_bucket": "bucket", "checkpoint_epoch": "epoch"}
         new_files: list[dict] = []

@@ -127,7 +127,8 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
     if centroids is None:
         centroids = deterministic_centroids(df, vec_col, n_cells, id_col)
     assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    (assigned.write.partitionBy("cell").mode("overwrite")
+     .option("compression", fsutil.parquet_codec()).parquet(path))
     # scheme-aware sidecar publish: the store itself is written by Spark to
     # any filesystem — a local-only codebook write would strand an
     # object-store IVF layout without its centroids (fsutil routes s3a/hdfs
@@ -169,7 +170,8 @@ def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str,
                 "appending would duplicate it inside top-k results; "
                 "rebuild with ivf_write (or exclude stored ids) instead")
     assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
-    assigned.write.partitionBy("cell").mode("append").parquet(path)
+    (assigned.write.partitionBy("cell").mode("append")
+     .option("compression", fsutil.parquet_codec()).parquet(path))
 
 
 def ivf_probe_scan(spark, path: str, query: list[float],

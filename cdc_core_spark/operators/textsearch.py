@@ -162,9 +162,11 @@ def _write_bucketed(index: DataFrame, path: str, n_buckets: int,
     the probed buckets too."""
     bucketed = index.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    from cdc_core_spark import fsutil
     (bucketed.repartition(n_buckets, "term_bucket")
      .sortWithinPartitions("term", "doc")
-     .write.partitionBy("term_bucket").mode(mode).parquet(path))
+     .write.partitionBy("term_bucket").mode(mode)
+     .option("compression", fsutil.parquet_codec()).parquet(path))
 
 
 def _meta_path(path: str) -> str:

@@ -56,8 +56,11 @@ def route_replay(
         known = list(engines)
         bad = events.filter(
             F.col(entity_col).isNull() | ~F.col(entity_col).isin(known))
+        from cdc_core_spark import fsutil
         (bad.withColumn("error_reason", F.lit("unroutable_entity"))
-            .write.mode("overwrite").parquet(unroutable_dir))
+            .write.mode("overwrite")
+            .option("compression", fsutil.parquet_codec())
+            .parquet(unroutable_dir))
 
     for name, eng in engines.items():
         def routed(df, _n=name):

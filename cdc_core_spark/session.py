@@ -43,6 +43,9 @@ def get_spark(
         # converged state), so it stalls on dirty-page writeback whenever the
         # host is flushing. At 100 TB the 1.85× matters twice more: state at
         # rest and every bandwidth-bound shuffle/replication hop.
+        # This session default covers USER writes; engine-owned state writes
+        # pin the codec per-write (fsutil.parquet_codec) so a caller-built
+        # session under spark-submit gets the same bytes (test-pinned).
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("CDC_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

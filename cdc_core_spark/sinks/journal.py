@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_core_spark import fsutil
+
 _BUCKET_COLS = ("_y", "_m", "_d", "_h")
 
 
@@ -40,7 +42,8 @@ def write_journal(events: DataFrame, root: str, ts_col: str = "op_ts") -> None:
     """Append events to the hour-bucketed audit layout. ``ts_col`` is epoch
     millis (the envelope's op_ts)."""
     (_bucketed(events, ts_col)
-     .write.mode("append").partitionBy(*_BUCKET_COLS).parquet(root))
+     .write.mode("append").partitionBy(*_BUCKET_COLS)
+     .option("compression", fsutil.parquet_codec()).parquet(root))
 
 
 def read_journal(spark: SparkSession, root: str,

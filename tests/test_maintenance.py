@@ -500,3 +500,37 @@ def test_expire_sweeps_orphaned_sidecars_and_never_dangles_refs(
     out = t2.expire_snapshots(keep_last=1)
     assert out["snapshots_removed"] == 0
     assert not os.path.exists(stray)
+
+
+def test_engine_state_codec_pinned_per_write(spark, tmp_path):
+    """Engine-owned state files are zstd regardless of the SESSION's parquet
+    codec: the contractual invocation mode is spark-submit with a
+    caller-built SparkSession (whose codec default is snappy), so the codec
+    must ride the write itself (fsutil.parquet_codec), not the session conf
+    — otherwise every spark-submit user silently pays 1.85x the state bytes
+    the bench numbers were measured at."""
+    import pyarrow.parquet as pq
+
+    from cdc_core_spark.lake import SnapshotTable, bucket_expr
+
+    fields = [{"name": "k", "type": "string", "nullable": False, "key": True},
+              {"name": "v", "type": "long", "nullable": True}]
+    t = SnapshotTable.create(str(tmp_path / "t"), fields, ["k"], n_buckets=2)
+    old = spark.conf.get("spark.sql.parquet.compression.codec")
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    try:
+        df = (spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+              .withColumn("_op_ts", F.lit(0).cast("bigint"))
+              .withColumn("_event_seq", F.lit(0).cast("bigint"))
+              .withColumn("_deleted", F.lit(False))
+              .withColumn("_bucket", bucket_expr(["k"], 2)))
+        t.commit_delta(df, epoch=0, manifests=[])
+    finally:
+        spark.conf.set("spark.sql.parquet.compression.codec", old)
+    snap = t.latest()
+    assert snap.files
+    for f in snap.files:
+        md = pq.ParquetFile(os.path.join(t.root, f["path"])).metadata
+        codecs = {md.row_group(rg).column(0).compression
+                  for rg in range(md.num_row_groups)}
+        assert codecs == {"ZSTD"}, (f["path"], codecs)
