@@ -526,7 +526,7 @@ class CdcEngine:
         out = bad.drop("checkpoint_epoch").withColumn(
             "error_reason", _error_reason(self._pred_args(bad)[0]))
         (out.write.mode("overwrite")
-            .option("compression", fsutil.parquet_codec())
+            .options(**fsutil.parquet_write_options())
             .parquet(os.path.join(self.errors_dir, f"checkpoint_epoch={epoch}")))
 
     # ------------------------------------------------------------------ replay
@@ -661,7 +661,7 @@ class CdcEngine:
             (bad.withColumn("error_reason", _error_reason(kc))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
-             .option("compression", fsutil.parquet_codec())
+             .options(**fsutil.parquet_write_options())
              .partitionBy("checkpoint_epoch").parquet(self.errors_dir))
 
         # Group consecutive DDL-free epochs into one job+commit each

@@ -38,6 +38,33 @@ def parquet_codec() -> str:
     return os.environ.get("CDC_PARQUET_CODEC", "zstd")
 
 
+def parquet_zstd_level() -> str:
+    """zstd compression level for engine-owned writes — 1, not parquet-mr's
+    default 3. Measured on the 20M-event scale replay at local[32], two
+    order-flipped interleaved blocks of fresh-state runs (5 per level):
+    level 1 median wall 42.1 s vs level 3's 54.0 s (~22% faster; every
+    block's median favored 1) with the converged state actually SMALLER
+    (451 vs 470 MB — the state is short source-text rows where zstd's
+    deeper match search buys nothing) and the state CRC bit-identical in
+    all 10 runs. Level 3 spends its extra CPU inside the commit's write
+    stage, i.e. directly on the replay critical path.
+    ``CDC_PARQUET_ZSTD_LEVEL`` overrides (e.g. a cold-archive tier that
+    compresses once and ships cross-region forever)."""
+    return os.environ.get("CDC_PARQUET_ZSTD_LEVEL", "1")
+
+
+def parquet_write_options() -> dict:
+    """The option dict for every engine-owned ``df.write`` — codec plus,
+    for zstd, the level (``parquet.compression.codec.zstd.level`` is read
+    from the write job's Hadoop conf, and DataFrameWriter options are
+    propagated there, so the level rides the write exactly like the codec
+    and cannot be reverted by a caller-built session)."""
+    opts = {"compression": parquet_codec()}
+    if opts["compression"] == "zstd":
+        opts["parquet.compression.codec.zstd.level"] = parquet_zstd_level()
+    return opts
+
+
 def _hadoop(spark, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -601,7 +601,7 @@ class SnapshotTable:
         staged = df if pre_partitioned else df.repartition(
             max(n_partitions, 1), *partition_cols)
         (staged.write.partitionBy(*partition_cols)
-         .option("compression", fsutil.parquet_codec())
+         .options(**fsutil.parquet_write_options())
          .mode("overwrite").parquet(stage_abs))
         key_of = {"_bucket": "bucket", "checkpoint_epoch": "epoch"}
         new_files: list[dict] = []

@@ -128,7 +128,7 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
         centroids = deterministic_centroids(df, vec_col, n_cells, id_col)
     assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
     (assigned.write.partitionBy("cell").mode("overwrite")
-     .option("compression", fsutil.parquet_codec()).parquet(path))
+     .options(**fsutil.parquet_write_options()).parquet(path))
     # scheme-aware sidecar publish: the store itself is written by Spark to
     # any filesystem — a local-only codebook write would strand an
     # object-store IVF layout without its centroids (fsutil routes s3a/hdfs
@@ -171,7 +171,7 @@ def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str,
                 "rebuild with ivf_write (or exclude stored ids) instead")
     assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
     (assigned.write.partitionBy("cell").mode("append")
-     .option("compression", fsutil.parquet_codec()).parquet(path))
+     .options(**fsutil.parquet_write_options()).parquet(path))
 
 
 def ivf_probe_scan(spark, path: str, query: list[float],

@@ -166,7 +166,7 @@ def _write_bucketed(index: DataFrame, path: str, n_buckets: int,
     (bucketed.repartition(n_buckets, "term_bucket")
      .sortWithinPartitions("term", "doc")
      .write.partitionBy("term_bucket").mode(mode)
-     .option("compression", fsutil.parquet_codec()).parquet(path))
+     .options(**fsutil.parquet_write_options()).parquet(path))
 
 
 def _meta_path(path: str) -> str:

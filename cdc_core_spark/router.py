@@ -59,7 +59,7 @@ def route_replay(
         from cdc_core_spark import fsutil
         (bad.withColumn("error_reason", F.lit("unroutable_entity"))
             .write.mode("overwrite")
-            .option("compression", fsutil.parquet_codec())
+            .options(**fsutil.parquet_write_options())
             .parquet(unroutable_dir))
 
     for name, eng in engines.items():

@@ -43,7 +43,7 @@ def write_journal(events: DataFrame, root: str, ts_col: str = "op_ts") -> None:
     millis (the envelope's op_ts)."""
     (_bucketed(events, ts_col)
      .write.mode("append").partitionBy(*_BUCKET_COLS)
-     .option("compression", fsutil.parquet_codec()).parquet(root))
+     .options(**fsutil.parquet_write_options()).parquet(root))
 
 
 def read_journal(spark: SparkSession, root: str,

@@ -534,3 +534,44 @@ def test_engine_state_codec_pinned_per_write(spark, tmp_path):
         codecs = {md.row_group(rg).column(0).compression
                   for rg in range(md.num_row_groups)}
         assert codecs == {"ZSTD"}, (f["path"], codecs)
+
+
+def test_engine_zstd_level_rides_the_write(spark, tmp_path, monkeypatch):
+    """The zstd LEVEL (not just the codec) must reach the engine write path
+    as a per-write option: parquet footers don't record the level, so prove
+    it behaviorally — the same commit under CDC_PARQUET_ZSTD_LEVEL=19 must
+    produce measurably fewer state bytes than under level 1 on compressible
+    rows. If the option silently stopped propagating to the write job's
+    Hadoop conf, both runs would compress at parquet-mr's default and the
+    sizes would be identical."""
+    from cdc_core_spark import fsutil
+    from cdc_core_spark.lake import SnapshotTable, bucket_expr
+
+    import random
+    rng = random.Random(7)
+    vocab = [f"tok{v}" for v in range(500)]
+    rows = [(f"k{i}", " ".join(rng.choice(vocab) for _ in range(60)))
+            for i in range(2000)]
+
+    def state_bytes(level: str) -> int:
+        monkeypatch.setenv("CDC_PARQUET_ZSTD_LEVEL", level)
+        assert fsutil.parquet_write_options()[
+            "parquet.compression.codec.zstd.level"] == level
+        fields = [{"name": "k", "type": "string", "nullable": False,
+                   "key": True},
+                  {"name": "v", "type": "string", "nullable": True}]
+        t = SnapshotTable.create(str(tmp_path / f"lvl{level}"), fields,
+                                 ["k"], n_buckets=1)
+        df = (spark.createDataFrame(rows, "k string, v string")
+              .coalesce(1)
+              .withColumn("_op_ts", F.lit(0).cast("bigint"))
+              .withColumn("_event_seq", F.lit(0).cast("bigint"))
+              .withColumn("_deleted", F.lit(False))
+              .withColumn("_bucket", bucket_expr(["k"], 1)))
+        t.commit_delta(df, epoch=0, manifests=[])
+        snap = t.latest()
+        return sum(os.path.getsize(os.path.join(t.root, f["path"]))
+                   for f in snap.files)
+
+    b1, b19 = state_bytes("1"), state_bytes("19")
+    assert b19 < b1 * 0.97, (b1, b19)
