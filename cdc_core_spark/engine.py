@@ -108,12 +108,22 @@ def _error_reason(key_cols: list[str] = ("repo", "path")):
 class CdcEngine:
     def __init__(self, spark: SparkSession, root: str, registry: SchemaRegistry,
                  entity: str = "source_repos", n_buckets: int = 16,
-                 salt: int | None = None, merge_mode: str | None = None):
+                 salt: int | str | None = None, merge_mode: str | None = None):
         self.spark = spark
         self.root = root
         self.registry = registry
         self.entity = entity
         self.n_buckets = n_buckets
+        # None = plain single-stage max_by (right default: partial agg
+        # already collapses hot keys map-side), int = always salt that wide,
+        # "auto" = decide per applied batch from lww.choose_lww_salt's
+        # sampled key-histogram probe (salting an unskewed stream costs
+        # 2.7×, measured — BENCH skew_defense — so auto only salts when one
+        # key holds ≥ half the batch). With group-commit the probe runs once
+        # per DDL-free epoch RUN, not per epoch, so its one sampled
+        # aggregation job amortizes across the backlog being drained.
+        if salt is not None and not isinstance(salt, int) and salt != "auto":
+            raise ValueError(f"salt must be an int, None or 'auto', got {salt!r}")
         self.salt = salt
         # "mor" (merge-on-read deltas, default) | "cow-jvm" | "cow-arrow".
         # Validated HERE: an unrecognized value (a typo'd env var) would
@@ -237,6 +247,18 @@ class CdcEngine:
             cur = new
         return cur
 
+    def _effective_salt(self, ev: DataFrame,
+                        key_cols: list[str]) -> int | None:
+        """Resolve the configured ``salt`` for one applied batch: pass ints
+        and None through; ``"auto"`` runs the sampled hot-key probe
+        (``lww.choose_lww_salt``) on the batch about to be reduced — the
+        probe-triggered switch that removes the caller-knob footgun (salted
+        two-stage costs 2.7× when skew is absent, measured)."""
+        if self.salt != "auto":
+            return self.salt
+        from cdc_core_spark.lww import choose_lww_salt
+        return choose_lww_salt(ev, key_cols)
+
     # ----------------------------------------------------------- event intake
     def _normalize_events(self, events: DataFrame, sdef: SchemaDef,
                           extra_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -318,7 +340,8 @@ class CdcEngine:
         # (_n_events, _max_seq), so every manifest stat — events_read,
         # events_applied, (max_op_ts, max_event_seq) watermark — comes from
         # the winner rows with no separate stats scan.
-        winners = lww_reduce(ev, key_cols, payload_cols + ["op"], salt=self.salt,
+        winners = lww_reduce(ev, key_cols, payload_cols + ["op"],
+                             salt=self._effective_salt(ev, key_cols),
                              with_stats=True)
         winners = winners.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
 
@@ -449,7 +472,8 @@ class CdcEngine:
         valid = data.filter(valid_event_pred(kc, cc))
         ev = self._normalize_events(valid, sdef, extra_cols=("checkpoint_epoch",))
         winners = lww_reduce(ev, ["checkpoint_epoch"] + key_cols,
-                             payload_cols + ["op"], salt=self.salt,
+                             payload_cols + ["op"],
+                             salt=self._effective_salt(ev, key_cols),
                              with_stats=True)
         winners = winners.withColumn("_bucket", bucket_expr(key_cols, self.n_buckets))
         delta = (winners.drop("_n_events")
