@@ -114,6 +114,12 @@ def probe_one(spark, n_events: int, n_keys: int, hot_pm: int,
     c_win = crc(win_df())
     assert c_max == c_salt == c_win, "strategies disagree on LWW winners"
 
+    # what the engine's salt="auto" knob would decide on this cell — the
+    # sampled hot-key probe salts only when one key holds >= half the batch
+    # (threshold rationale in lww.choose_lww_salt)
+    from cdc_core_spark.lww import choose_lww_salt
+    auto_decision = choose_lww_salt(ev, ["repo", "path"])
+
     # STRUCTURAL skew metrics — deterministic, host-noise-free, and the
     # numbers that actually transfer to a 1000-executor cluster:
     # * window/plain shuffle: the hot key's reduce task receives every hot
@@ -129,6 +135,7 @@ def probe_one(spark, n_events: int, n_keys: int, hot_pm: int,
     ev.unpersist()
     return {"hot_permille": hot_pm, "hot_key_rows": hot_rows,
             "hot_share": round(hot_rows / n_events, 4),
+            "auto_salt_decision": auto_decision,
             "timings_sec": results, "winners_checksum_equal": True,
             "reduce_rows_at_hot_task": {
                 "window_plain_shuffle": max_part,
