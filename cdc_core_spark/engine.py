@@ -783,12 +783,14 @@ class CdcEngine:
         self.n_buckets = nb
 
     # ------------------------------------------------------------------- reads
-    def read_final(self) -> DataFrame:
+    def read_final(self, columns: list[str] | None = None) -> DataFrame:
         # the JVM shuffle fold, not table.read_aligned: measured at local[N]
         # the exchange is an in-memory copy and always beats the aligned
         # path's Python->JVM Arrow transfer (see read_aligned's docstring
-        # for the numbers and the cluster regime where that flips)
-        return self.table.read(self.spark)
+        # for the numbers and the cluster regime where that flips).
+        # ``columns`` prunes the projection into the scan (a .select on the
+        # result cannot — the MOR fold blocks Catalyst column pruning).
+        return self.table.read(self.spark, columns=columns)
 
     def read_final_with_sha(self) -> DataFrame:
         """Final state + per-row content sha256 — the correctness invariant

@@ -335,8 +335,21 @@ class SnapshotTable:
 
     # ---------------- read ----------------
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
-             snap: Snapshot | None = None, with_internal_cols: bool = False) -> DataFrame:
+             snap: Snapshot | None = None, with_internal_cols: bool = False,
+             columns: list[str] | None = None) -> DataFrame:
         """Read current state, normalized to the snapshot's logical schema.
+
+        ``columns`` projects the result to that payload subset — and, unlike
+        a ``.select`` on the returned frame, prunes the projection INTO the
+        parquet scan. Catalyst cannot do this by itself here: the
+        merge-on-read fold aggregates a struct of every payload column
+        (``max_by``), which blocks column pruning through the fold, so a
+        narrow ``.select`` over a wide table still scans every byte
+        (verified on the physical plan's ReadSchema). The LWW winner per key
+        is determined by the version tuple alone, so folding only
+        ``key ∪ columns`` returns bit-identical values for those columns.
+        Key columns are always read (the fold groups on them) but only
+        ``columns`` come back.
 
         Files are grouped by their write-time schema_id and each group is
         normalized (alias/rename, missing → null, cast-widen) before a
@@ -358,10 +371,12 @@ class SnapshotTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-        out_cols = list(snap.field_names()) + (list(INTERNAL_COLS) if with_internal_cols else [])
+        fields, out_names = _projected_fields(snap, columns)
+        out_cols = out_names + (list(INTERNAL_COLS) if with_internal_cols else [])
         if not files:
+            tmap = {f["name"]: f["type"] for f in fields}
             ddl = ", ".join(
-                [f'{f["name"]} {sql_type(f["type"])}' for f in snap.fields]
+                [f'{n} {sql_type(tmap[n])}' for n in out_names]
                 + ([f"{c} {t}" for c, t in INTERNAL_COLS.items()] if with_internal_cols else [])
             )
             return spark.createDataFrame([], schema=ddl)
@@ -373,13 +388,14 @@ class SnapshotTable:
             has_delta = has_delta or f.get("kind", "base") == "delta"
         for sid, paths in by_schema.items():
             df = spark.read.parquet(*paths)
-            parts.append(_normalize(df, snap.fields, snap.aliases))
+            parts.append(_normalize(df, fields, snap.aliases))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if has_delta:
             from cdc_core_spark.lww import lww_reduce
-            payload = [c for c in snap.field_names() if c not in snap.key_cols]
+            payload = [f["name"] for f in fields
+                       if f["name"] not in snap.key_cols]
             out = lww_reduce(out, snap.key_cols, payload + ["_deleted"])
         if not with_internal_cols:
             out = out.filter(~F.col("_deleted"))
@@ -387,7 +403,8 @@ class SnapshotTable:
 
     def read_aligned(self, spark: SparkSession, buckets: list[int] | None = None,
                      snap: Snapshot | None = None,
-                     with_internal_cols: bool = False) -> DataFrame:
+                     with_internal_cols: bool = False,
+                     columns: list[str] | None = None) -> DataFrame:
         """Bucket-aligned merge-on-read: semantically identical to ``read``
         but the LWW fold happens WITHOUT a shuffle.
 
@@ -445,14 +462,17 @@ class SnapshotTable:
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
         if not files or not has_delta or fsutil._is_remote(self.root):
             return self.read(spark, buckets=buckets, snap=snap,
-                             with_internal_cols=with_internal_cols)
+                             with_internal_cols=with_internal_cols,
+                             columns=columns)
 
-        fields, aliases = snap.fields, snap.aliases
+        fields, out_names = _projected_fields(snap, columns)
+        aliases = snap.aliases
         key_cols = list(snap.key_cols)
-        out_cols = list(snap.field_names()) + \
+        out_cols = out_names + \
             (list(INTERNAL_COLS) if with_internal_cols else [])
+        tmap = {f["name"]: f["type"] for f in fields}
         ddl = ", ".join(
-            [f'{f["name"]} {sql_type(f["type"])}' for f in fields]
+            [f'{n} {sql_type(tmap[n])}' for n in out_names]
             + ([f"{c} {t}" for c, t in INTERNAL_COLS.items()]
                if with_internal_cols else []))
         keep_internal = with_internal_cols
@@ -505,13 +525,27 @@ class SnapshotTable:
 
             target = pa.schema(
                 [(c, _arrow_type(t)) for c, t in
-                 zip(out_cols, [f["type"] for f in fields]
-                     + (["long", "long", "boolean"] if keep_internal else []))])
+                 ([(n, tmap[n]) for n in out_names]
+                  + (list(zip(INTERNAL_COLS, ["long", "long", "boolean"]))
+                     if keep_internal else []))])
+            # physical columns worth reading: the projected fields under
+            # their current OR historical (alias) names, plus the version/
+            # tombstone columns the fold needs — intersected per file with
+            # what that file actually has, so the parquet reader skips the
+            # pruned columns' pages entirely (the I/O half of the pushdown;
+            # the Spark path gets the same effect from ReadSchema)
+            wanted = {f["name"] for f in fields} | set(INTERNAL_COLS)
+            for old, new in aliases.items():
+                if new in tmap:
+                    wanted.add(old)
             for b in batches:
                 for spec in b.column(0).to_pylist():
                     acc = None
                     for path in json.loads(spec):
-                        tab = _arrow_projection(pq.read_table(path),
+                        pf = pq.ParquetFile(path)
+                        cols = [c for c in pf.schema_arrow.names
+                                if c in wanted]
+                        tab = _arrow_projection(pf.read(columns=cols),
                                                 fields, aliases)
                         both = tab if acc is None else pa.concat_tables(
                             [acc, tab])
@@ -1161,6 +1195,27 @@ def field_projection(present: set[str], fields: list[dict],
             c = F.lit(None)
         cols.append(c.cast(typ).alias(name))
     return cols
+
+
+def _projected_fields(snap, columns: list[str] | None):
+    """(fields to read, output column names) for a projected scan: the scan
+    set is ``key_cols ∪ columns`` in snapshot declaration order (the MOR
+    fold groups on the keys, so they are always read), the output is exactly
+    ``columns`` in caller order (keys only if asked for). ``None`` → the
+    full schema. Shared by ``read`` and ``read_aligned`` so the two paths
+    can never disagree on projection semantics."""
+    names = list(snap.field_names())
+    if columns is None:
+        return snap.fields, names
+    if not columns:
+        raise ValueError("columns must be a non-empty list (or None for all)")
+    unknown = [c for c in columns if c not in names]
+    if unknown:
+        raise ValueError(
+            f"unknown columns {unknown!r} — table schema has {names} "
+            "(internal columns are selected via with_internal_cols)")
+    keep = set(columns) | set(snap.key_cols)
+    return [f for f in snap.fields if f["name"] in keep], list(columns)
 
 
 def _normalize(df: DataFrame, fields: list[dict], aliases: dict) -> DataFrame:

@@ -131,3 +131,30 @@ def test_fold_keeps_null_payload_of_winner(spark, registry, tmp_path):
     assert got["content"].isna().all()   # null wins, not "old"
     want = t.read(spark).toPandas()
     assert want["content"].isna().all()
+
+
+def test_columns_projection_pruned_and_equal(spark, replayed):
+    """``columns=`` must (a) return values identical to a post-hoc select on
+    the full read — across the evolved ADD+RENAME+WIDEN history, so the
+    restricted fields list still drives alias/widen normalization — on BOTH
+    fold paths, and (b) actually prune the Spark scan: the MOR fold's
+    max_by struct blocks Catalyst column pruning, which is the whole reason
+    the parameter exists, so ReadSchema must not contain the unprojected
+    wide column."""
+    import re
+
+    t = replayed.table
+    cols = ["path", "language", "rev"]   # key + renamed + widened
+    full = t.read(spark).select(*cols)
+    proj = t.read(spark, columns=cols)
+    _assert_df_equal(full, proj)
+    _assert_df_equal(proj, t.read_aligned(spark, columns=cols))
+
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("content" not in s for s in schemas), plan
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read(spark, columns=["language", "no_such_col"])
+    with pytest.raises(ValueError, match="non-empty"):
+        t.read(spark, columns=[])
