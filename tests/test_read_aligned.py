@@ -158,3 +158,10 @@ def test_columns_projection_pruned_and_equal(spark, replayed):
         t.read(spark, columns=["language", "no_such_col"])
     with pytest.raises(ValueError, match="non-empty"):
         t.read(spark, columns=[])
+
+
+def test_count_final_equals_full_fold_count(spark, replayed):
+    """count_final's keys-only projected fold must agree with the full
+    fold's count on a history containing tombstones and multi-epoch
+    re-deliveries — the cases where a metadata count would be wrong."""
+    assert replayed.count_final() == replayed.read_final().count()
