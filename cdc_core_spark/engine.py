@@ -108,12 +108,20 @@ def _error_reason(key_cols: list[str] = ("repo", "path")):
 class CdcEngine:
     def __init__(self, spark: SparkSession, root: str, registry: SchemaRegistry,
                  entity: str = "source_repos", n_buckets: int = 16,
-                 salt: int | str | None = None, merge_mode: str | None = None):
+                 salt: int | str | None = None, merge_mode: str | None = None,
+                 sort_order: list[str] | None = None):
         self.spark = spark
         self.root = root
         self.registry = registry
         self.entity = entity
         self.n_buckets = n_buckets
+        # Table sort-order prop (Iceberg write sort-order analog): recorded
+        # at table creation; compact() clusters base files by these columns
+        # so pushed-down key predicates prune parquet row groups WITHIN the
+        # bucket-pruned file. Deliberately maintenance-time only — the hot
+        # replay path stays sort-free (the MOR fold reads whole buckets, so
+        # clustering buys nothing there; point lookups are where it pays).
+        self.sort_order = list(sort_order) if sort_order else None
         # None = plain single-stage max_by (right default: partial agg
         # already collapses hot keys map-side), int = always salt that wide,
         # "auto" = decide per applied batch from lww.choose_lww_salt's
@@ -175,11 +183,20 @@ class CdcEngine:
         self._sync_buckets()
         sdef = self.registry.get(self.entity, schema_version)
         fields = [dict(f) for f in sdef.fields]
+        base_props = {"schema_version": schema_version}
+        if self.sort_order:
+            known = {f["name"] for f in fields}
+            bad = [c for c in self.sort_order if c not in known]
+            if bad:
+                raise ValueError(
+                    f"sort_order names unknown columns {bad!r} for entity "
+                    f"{self.entity!r} schema {schema_version}")
+            base_props["sort_order"] = self.sort_order
         if not self.table.exists():
             self.table = SnapshotTable.create(
                 self.table.root, fields=fields, key_cols=sdef.key_cols(),
                 n_buckets=self.n_buckets, aliases=dict(sdef.aliases),
-                props={"schema_version": schema_version})
+                props=base_props)
         elif self.table.latest_meta().props.get("initial_loaded"):
             raise FileExistsError(
                 f"table at {self.table.root} is already initial-loaded")
@@ -217,8 +234,7 @@ class CdcEngine:
 
         self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None,
                                 manifests=manifest,
-                                props={"schema_version": schema_version,
-                                       "initial_loaded": True})
+                                props={**base_props, "initial_loaded": True})
 
     # -------------------------------------------------------- schema evolution
     def _apply_schema_ops(self, events: DataFrame,

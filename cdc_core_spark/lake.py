@@ -574,7 +574,8 @@ class SnapshotTable:
                      props: dict | None = None,
                      pre_partitioned: bool = False,
                      n_buckets: int | None = None,
-                     maintenance: bool = False) -> Snapshot:
+                     maintenance: bool = False,
+                     sort_cols: list[str] | None = None) -> Snapshot:
         """Copy-on-write commit: stage new files for ``touched_buckets`` from
         ``df`` (must carry ``_bucket``), carry all other buckets forward by
         reference, publish atomically. ``pre_partitioned`` skips the
@@ -609,7 +610,8 @@ class SnapshotTable:
         if touched_buckets:
             new_files = self._stage_files(df, stage_abs, ["_bucket"],
                                           len(touched_buckets),
-                                          pre_partitioned, sid, None)
+                                          pre_partitioned, sid, None,
+                                          sort_cols=sort_cols)
         touched = set(touched_buckets)
         carried = [] if rebucket else [f for f in prev.files if f["bucket"] not in touched]
         manifest_rows = manifests() if callable(manifests) else manifests
@@ -624,16 +626,33 @@ class SnapshotTable:
     def _stage_files(self, df: DataFrame, stage_abs: str,
                      partition_cols: list[str], n_partitions: int,
                      pre_partitioned: bool, sid: str,
-                     kind: str | None) -> list[dict]:
+                     kind: str | None,
+                     sort_cols: list[str] | None = None) -> list[dict]:
         """THE shared stage-write + file-walk used by every commit flavor
         (delta, grouped delta, merge): write ``df`` partitioned by
         ``partition_cols`` under ``stage_abs`` and return one record per
         staged parquet (paths relative to the table root; ``_bucket=`` →
         ``bucket``, ``checkpoint_epoch=`` → ``epoch``). One definition so
         the staged layout and record shape can never drift between the
-        commit paths."""
+        commit paths.
+
+        ``sort_cols`` adds a task-local ``sortWithinPartitions`` between the
+        shuffle and the write (Iceberg write ``sort-order`` analog): rows
+        land clustered by those columns, so each parquet row group covers a
+        narrow key range and the parquet reader's row-group statistics can
+        skip non-matching groups for pushed-down key predicates — the file-
+        level half of that pruning already comes from bucketing; this is
+        the within-file half. No extra shuffle: the sort happens inside the
+        write task. The partition columns are prefixed onto the sort so the
+        ``partitionBy`` writer's required ordering is already satisfied —
+        otherwise FileFormatWriter injects its own (non-stable) sort on the
+        partition columns alone and destroys the key clustering."""
         staged = df if pre_partitioned else df.repartition(
             max(n_partitions, 1), *partition_cols)
+        if sort_cols:
+            staged = staged.sortWithinPartitions(
+                *partition_cols, *[c for c in sort_cols
+                                   if c not in partition_cols])
         (staged.write.partitionBy(*partition_cols)
          .options(**fsutil.parquet_write_options())
          .mode("overwrite").parquet(stage_abs))
@@ -985,10 +1004,28 @@ class SnapshotTable:
         snapshot metadata alone (no data scan) and only those are rewritten —
         maintenance I/O follows the churn distribution, not table size.
         ``n_buckets`` re-buckets (necessarily full-table) in the same atomic
-        commit. State is invariant in all modes."""
+        commit. State is invariant in all modes.
+
+        If the table carries a ``sort_order`` prop (a list of column names —
+        the Iceberg table sort-order analog), compaction rewrites each
+        bucket's rows clustered by those columns. Maintenance is exactly
+        where that belongs at 100 TB: the hot commit path stays sort-free,
+        while the long-lived base files — the bytes every subsequent read
+        scans — get row-group statistics tight enough for the parquet
+        reader to skip non-matching groups under pushed-down key predicates
+        (bucket pruning picks the file; the sort order prunes within it),
+        plus better zstd locality on repo/path-prefixed text."""
         prev = self.latest()
         nb = n_buckets or prev.n_buckets
         key_cols = prev.key_cols
+        sort_cols = prev.props.get("sort_order")
+        if sort_cols:
+            names = set(prev.field_names())
+            bad = [c for c in sort_cols if c not in names]
+            if bad:
+                raise ValueError(
+                    f"sort_order prop names unknown columns {bad!r} — "
+                    f"table schema has {sorted(names)}")
         if nb == prev.n_buckets and min_delta_files is not None:
             from collections import Counter
             depth = Counter(f["bucket"] for f in prev.files
@@ -999,12 +1036,13 @@ class SnapshotTable:
             df = (self.read(spark, buckets=todo, with_internal_cols=True)
                   .withColumn("_bucket", bucket_expr(key_cols, nb)))
             self.commit_merge(df, todo, epoch=None, manifests=[],
-                              maintenance=True)
+                              maintenance=True, sort_cols=sort_cols)
             return
         df = (self.read(spark, with_internal_cols=True)
               .withColumn("_bucket", bucket_expr(key_cols, nb)))
         self.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
-                          n_buckets=nb, maintenance=True)
+                          n_buckets=nb, maintenance=True,
+                          sort_cols=sort_cols)
 
     # ---------------- incremental changelog read ----------------
     def read_changes(self, spark: SparkSession, from_version: int,
