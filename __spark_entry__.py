@@ -1149,7 +1149,9 @@ def q_reader_jdbc(spark, sf_dir):
 
 def q_archive_scan(spark, sf_dir):
     """Bundle-shred source gate: a deterministic zip (nation members) + tar
-    (region members) fixture — ZipUtils.unzip analog,
+    (region members) + WinZip-AES-protected zip (region members behind
+    AES-256-CTR/HMAC, ProtectedZipHandler analog, decrypted by the
+    built-in winzip_aes codec) fixture — ZipUtils.unzip analog,
     common/.../utils/ZipUtils.java:113-150 — PLUS an mbox mailbox (one
     message per nation, body derived from n_name/n_regionkey and carrying
     an escaped From-line) for the mail-intake source
@@ -1187,6 +1189,14 @@ def q_archive_scan(spark, sf_dir):
             ti = tarfile.TarInfo(f"r_{k}.txt")
             ti.size, ti.mtime = len(data), 0
             tf.addfile(ti, io.BytesIO(data))
+    # WinZip-AES protected bundle (ProtectedZipHandler analog): same region
+    # facts behind AES-256-CTR + HMAC, salts derived from a pinned seed so
+    # the bundle is bit-stable; decryption happens inside the distributed
+    # shred, so this gate row proves the protected path end-to-end
+    from cdc_core_spark.sources.winzip_aes import write_winzip_aes
+    write_winzip_aes(os.path.join(root, "regions_aes.zip"),
+                     [(f"e_{k}.txt", c.encode("utf-8")) for k, c in regions],
+                     "gate-pw", strength=3, salt_seed=b"archive-gate")
     comments = [(k, f"{n} in region {rk}\nFrom the nations table\n")
                 for k, n, rk in nrows]
     # hand-built mboxrd (no library folding → bit-stable): pinned From_ and
@@ -1199,7 +1209,7 @@ def q_archive_scan(spark, sf_dir):
                       f"From: cdc@local\nSubject: m_{k}\n"
                       f"Date: Thu, 01 Jan 1970 00:00:00 +0000\n\n"
                       + body).encode("utf-8"))
-    m = read_archive_members(spark, f"{root}/*.zip") \
+    m = read_archive_members(spark, f"{root}/*.zip", password="gate-pw") \
         .unionByName(read_archive_members(spark, f"{root}/*.tar"))
     arch = m.select(
         F.element_at(F.split("archive", "/"), -1).alias("archive"),
@@ -1805,6 +1815,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'regions.tar',
                    'r_' || CAST(r_regionkey AS VARCHAR) || '.txt',
+                   CAST(octet_length(encode(r_name)) AS BIGINT),
+                   sha256(r_name)
+            FROM region
+            UNION ALL
+            SELECT 'regions_aes.zip',
+                   'e_' || CAST(r_regionkey AS VARCHAR) || '.txt',
                    CAST(octet_length(encode(r_name)) AS BIGINT),
                    sha256(r_name)
             FROM region

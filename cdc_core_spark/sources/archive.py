@@ -2,10 +2,11 @@
 (the reference unpacks bundles to local disk with
 common/.../utils/ZipUtils.java:113-150 ``unzip`` before reading them;
 password-protected bundles via filesystem/.../encryption/
-ProtectedZipHandler.java — the ``password`` parameter covers the
-ZipCrypto scheme ``zipfile`` understands; WinZip-AES bundles are detected
-by compression method 99 and decrypt through pyzipper when installed,
-failing with the dependency named otherwise).
+ProtectedZipHandler.java — the ``password`` parameter covers BOTH the
+legacy ZipCrypto scheme ``zipfile`` understands and WinZip-AES members
+(compression method 99), which decrypt through the self-contained
+``winzip_aes`` codec: PBKDF2 key derivation, numpy-vectorized AES-CTR,
+HMAC-SHA1 authentication — no third-party crypto dependency).
 
 Spark-first shape: ``spark.read.format("binaryFile")`` lists and reads the
 archives distributed (one task per archive — zip/tar are not splittable, so
@@ -37,6 +38,8 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cdc_core_spark.sources import winzip_aes
+
 #: decoded member rows
 ARCHIVE_SCHEMA = ("archive string, member string, size_bytes bigint, "
                   "content binary")
@@ -63,30 +66,23 @@ def _named_errors(it, name: str):
 
 def _zip_members(name: str, blob: bytes, pat: str | None,
                  password: bytes | None):
-    zf = zipfile.ZipFile(io.BytesIO(blob))
     # compression method 99 = WinZip AES (the scheme ProtectedZipHandler
-    # supports beyond ZipCrypto). stdlib can't decrypt it; pyzipper can —
-    # rebind only then, so the common plain/ZipCrypto case parses the
-    # central directory exactly once. In on_error="skip" mode the AES
-    # archive is skipped like any other undecodable bundle.
-    if any(i.compress_type == 99 for i in zf.infolist()):
-        zf.close()
-        try:
-            import pyzipper
-        except ImportError:
-            raise RuntimeError(
-                f"archive {name!r} uses WinZip AES encryption; the "
-                "stdlib only decrypts ZipCrypto — install pyzipper to "
-                "read AES bundles") from None
-        zf = pyzipper.AESZipFile(io.BytesIO(blob))
-    with zf:
+    # supports beyond ZipCrypto). stdlib can't decrypt it; the built-in
+    # winzip_aes codec (FIPS-197-KAT'd numpy AES-CTR + HMAC auth) can —
+    # per MEMBER, so mixed archives (plain + AES entries) read fine. A
+    # wrong password raises RuntimeError from either scheme, keeping the
+    # fail/skip routing uniform.
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue
             if pat and not fnmatch.fnmatch(info.filename, pat):
                 continue
-            yield name, info.filename, info.file_size, zf.read(info,
-                                                               pwd=password)
+            if info.compress_type == winzip_aes.WINZIP_AES_METHOD:
+                content = winzip_aes.read_member(blob, info, password)
+            else:
+                content = zf.read(info, pwd=password)
+            yield name, info.filename, info.file_size, content
 
 
 def _tar_members(name: str, blob: bytes, pat: str | None,
