@@ -148,8 +148,9 @@ def _ctr_keystream(key: bytes, n_bytes: int) -> np.ndarray:
     nonce. Returns (n_bytes,) uint8."""
     n_blocks = (n_bytes + 15) // 16
     counters = np.zeros((n_blocks, 16), dtype=np.uint8)
-    # low 8 bytes little-endian cover any realistic member (< 2^64 blocks)
-    counters[:, :8] = (np.arange(1, n_blocks + 1, dtype=np.uint64)
+    # low 8 bytes little-endian cover any realistic member (< 2^64 blocks);
+    # '<u8' pins the in-memory byte order so the .view is LE on any host
+    counters[:, :8] = (np.arange(1, n_blocks + 1, dtype=np.dtype("<u8"))
                        .view(np.uint8).reshape(n_blocks, 8))
     ks = _encrypt_blocks(_expand_key(key), counters)
     return ks.reshape(-1)[:n_bytes]
@@ -226,7 +227,8 @@ def read_member(blob: bytes, info, password: bytes | None) -> bytes:
     raw = blob[start:start + info.compress_size]
     plain = decrypt_member(raw, password, strength)
     if method == zlib.DEFLATED:  # 8
-        plain = zlib.decompressobj(-15).decompress(plain) + b""
+        d = zlib.decompressobj(-15)
+        plain = d.decompress(plain) + d.flush()
     elif method != 0:  # 0 = stored
         raise RuntimeError(
             f"member {info.filename!r}: unsupported inner compression "
