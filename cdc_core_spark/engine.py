@@ -146,6 +146,24 @@ class CdcEngine:
                 "'mor', 'cow-jvm' or 'cow-arrow'")
         self.table = SnapshotTable(os.path.join(root, "target"))
         self.errors_dir = os.path.join(root, "errors")
+        # sort_order is recorded at CREATION — on an existing table it
+        # would otherwise be a silent no-op (initial_load skips, epoch
+        # commits carry prev.props, compact keeps writing unclustered
+        # files while the caller believes clustering is on). Compare
+        # through the alias map so a post-rename caller passing the
+        # CURRENT column names still matches a creation-time prop.
+        if self.sort_order and self.table.exists():
+            meta = self.table.latest_meta()
+            have = [meta.aliases.get(c, c)
+                    for c in meta.props.get("sort_order", [])]
+            want = [meta.aliases.get(c, c) for c in self.sort_order]
+            if have != want:
+                raise ValueError(
+                    f"table at {self.table.root} already exists with "
+                    f"sort_order={meta.props.get('sort_order')!r}; "
+                    f"requested {self.sort_order!r}. Retrofit via "
+                    "table.commit_metadata(fields, aliases, "
+                    "props={**props, 'sort_order': [...]}) then compact()")
 
     # ------------------------------------------------------------------ state
     @property

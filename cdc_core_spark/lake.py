@@ -1020,6 +1020,10 @@ class SnapshotTable:
         key_cols = prev.key_cols
         sort_cols = prev.props.get("sort_order")
         if sort_cols:
+            # a RENAME evolution updates fields but the prop keeps the
+            # creation-time names — remap old→new through the cumulative
+            # alias map so a renamed sort column can't brick maintenance
+            sort_cols = [prev.aliases.get(c, c) for c in sort_cols]
             names = set(prev.field_names())
             bad = [c for c in sort_cols if c not in names]
             if bad:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import fnmatch
 import io
+import struct
 import tarfile
 import zipfile
 import zlib
@@ -48,10 +49,12 @@ ARCHIVE_SCHEMA = ("archive string, member string, size_bytes bigint, "
 _FLUSH_BYTES = 256 * 1024 * 1024
 
 #: errors that mean "this file is not a (readable) archive" — the skip set.
-#: RuntimeError = zipfile's wrong/missing-password; zlib/EOF/OSError cover
-#: truncated or corrupt compression streams
+#: RuntimeError = zipfile's (and winzip_aes's) wrong/missing-password;
+#: zlib/EOF/OSError cover truncated or corrupt compression streams;
+#: struct.error = a truncated AES extra field / local header whose declared
+#: offsets run past the blob (winzip_aes parses those with struct)
 _DECODE_ERRORS = (zipfile.BadZipFile, zipfile.LargeZipFile, tarfile.TarError,
-                  RuntimeError, zlib.error, EOFError, OSError)
+                  RuntimeError, zlib.error, EOFError, OSError, struct.error)
 
 
 def _named_errors(it, name: str):

@@ -143,22 +143,37 @@ def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
     return out.tobytes()
 
 
-def _ctr_keystream(key: bytes, n_bytes: int) -> np.ndarray:
-    """WinZip CTR keystream: 16-byte little-endian counter from 1, no
-    nonce. Returns (n_bytes,) uint8."""
-    n_blocks = (n_bytes + 15) // 16
+#: blocks per keystream chunk (4 MiB) — the CTR transform streams in
+#: fixed-size chunks so one huge member costs constant transient memory
+#: instead of ~4-5× its size in whole-member numpy temporaries (the AES
+#: rounds allocate several full-size arrays each); per-chunk this is a
+#: few dozen MB regardless of member size
+_CTR_CHUNK_BLOCKS = 4 * 1024 * 1024 // 16
+
+
+def _ctr_chunk(round_keys: np.ndarray, first_block: int,
+               n_blocks: int) -> np.ndarray:
+    """Keystream for blocks [first_block, first_block + n_blocks): WinZip
+    CTR = 16-byte LITTLE-endian counter starting at 1, no nonce."""
     counters = np.zeros((n_blocks, 16), dtype=np.uint8)
     # low 8 bytes little-endian cover any realistic member (< 2^64 blocks);
     # '<u8' pins the in-memory byte order so the .view is LE on any host
-    counters[:, :8] = (np.arange(1, n_blocks + 1, dtype=np.dtype("<u8"))
+    counters[:, :8] = (np.arange(first_block, first_block + n_blocks,
+                                 dtype=np.dtype("<u8"))
                        .view(np.uint8).reshape(n_blocks, 8))
-    ks = _encrypt_blocks(_expand_key(key), counters)
-    return ks.reshape(-1)[:n_bytes]
+    return _encrypt_blocks(round_keys, counters).reshape(-1)
 
 
 def _ctr_apply(key: bytes, data: bytes) -> bytes:
+    rk = _expand_key(key)
     buf = np.frombuffer(data, dtype=np.uint8)
-    return (buf ^ _ctr_keystream(key, len(buf))).tobytes()
+    out = np.empty_like(buf)
+    step = _CTR_CHUNK_BLOCKS * 16
+    for off in range(0, len(buf), step):
+        chunk = buf[off:off + step]
+        ks = _ctr_chunk(rk, off // 16 + 1, (len(chunk) + 15) // 16)
+        out[off:off + step] = chunk ^ ks[:len(chunk)]
+    return out.tobytes()
 
 
 # ------------------------------------------------------ zip member codec
@@ -269,17 +284,20 @@ def write_winzip_aes(path_or_buf, members, password: str,
         extra = struct.pack("<HHH2sBH", AES_EXTRA_ID, 7, 2, b"AE", strength,
                             zlib.DEFLATED)
         offset = out.tell()
-        # flag bit 0 = encrypted; CRC = 0 per AE-2; dos date = zip epoch
-        head = struct.pack("<IHHHHHIII", 0x04034B50, 51, 1, 99, 0, 0x21,
+        # flag bit 0 = encrypted; bit 11 (0x800) = name is UTF-8 — without
+        # it readers decode non-ASCII names as cp437 mojibake; CRC = 0 per
+        # AE-2; dos date = zip epoch
+        flags = 1 | (0x800 if not name.isascii() else 0)
+        head = struct.pack("<IHHHHHIII", 0x04034B50, 51, flags, 99, 0, 0x21,
                            0, len(payload), len(data))
         out.write(head + struct.pack("<HH", len(nm), len(extra)) + nm + extra)
         out.write(payload)
-        central.append((nm, extra, payload, offset, len(data)))
+        central.append((nm, extra, payload, offset, len(data), flags))
     cd_start = out.tell()
-    for nm, extra, payload, offset, usize in central:
-        out.write(struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 51, 51, 1,
-                              99, 0, 0x21, 0, len(payload), usize, len(nm),
-                              len(extra), 0, 0, 0, 0, offset))
+    for nm, extra, payload, offset, usize, flags in central:
+        out.write(struct.pack("<IHHHHHHIIIHHHHHII", 0x02014B50, 51, 51,
+                              flags, 99, 0, 0x21, 0, len(payload), usize,
+                              len(nm), len(extra), 0, 0, 0, 0, offset))
         out.write(nm + extra)
     cd_len = out.tell() - cd_start
     out.write(struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, len(central),

@@ -275,21 +275,19 @@ def test_archive_scan_error_routing_and_zipcrypto(spark, tmp_path):
                                  password="wrong").collect()
 
 
-def test_archive_aes_zip_detected_and_gated(tmp_path, monkeypatch):
-    """A WinZip-AES zip (compression method 99) must fail with the pyzipper
-    dependency NAMED in fail mode, and skip like any undecodable bundle in
-    skip mode — never a bare BadZipFile deep in an executor."""
+def test_archive_aes_method_without_extra_field_rejected(tmp_path):
+    """A member CLAIMING method 99 without the mandatory 0x9901 AES extra
+    field (a malformed/mislabeled bundle — the built-in winzip_aes codec
+    decrypts real ones, tests/test_winzip_aes.py) must raise the decode
+    error class the fail/skip routing understands, and a missing password
+    on a genuine AES member must name the member."""
     import io
-    import sys
     import zipfile
 
     import pytest
 
     from cdc_core_spark.sources.archive import _zip_members
-
-    # force the no-pyzipper branch even on machines that have it installed
-    # (sys.modules[name] = None makes `import name` raise ImportError)
-    monkeypatch.setitem(sys.modules, "pyzipper", None)
+    from cdc_core_spark.sources.winzip_aes import write_winzip_aes
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
@@ -302,8 +300,13 @@ def test_archive_aes_zip_detected_and_gated(tmp_path, monkeypatch):
     cd = blob.find(b"PK\x01\x02")
     blob[cd + 10:cd + 12] = (99).to_bytes(2, "little")
 
-    with pytest.raises(RuntimeError, match="pyzipper"):
+    with pytest.raises(RuntimeError, match="extra field"):
         list(_zip_members("drop/a.zip", bytes(blob), None, b"pw"))
+
+    aes = io.BytesIO()
+    write_winzip_aes(aes, [("y.txt", b"data")], "pw", salt_seed=b"t")
+    with pytest.raises(RuntimeError, match="y.txt"):
+        list(_zip_members("drop/b.zip", aes.getvalue(), None, None))
 
 
 def test_read_excel_formula_bool_error_cells(spark, tmp_path):

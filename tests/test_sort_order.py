@@ -135,3 +135,47 @@ def test_sort_order_prop_validated(spark, tmp_path):
                     props={"sort_order": ["repo", "nope"]})
     with pytest.raises(ValueError, match="sort_order"):
         tbl.compact(spark)
+
+
+def test_sort_order_survives_column_rename(spark, tmp_path):
+    """A RENAME evolution must not brick maintenance: the prop keeps the
+    creation-time name, so compact remaps it through the alias map."""
+    # rename a NON-key sort column (key columns can never change —
+    # registry.validate_evolution rejects that at the engine level)
+    tbl = _mk_table(spark, str(tmp_path / "r"), 200,
+                    props={"sort_order": ["repo", "content"]})
+    new_fields = [{"name": "repo", "type": "string"},
+                  {"name": "path", "type": "string"},
+                  {"name": "body", "type": "string"}]
+    tbl.commit_metadata(new_fields, {"content": "body"})
+    before = tbl.read(spark).count()
+    tbl.compact(spark)  # would raise "unknown columns ['content']" unmapped
+    assert tbl.read(spark).count() == before
+    for f in tbl.latest().files:
+        tab = pq.read_table(os.path.join(tbl.root, f["path"]),
+                            columns=["repo", "body"]).to_pandas()
+        assert tab.equals(tab.sort_values(["repo", "body"])
+                          .reset_index(drop=True))
+
+
+def test_engine_sort_order_on_existing_table_rejected(spark, t1, registry,
+                                                      tmp_path):
+    """sort_order on an already-created table must be loud, not a silent
+    no-op; re-opening with the SAME order stays fine."""
+    from cdc_core_spark.engine import CdcEngine
+
+    root = str(tmp_path / "eng")
+    eng = CdcEngine(spark, root, registry, n_buckets=4,
+                    sort_order=["repo", "path"])
+    eng.initial_load(spark.read.parquet(f'{t1["dir"]}/source_repos.parquet'))
+    # same order → fine (resume path)
+    CdcEngine(spark, root, registry, n_buckets=4, sort_order=["repo", "path"])
+    with pytest.raises(ValueError, match="already exists"):
+        CdcEngine(spark, root, registry, n_buckets=4, sort_order=["repo"])
+    # plain table (no prop) + requested order → also loud
+    root2 = str(tmp_path / "plain")
+    CdcEngine(spark, root2, registry, n_buckets=4).initial_load(
+        spark.read.parquet(f'{t1["dir"]}/source_repos.parquet'))
+    with pytest.raises(ValueError, match="already exists"):
+        CdcEngine(spark, root2, registry, n_buckets=4,
+                  sort_order=["repo", "path"])
