@@ -48,6 +48,11 @@ Contract parity with ``lake.SnapshotTable``:
   changelog mirrors, including refusal across replace snapshots.
 * **compact** → ``CALL <catalog>.system.rewrite_data_files`` (maintenance
   rewrite: changes no logical rows, same invariant ``compact()`` keeps).
+  The stand-in's ``sort_order`` table prop maps onto a real Iceberg write
+  sort order (``ALTER TABLE ... WRITE ORDERED BY`` /
+  ``rewrite_data_files(strategy => 'sort', sort_order => ...)``) — same
+  design point both sides: clustering is paid at maintenance time, the
+  hot commit path stays sort-free, point predicates prune row groups.
 * **expire_snapshots** → ``CALL <catalog>.system.expire_snapshots`` after
   folding epoch/manifest summaries forward (retention must not lose the
   exactly-once ledger — same rule as SnapshotTable's expired-base doc).
