@@ -170,3 +170,39 @@ def test_crypto_expressions_stay_jvm_side(spark):
     assert "aesEncrypt" in p and "aesDecrypt" in p  # JVM built-in expressions
     # scan pruned to exactly the two referenced columns
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_key_predicate_pushes_through_mor_fold(spark, tmp_path):
+    """A point predicate on the key columns must reach the parquet scan's
+    PushedFilters THROUGH the merge-on-read fold (filter on grouping keys
+    commutes with the max_by aggregate and the base∪delta union). This is
+    the row-group half of point-lookup pruning: bucket hashing picks the
+    file, the pushed EqualTo + sorted compaction (table sort_order prop,
+    tests/test_sort_order.py) lets the reader skip row groups inside it.
+    The tombstone filter must push too — deleted rows die in the scan."""
+    from cdc_core_spark.lake import SnapshotTable, bucket_expr
+
+    tbl = SnapshotTable.create(
+        str(tmp_path / "t"),
+        fields=[{"name": "repo", "type": "string"},
+                {"name": "path", "type": "string"},
+                {"name": "content", "type": "string"}],
+        key_cols=["repo", "path"], n_buckets=4)
+    df = (spark.range(300)
+          .select(F.concat(F.lit("r"), (F.col("id") % 3).cast("string"))
+                  .alias("repo"),
+                  F.concat(F.lit("p"), F.col("id").cast("string"))
+                  .alias("path"),
+                  F.lit("x").alias("content"),
+                  F.lit(1).cast("bigint").alias("_op_ts"),
+                  F.col("id").alias("_event_seq"),
+                  F.lit(False).alias("_deleted"))
+          .withColumn("_bucket", bucket_expr(["repo", "path"], 4)))
+    tbl.commit_merge(df, list(range(4)), epoch=0, manifests=[])
+    out = tbl.read(spark).filter((F.col("repo") == "r1")
+                                 & (F.col("path") == "p7"))
+    p = plan(out)
+    flat = p.replace(" ", "")
+    assert "EqualTo(repo,r1)" in flat and "EqualTo(path,p7)" in flat, p
+    assert "Not(EqualTo(_deleted,true))" in flat, p
+    assert out.count() == 1
