@@ -593,6 +593,15 @@ class SnapshotTable:
         10^10-key scale: start at 32 buckets, re-bucket to 1024 when bucket
         file sizes outgrow the target, all in one atomic commit."""
         prev = self.latest()
+        if maintenance and sort_cols is None and prev.props.get("sort_order"):
+            # EVERY maintenance rewrite honors the table's sort_order prop
+            # (compact, tombstone expiry, future rewrites) — otherwise a
+            # maintenance pass would silently un-cluster the buckets that
+            # sorted compaction paid to cluster. Hot-path (non-maintenance)
+            # commits stay sort-free by design. Alias-remapped: the prop
+            # keeps creation-time names across renames.
+            sort_cols = [prev.aliases.get(c, c)
+                         for c in prev.props["sort_order"]]
         rebucket = n_buckets is not None and n_buckets != prev.n_buckets
         out_buckets = n_buckets if n_buckets is not None else prev.n_buckets
         if rebucket and set(touched_buckets) != set(range(out_buckets)):

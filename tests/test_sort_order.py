@@ -121,13 +121,22 @@ def test_engine_sort_order_prop_survives_replay(spark, t1, registry, tmp_path):
     eng.replay(f'{t1["dir"]}/change_events', source_df=src)
     assert eng.table.latest_meta().props.get("sort_order") == ["repo", "path"]
     eng.table.compact(spark)
+
+    def assert_clustered():
+        for f in eng.table.latest().files:
+            tab = pq.read_table(os.path.join(eng.table.root, f["path"]),
+                                columns=["repo", "path"]).to_pandas()
+            assert tab.equals(tab.sort_values(["repo", "path"])
+                              .reset_index(drop=True)), f"unsorted: {f['path']}"
+
     got = eng.read_final_with_sha().toPandas()
     assert_final_equal(got, t1["expected"])
-    for f in eng.table.latest().files:
-        tab = pq.read_table(os.path.join(eng.table.root, f["path"]),
-                            columns=["repo", "path"]).to_pandas()
-        assert tab.equals(tab.sort_values(["repo", "path"])
-                          .reset_index(drop=True)), f"unsorted: {f['path']}"
+    assert_clustered()
+    # EVERY maintenance rewrite honors the prop — tombstone expiry must not
+    # un-cluster the buckets it rewrites (visible state unchanged)
+    eng.expire_tombstones(watermark_op_ts=2**62)
+    assert_final_equal(eng.read_final_with_sha().toPandas(), t1["expected"])
+    assert_clustered()
 
 
 def test_sort_order_prop_validated(spark, tmp_path):
