@@ -98,6 +98,58 @@ def deterministic_centroids(df: DataFrame, vec_col: str, n_cells: int,
     return np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
 
 
+def kmeans_refine(df: DataFrame, id_col: str, vec_col: str,
+                  centroids: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Distributed Lloyd refinement of an IVF codebook: ``iters`` rounds of
+    (assign → per-cell mean). Sampled vectors make workable centroids
+    (``deterministic_centroids``) but inherit the data's density — one hot
+    region can swallow a cell while sparse regions waste several; a couple
+    of Lloyd rounds re-balance the cells, which is what bounds both probe
+    recall AND the worst-case cell partition size at 100-TB store scale
+    (a giant cell is a giant partition every probe of it must scan).
+
+    Scale shape: per round, ONE GEMM-assignment pass (``ivf_assign``) plus
+    one JVM-side posexplode/groupBy mean — no driver data movement beyond
+    the (n_cells × dim) codebook itself. Means are rounded to 9 decimals to
+    damp float-summation order jitter so the refined codebook is stable
+    across partitionings; an emptied cell keeps its previous centroid
+    (standard Lloyd practice — the cell can re-acquire points later).
+    Lloyd guarantees non-increasing inertia round over round
+    (pinned by ``ivf_inertia`` in tests)."""
+    cents = centroids.astype(np.float64).copy()
+    n_cells, dim = cents.shape
+    for _ in range(max(iters, 0)):
+        a = ivf_assign(df, id_col, vec_col, cents)
+        v = F.col(vec_col).cast("array<double>")
+        rows = (df.select(id_col, v.alias("_v")).join(a, id_col)
+                .select("cell", F.posexplode("_v"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg("col"), 9).alias("m"))
+                .collect())  # O(n_cells × dim) codebook rows — driver-sized
+        nxt = cents.copy()
+        seen = np.zeros(n_cells, dtype=bool)
+        for r in rows:
+            nxt[r["cell"], r["pos"]] = r["m"]
+            seen[r["cell"]] = True
+        cents = np.where(seen[:, None], nxt, cents)
+    return cents
+
+
+def ivf_inertia(df: DataFrame, id_col: str, vec_col: str,
+                centroids: np.ndarray) -> float:
+    """Sum of squared distances to the assigned (nearest) centroid — the
+    k-means objective, computed distributed (assignment GEMM + one agg)."""
+    a = ivf_assign(df, id_col, vec_col, centroids)
+    v = F.col(vec_col).cast("array<double>")
+    joined = df.select(id_col, v.alias("_v")).join(a, id_col)
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    diff = F.zip_with("_v", F.element_at(cent_arr, F.col("cell") + 1),
+                      lambda x, c: (x - c) * (x - c))
+    sq = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    return float(joined.agg(F.sum(sq)).first()[0] or 0.0)
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
              k: int = 10, n_cells: int = 16, nprobe: int = 4,
              centroids: np.ndarray | None = None,
@@ -115,7 +167,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: list[float],
 
 
 def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
-              n_cells: int = 16, centroids: np.ndarray | None = None) -> np.ndarray:
+              n_cells: int = 16, centroids: np.ndarray | None = None,
+              refine_iters: int = 0) -> np.ndarray:
     """Persist the corpus PARTITIONED BY IVF CELL — the storage layout that
     makes ``nprobe`` a real I/O saving: a probe reads only its cells'
     directories (Catalyst partition pruning on the ``cell=`` hive layout),
@@ -126,6 +179,12 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
     invisible to Spark readers)."""
     if centroids is None:
         centroids = deterministic_centroids(df, vec_col, n_cells, id_col)
+    if refine_iters:
+        # Lloyd rounds before the one-off layout write — exactly where the
+        # codebook quality is worth paying for, since every later probe
+        # and append reuses it
+        centroids = kmeans_refine(df, id_col, vec_col, centroids,
+                                  refine_iters)
     assigned = df.join(ivf_assign(df, id_col, vec_col, centroids), id_col)
     (assigned.write.partitionBy("cell").mode("overwrite")
      .options(**fsutil.parquet_write_options()).parquet(path))
