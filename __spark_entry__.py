@@ -2211,10 +2211,12 @@ def oracle_sql() -> dict[str, str]:
                      CAST((doc_id * 37) % 5000 AS BIGINT) AS duration_ms
               FROM documents
             ), f AS (
+              -- duration 0 yields NO frames (mirrors frame_sample: no
+              -- phantom ts-0 frame for zero-length assets)
               SELECT media_id, duration_ms,
-                     unnest(generate_series(0, greatest(duration_ms - 1, 0), 500))
+                     unnest(generate_series(0, duration_ms - 1, 500))
                          AS frame_ts_ms
-              FROM m
+              FROM m WHERE duration_ms > 0
             )
             SELECT media_id, duration_ms, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
                    CAST(frame_ts_ms // 500 AS INT) AS frame_index

@@ -137,6 +137,15 @@ def exists(spark, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def sidecar_path(store_path: str, name: str) -> str:
+    """Scheme-neutral ``<store>/<name>`` textual join for sidecar files
+    next to a Spark-written store — os.path.join would be fine locally but
+    this keeps scheme'd URIs (s3a://…, hdfs://…) untouched. THE single
+    definition (IVF centroids, text-index metadata) so the join idiom
+    can't drift between stores."""
+    return (store_path if store_path.endswith("/") else store_path + "/") + name
+
+
 def read_json(spark, path: str):
     return json.loads(read_text(spark, path))
 

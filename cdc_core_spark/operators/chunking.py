@@ -38,8 +38,13 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
     emitted — it would be a strict substring of the previous chunk,
     duplicating training text for no coverage gain. Empty docs yield one
     empty chunk."""
-    if overlap >= chunk_chars:
-        raise ValueError("overlap must be smaller than chunk_chars")
+    if not 0 <= overlap < chunk_chars:
+        # a NEGATIVE overlap would make the stride exceed the window and
+        # silently drop a slice of every document between windows — the
+        # worst failure mode for training text (no error, missing data)
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_chars, got "
+            f"overlap={overlap} chunk_chars={chunk_chars}")
     step = chunk_chars - overlap
     n = F.length(F.col(text_col))
     # last start index: largest i with i*step + overlap < len (the window

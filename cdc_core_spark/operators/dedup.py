@@ -115,11 +115,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
            .withColumn("n_grams", F.size("grams"))
            .localCheckpoint(eager=False))
     sizes = g.select("doc", "n_grams")
-    inv = g.select("doc", F.explode("grams").alias("gram")).localCheckpoint(eager=False)
+    inv = g.select("doc", F.explode("grams").alias("gram"))
     if max_postings is not None:
         freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
         stop = freq.filter(F.col("_df") > max_postings).select("gram")
         inv = inv.join(F.broadcast(stop), "gram", "left_anti")
+    # checkpoint AFTER the optional stop-gram anti-join: both self-join
+    # sides read the materialized (filtered) postings, so the frequency
+    # aggregation + anti-join run once, not once per join alias (the
+    # shingle explode feeding freq stays cheap — g above is materialized)
+    inv = inv.localCheckpoint(eager=False)
     co = (inv.alias("a").join(inv.alias("b"),
                               (F.col("a.gram") == F.col("b.gram"))
                               & (F.col("a.doc") < F.col("b.doc")))

@@ -113,11 +113,16 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_id", every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp
     (codec stubbed — emits frame offsets from duration metadata only)."""
+    # duration 0 (zero-length or metadata-missing asset) yields NO frames —
+    # sequence(0, greatest(d-1, 0)) would emit a phantom frame at ts 0;
+    # explode (not explode_outer) drops the empty array row entirely
+    ts = F.when(F.col("duration_ms") > 0,
+                F.sequence(F.lit(0).cast("long"),
+                           (F.col("duration_ms") - 1).cast("long"),
+                           F.lit(int(every_ms)).cast("long"))
+                ).otherwise(F.array().cast("array<long>"))
     return (df.select(id_col, "duration_ms")
-            .withColumn("frame_ts_ms",
-                        F.explode(F.sequence(F.lit(0),
-                                             F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                                             F.lit(every_ms))))
+            .withColumn("frame_ts_ms", F.explode(ts))
             .withColumn("frame_index",
                         (F.col("frame_ts_ms") / F.lit(every_ms)).cast("int")))
 
@@ -131,15 +136,19 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
     a synthesized corpus — row count and payload sizes scale with the SF."""
     kinds = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
     mid = F.col(id_col).cast("long")
+    # pmod, not %: Spark's % is SIGNED, so a negative doc id would hand
+    # element_at an index ≤ 0 (runtime error at 0, silent LAST element at
+    # negative) and produce negative widths/durations. Identical to % for
+    # the non-negative ids the oracles mirror.
     kind = F.element_at(F.array(*[F.lit(k) for k, _ in kinds]),
-                        (mid % 3 + 1).cast("int"))
+                        (F.pmod(mid, 3) + 1).cast("int"))
     mime = F.element_at(F.array(*[F.lit(m) for _, m in kinds]),
-                        (mid % 3 + 1).cast("int"))
+                        (F.pmod(mid, 3) + 1).cast("int"))
     return docs.select(
         mid.alias("media_id"), kind.alias("kind"), mime.alias("mime"),
-        (mid % 64 + 16).cast("int").alias("width"),
-        (mid % 48 + 16).cast("int").alias("height"),
-        (mid * 37 % 5000).cast("long").alias("duration_ms"),
+        (F.pmod(mid, 64) + 16).cast("int").alias("width"),
+        (F.pmod(mid, 48) + 16).cast("int").alias("height"),
+        F.pmod(mid * 37, 5000).cast("long").alias("duration_ms"),
         F.encode(F.col(text_col), "utf-8").alias("payload"))
 
 

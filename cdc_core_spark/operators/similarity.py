@@ -26,17 +26,22 @@ from pyspark.sql import functions as F
 from cdc_core_spark import fsutil
 
 
-def _sep(path: str) -> str:
-    """path + '/' — sidecars join with the store path textually so scheme'd
-    URIs (s3a://…) survive (os.path.join mangles nothing here, but keep the
-    join scheme-neutral and explicit)."""
-    return path if path.endswith("/") else path + "/"
-
-
 def _dot_with_lit(vec_col, q: list[float]) -> "F.Column":
     arr = F.array(*[F.lit(float(x)) for x in q])
-    return F.aggregate(F.zip_with(vec_col, arr, lambda a, b: a * b),
-                       F.lit(0.0), lambda acc, x: acc + x)
+    dot = F.aggregate(F.zip_with(vec_col, arr, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    # dimension mismatch must be LOUD: zip_with pads the short side with
+    # nulls, which null-propagates through the dot — cosine_topk would
+    # return an empty top-k and the LSH paths would bucket every doc
+    # identically, all silently. Null vectors keep their null-propagating
+    # behavior (callers guard them); only a present-but-wrong-width vector
+    # raises. JVM-side size check, negligible per row.
+    return F.when(
+        vec_col.isNotNull() & (F.size(vec_col) != F.lit(len(q))),
+        F.raise_error(F.concat(
+            F.lit("vector dimension "), F.size(vec_col).cast("string"),
+            F.lit(f" != query/plane dimension {len(q)}")))
+    ).otherwise(dot)
 
 
 def _norm(vec_col) -> "F.Column":
@@ -192,7 +197,7 @@ def ivf_write(df: DataFrame, id_col: str, vec_col: str, path: str,
     # any filesystem — a local-only codebook write would strand an
     # object-store IVF layout without its centroids (fsutil routes s3a/hdfs
     # paths through the Hadoop FileSystem API)
-    fsutil.write_json(df.sparkSession, _sep(path) + "_ivf_centroids.json",
+    fsutil.write_json(df.sparkSession, fsutil.sidecar_path(path, "_ivf_centroids.json"),
                       centroids.tolist())
     return centroids
 
@@ -216,7 +221,7 @@ def ivf_append(df: DataFrame, id_col: str, vec_col: str, path: str,
     it is also the safe re-run mode after a crashed append, where a blind
     retry of a half-committed batch is exactly how duplicates happen."""
     centroids = np.array(
-        fsutil.read_json(df.sparkSession, _sep(path) + "_ivf_centroids.json"),
+        fsutil.read_json(df.sparkSession, fsutil.sidecar_path(path, "_ivf_centroids.json")),
         dtype=np.float64)
     if check_disjoint:
         spark = df.sparkSession
@@ -242,7 +247,7 @@ def ivf_probe_scan(spark, path: str, query: list[float],
     read (assert via ``input_file_name()`` on this frame; the top-k result
     downstream loses file provenance at its exchange)."""
     centroids = np.array(
-        fsutil.read_json(spark, _sep(path) + "_ivf_centroids.json"),
+        fsutil.read_json(spark, fsutil.sidecar_path(path, "_ivf_centroids.json")),
         dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     d = ((centroids - q[None, :]) ** 2).sum(axis=1)

@@ -146,6 +146,11 @@ def search_documents(df: DataFrame, id_col: str, text_col: str,
     index = build_text_index(df, id_col, text_col)
     n_docs = None
     if scoring == "tfidf":
+        # materialize once: the doc-count job AND the search below both
+        # consume the (tokenize + explode + groupBy) plan — unmaterialized,
+        # the whole corpus would tokenize and shuffle twice per call (the
+        # same rationale as write_text_index's checkpoint)
+        index = index.localCheckpoint(eager=False)
         n_docs = index.select(F.count_distinct("doc")).first()[0]
     return search_text(index, terms, mode=mode, limit=limit,
                        scoring=scoring, n_docs=n_docs)
@@ -170,8 +175,8 @@ def _write_bucketed(index: DataFrame, path: str, n_buckets: int,
 
 
 def _meta_path(path: str) -> str:
-    # textual join so scheme'd store URIs (s3a://…) survive
-    return (path if path.endswith("/") else path + "/") + "_index_meta.json"
+    from cdc_core_spark import fsutil
+    return fsutil.sidecar_path(path, "_index_meta.json")
 
 
 def write_text_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:

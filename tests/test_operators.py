@@ -1069,3 +1069,25 @@ def test_ivf_write_refined_layout_keeps_recall(spark, tmp_path):
               similarity.ivf_topk_stored(spark, path, "vec_id", "embedding",
                                          q, k=5, nprobe=3).collect()}
     assert len(exact & stored) >= 4
+
+
+def test_chunk_text_rejects_negative_overlap(spark):
+    from cdc_core_spark.operators import chunking
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunking.chunk_text(df, "id", "text", chunk_chars=512, overlap=-64)
+
+
+def test_cosine_dimension_mismatch_is_loud(spark):
+    """A wrong-width query must raise, not return a silently empty top-k
+    (zip_with null-pads the short side otherwise); null vectors keep
+    null-propagating."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="dimension"):
+        similarity.cosine_topk(df, "vec_id", "embedding",
+                               [1.0, 2.0], k=1).collect()
+    ok = similarity.cosine_topk(df, "vec_id", "embedding",
+                                [1.0, 0.0, 0.0], k=5).collect()
+    assert [r["vec_id"] for r in ok][:1] == [1]
