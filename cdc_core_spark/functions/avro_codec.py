@@ -115,7 +115,18 @@ def _read_long(data: bytes, pos: int) -> tuple[int, int]:
 
 def _encode_value(buf: bytearray, t: str, v) -> None:
     if t in ("int", "long"):
-        _write_long(buf, int(v))
+        n = int(v)
+        if t == "int" and not -(2 ** 31) <= n < 2 ** 31:
+            # Avro int shares the long's zigzag wire form, so an
+            # out-of-range value WOULD encode — and Java's
+            # BinaryDecoder.readInt silently truncates the high bits on
+            # the other side, decoding a different number. Corrupt the
+            # wire loudly here instead (same contract as the
+            # null-in-non-nullable guard below).
+            raise ValueError(
+                f"value {n} overflows avro int (32-bit) — declare the "
+                "field as long or range-check upstream")
+        _write_long(buf, n)
     elif t == "boolean":
         buf.append(1 if v else 0)
     elif t == "double":

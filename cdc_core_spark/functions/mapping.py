@@ -54,6 +54,13 @@ def compile_mapping(df: DataFrame, spec: list[dict],
                 f"conflicting mapping targets: {ent['target']!r} would "
                 "overwrite a struct built by earlier nested entries "
                 f"(e.g. {ent['target']}.<child>)")
+        if parts[-1] in node:
+            # a duplicated leaf target is the common copy-paste mistake —
+            # last-one-wins would silently drop the earlier mapping, while
+            # the two structural conflicts above already raise
+            raise ValueError(
+                f"duplicate mapping target {ent['target']!r}: an earlier "
+                "spec entry already assigns it")
         if "source" in ent:
             node[parts[-1]] = F.col(ent["source"])
             used_sources.add(ent["source"])

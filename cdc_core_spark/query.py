@@ -65,6 +65,15 @@ class Q:
                 return ("'" + v.replace("\\", "\\\\")
                             .replace("'", "\\'") + "'")
             if isinstance(v, (int, float)):
+                import math
+                if isinstance(v, float) and not math.isfinite(v):
+                    # repr(inf/nan) is a bare identifier Catalyst resolves
+                    # as a COLUMN reference (or worse, silently binds a
+                    # real column named inf) — refuse instead
+                    raise ValueError(
+                        f"non-finite float parameter {v!r}: write the "
+                        "predicate explicitly (e.g. CAST('Infinity' AS "
+                        "DOUBLE)) instead of binding it")
                 return repr(v)
             if isinstance(v, decimal.Decimal):
                 return str(v)

@@ -72,7 +72,15 @@ def route_replay(
 
 
 def unroutable_df(spark: SparkSession, unroutable_dir: str):
-    """Read the unroutable DLQ (empty frame if no run wrote one yet)."""
-    if not os.path.isdir(unroutable_dir):
+    """Read the unroutable DLQ. Probes by READING (scheme-aware — an
+    os.path check would report an s3a://…/hdfs://… DLQ as absent and
+    silently hide quarantined events from the audit). If no run has
+    written one yet, returns an empty frame carrying only
+    ``error_reason`` — the event payload columns are whatever the
+    unroutable events carried, unknowable before any exist, so callers
+    selecting payload columns must guard on emptiness."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(unroutable_dir)
+    except AnalysisException:
         return spark.createDataFrame([], schema="error_reason string")
-    return spark.read.parquet(unroutable_dir)

@@ -84,10 +84,19 @@ def _table_exists(spark, url: str, properties: dict | None, table: str) -> bool:
             return (name.replace(esc, esc + esc)
                     .replace("_", esc + "_").replace("%", esc + "%"))
 
+        # scope the probe to the CONNECTION'S schema — a wildcard schema
+        # would match a same-named table someone else owns (AUDIT.X vs
+        # APP.X), skip the CREATE, and fail the MERGE later. getSchema is
+        # JDBC 4.1; fall back to the wildcard for drivers without it
+        try:
+            schema = conn.getSchema()
+        except Exception:  # noqa: BLE001 — absent/unsupported: wildcard
+            schema = None
+        schema_pat = pat(schema) if schema else None
         # unquoted identifiers case-fold per database (Derby/Oracle upper,
         # Postgres/MySQL lower) — probe every folding of the name
         for cand in dict.fromkeys((table, table.upper(), table.lower())):
-            rs = md.getTables(None, None, pat(cand), None)
+            rs = md.getTables(None, schema_pat, pat(cand), None)
             try:
                 if rs.next():
                     return True

@@ -132,7 +132,20 @@ def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
         tbl = SnapshotTable.create(root, fields=fields, key_cols=key_cols,
                                    n_buckets=n_buckets,
                                    props={"store": "documents"})
-    nb = tbl.latest_meta().n_buckets
+    meta = tbl.latest_meta()
+    nb = meta.n_buckets
+    # normalize incoming key types to the TABLE'S declared types BEFORE
+    # hashing: xxhash64 hashes int 7 and bigint 7 differently (the
+    # bucket_expr contract), so a type-drifted batch (rev int from JSON vs
+    # the stored bigint) would mis-bucket, miss the stored doc's bucket in
+    # `touched`, and strand a stale duplicate that find_document's
+    # correctly-typed probe then returns forever — a silent lost update.
+    # find_document types its probe the same way (see above).
+    from cdc_core_spark.lake import sql_type
+    tmap = {f["name"]: sql_type(f["type"]) for f in meta.fields}
+    incoming = incoming.select(
+        *[F.col(k).cast(tmap[k]).alias(k) for k in key_cols],
+        *[c for c in incoming.columns if c not in key_cols])
     # lazy localCheckpoint: the incoming lineage (often an upstream LWW
     # shuffle) feeds the touched-bucket collect, the anti-join probe AND the
     # commit_merge stage write — unmaterialized it would run 3x per upsert

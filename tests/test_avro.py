@@ -205,3 +205,18 @@ def test_from_avro_envelope_null_value_yields_null_record(spark):
     assert by_repo["r3"]["op"] == 4
     null_row = by_repo[None]
     assert all(v is None for v in null_row.asDict().values())
+
+
+def test_int_overflow_refused_at_encode():
+    """Avro int shares the long wire form — an out-of-range value would
+    encode fine and be silently TRUNCATED by Java's BinaryDecoder.readInt;
+    the codec must corrupt loudly on the write side instead."""
+    import pytest
+
+    from cdc_core_spark.functions import avro_codec as ac
+    buf = bytearray()
+    ac._encode_value(buf, "int", 2**31 - 1)   # max int32 ok
+    ac._encode_value(buf, "int", -(2**31))    # min int32 ok
+    with pytest.raises(ValueError, match="overflows avro int"):
+        ac._encode_value(bytearray(), "int", 2**31)
+    ac._encode_value(bytearray(), "long", 2**31)  # long unaffected

@@ -323,3 +323,13 @@ def test_to_int_parses_decimal_money_strings(spark):
                      T.to_long("b").alias("b")).collect()
     assert rows[0]["a"] == 1234 and rows[0]["b"] == big
     assert rows[1]["a"] == -2 and rows[1]["b"] is None
+
+
+def test_compile_mapping_duplicate_leaf_target_raises(spark):
+    import pytest
+
+    from cdc_core_spark.functions import mapping
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="duplicate mapping target"):
+        mapping.compile_mapping(df, [{"target": "out", "source": "a"},
+                                     {"target": "out", "const": 0}])

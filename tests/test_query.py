@@ -187,3 +187,13 @@ def test_keyset_cursor_short_circuits_after_partial_page(spark):
     sizes = [len(p) for p in cur]
     assert sizes == [2, 2, 1]
     assert cur._exhausted and cur.next_page() == []
+
+
+def test_bound_where_rejects_non_finite_floats():
+    """repr(inf/nan) is a bare identifier Catalyst would resolve as a
+    COLUMN — the binder must refuse, not emit it."""
+    import pytest
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            Q(where="score < :cap", params={"cap": bad}).bound_where()

@@ -135,3 +135,11 @@ def test_routing_filter_is_pushed_to_scan(spark, tmp_path, mixed_stream):
     p = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
         routed._jdf.queryExecution(), "formatted")
     assert "EqualTo(target_entity,tickets)" in p.replace(" ", "")
+
+
+def test_unroutable_df_scheme_aware_probe(spark, tmp_path):
+    """Never-written DLQ -> empty minimal frame (via a READ probe, not
+    os.path — an object-store DLQ would otherwise read back empty)."""
+    from cdc_core_spark.router import unroutable_df
+    empty = unroutable_df(spark, str(tmp_path / "never_written"))
+    assert empty.count() == 0 and empty.columns == ["error_reason"]

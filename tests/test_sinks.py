@@ -375,3 +375,42 @@ def test_read_journal_rejects_wrong_ts_col(spark, tmp_path):
     back = journal.read_journal(spark, root, start_ms=0,
                                 end_ms=2_000_000_000_000, ts_col="created_ms")
     assert back.count() == 1
+
+
+def test_docstore_upsert_key_type_drift_normalized(spark, tmp_path):
+    """A batch whose key column arrives NARROWER than the table's declared
+    type (int rev vs stored bigint — the JSON/CSV reader shape) must hash
+    into the SAME bucket as the stored doc: xxhash64 is type-sensitive, so
+    an un-normalized key would miss the old doc's bucket and strand a
+    stale duplicate that find_document returns forever."""
+    from cdc_core_spark.sinks import docstore
+
+    root = str(tmp_path / "docs")
+    first = spark.createDataFrame([(7, "v1")], "rev bigint, content string")
+    docstore.upsert_documents(first, root, ["rev"], n_buckets=16)
+    drifted = spark.createDataFrame([(7, "v2")], "rev int, content string")
+    docstore.upsert_documents(drifted, root, ["rev"])
+    got = docstore.read_documents(spark, root)
+    assert got.count() == 1  # replaced, not duplicated across buckets
+    one = docstore.find_document(spark, root, {"rev": 7}).collect()
+    assert len(one) == 1 and '"v2"' in one[0]["doc"]
+
+
+def test_table_exists_scoped_to_connection_schema(spark, tmp_path):
+    """A same-named table in a FOREIGN schema must not suppress target
+    creation: the probe is scoped to the connection's schema."""
+    url = _url(tmp_path, "scoped")
+    conn = ds._connect(spark, url, PROPS)
+    try:
+        st = conn.createStatement()
+        st.execute("CREATE SCHEMA AUDIT")
+        st.execute('CREATE TABLE AUDIT."TARGET" (x INT)')
+        st.close()
+    finally:
+        conn.close()
+    # foreign-schema TARGET exists; the connection's own schema has none
+    assert ds._table_exists(spark, url, PROPS, "target") is False
+    df = spark.createDataFrame([(1, "a", 1, False)], DDL)
+    ds.upsert_jdbc(df, url, "target", ["id"], properties=PROPS,
+                   deleted_col="deleted", column_types=CT)
+    assert _state(spark, url) == {1: ("a", 1)}
