@@ -37,7 +37,7 @@ _SCALE_BY_SF = {"sf0.001": "t1", "sf0.01": "t1", "sf0.1": "bench"}
 FIXTURE_SCALE = os.environ.get(
     "CDC_BENCH_SCALE", _SCALE_BY_SF.get(os.path.basename(SF_DIR.rstrip("/")), "t2"))
 
-CACHE = "/tmp/cdc_bench_cache"
+from cdc_core_spark.synth import DEFAULT_CACHE as CACHE  # one shared cache root
 
 # (bench key → entry-module FUNCTION name): keys stay stable across rounds
 # for BENCH_r{N} comparability even where the GATE dict consolidated several

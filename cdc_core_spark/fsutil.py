@@ -100,6 +100,23 @@ def write_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    # prefer FileContext rename with OVERWRITE: one atomic step on HDFS, so
+    # a concurrent reader always sees either the old or the new sidecar.
+    # The delete-then-rename fallback (schemes without an AbstractFileSystem
+    # binding, e.g. stock s3a) has a no-file window and a lost-sidecar mode
+    # if the rename fails after the delete — on those stores the rename is
+    # copy+delete anyway, so no atomicity exists to preserve.
+    try:
+        gw = spark.sparkContext._gateway
+        rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(rename_opt, 1)
+        opts[0] = rename_opt.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jpath.toUri(), fs.getConf())
+        fc.rename(tmp, jpath, opts)
+        return
+    except Exception:  # noqa: BLE001 — scheme lacks FileContext: fall back
+        pass
     if fs.exists(jpath):
         fs.delete(jpath, False)
     if not fs.rename(tmp, jpath):
@@ -108,7 +125,8 @@ def write_text(spark, path: str, text: str) -> None:
 
 def _atomic_write_text_local(path: str, text: str) -> None:
     import tempfile
-    d = os.path.dirname(path)
+    # a bare filename has dirname '' — makedirs('') raises; '.' is the CWD
+    d = os.path.dirname(path) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix="_", suffix=".tmp")
     try:

@@ -66,11 +66,25 @@ def _git(repo_dir: str, *args: str) -> str:
 def _unquote(path: str) -> str:
     """git C-quotes paths containing specials (spaces are literal, but
     quotes/backslashes/non-ASCII arrive as '"a\\"b.txt"') — decode them so
-    the event key matches the real path."""
+    the event key matches the real path. A path whose bytes are not valid
+    UTF-8 (legacy latin-1 commits) raises a NAMED error instead of a bare
+    UnicodeDecodeError: the connector keys events by a unicode path column
+    and hydrates blobs by that same string, so a lossy decode would point
+    ``commit:path`` lookups at bytes the odb doesn't have — fail loudly at
+    listing time with the remediation in the message (same contract as the
+    newline-in-path guard)."""
     if not (path.startswith('"') and path.endswith('"')):
         return path
-    return (path[1:-1].encode("latin-1", "backslashreplace")
-            .decode("unicode_escape").encode("latin-1").decode("utf-8"))
+    raw = (path[1:-1].encode("latin-1", "backslashreplace")
+           .decode("unicode_escape").encode("latin-1"))
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(
+            f"git path {path!r} is not valid UTF-8 ({exc}) — re-encode the "
+            "filename in the source repo (git mv) or exclude it upstream; "
+            "a lossy decode here would break blob hydration for the path"
+        ) from exc
 
 
 def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
@@ -127,7 +141,11 @@ def list_change_events(repo_dir: str, repo_name: str) -> list[dict]:
                 op = OP_DELETE
             else:
                 continue
-        upath = _unquote(path)
+        try:
+            upath = _unquote(path)
+        except ValueError as exc:
+            raise ValueError(
+                f"repo {repo_name!r} commit {commit}: {exc}") from exc
         if "\n" in upath:
             # `cat-file --batch` input is newline-delimited and this git
             # (< 2.42) has no -Z mode, so a decoded newline would split one

@@ -81,6 +81,19 @@ def _check_mbox(name: str, blob: bytes, on_error: str) -> list[bytes] | None:
             f"file {name!r} is non-empty but has no 'From ' separator "
             "line — not an mbox (on_error='skip' drops stray files "
             "instead)")
+    # non-blank bytes BEFORE the first separator = a truncated download's
+    # leading message fragment; dropping it silently would violate the
+    # loud-fail contract (whitespace-only leaders are tolerated)
+    if raws and not blob.startswith(b"From "):
+        head = blob.split(b"\nFrom ", 1)[0]
+        if head.strip():
+            if on_error == "skip":
+                return None
+            raise RuntimeError(
+                f"mbox {name!r} has {len(head)} bytes before its first "
+                "'From ' separator (truncated download?) — refusing to "
+                "silently drop the leading message fragment "
+                "(on_error='skip' drops the whole file instead)")
     return raws
 
 

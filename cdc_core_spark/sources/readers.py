@@ -90,6 +90,15 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0,
     data = [tuple((r + [None] * width)[:width]) for r in data]
     if schema:
         return spark.createDataFrame(data, schema=schema)
+    if not data:
+        # header-only sheet ("no records this window" export): pandas
+        # inference has nothing to infer from and createDataFrame would
+        # crash with a message naming neither file nor cause — return an
+        # empty all-string frame under the header names instead
+        from pyspark.sql.types import StringType, StructField, StructType
+        return spark.createDataFrame(
+            [], StructType([StructField(n, StringType(), True)
+                            for n in names]))
     pdf = __import__("pandas").DataFrame(data, columns=names)
     return spark.createDataFrame(pdf)
 

@@ -174,17 +174,27 @@ class SftpBackend:
 
 def sync_remote_dir(backend, staging_dir: str,
                     pattern: str | None = None,
-                    on_file: Callable[[str], None] | None = None) -> list[str]:
-    """Incrementally mirror a remote directory into ``staging_dir`` and
-    return the relpaths fetched THIS call (new or changed files only).
+                    on_file: Callable[[str], None] | None = None,
+                    state_every: int = 64) -> list[str]:
+    """Incrementally sync a remote directory into ``staging_dir`` (additive
+    — remote deletions are NOT propagated; staging is an ingest inbox, not
+    a mirror, and removing data a scan may be reading is the consumer's
+    retention decision) and return the relpaths fetched THIS call (new or
+    changed files only).
 
     * state doc ``_sync_state.json`` remembers ``(size, mtime)`` per synced
-      file — unchanged files cost one listing row, no bytes;
+      file — unchanged files cost one listing row, no bytes. The name is
+      RESERVED: a remote file with that exact relpath is refused loudly
+      (it would be clobbered by the state republish and silently never
+      delivered);
     * each fetch writes a temp name then ``os.rename``s into place, so a
       crashed sync never exposes a partial file to the Spark scan that
       reads the staging dir (the Writer.java temp→commit rule);
-    * the state doc is republished atomically AFTER each file lands, so a
-      crash mid-sync re-fetches at most the in-flight file;
+    * the state doc is republished atomically every ``state_every`` landed
+      files and in a ``finally`` on every exit, so a raised fetch error
+      still re-fetches at most the in-flight file (per-file republish
+      would make a cold 50k-file sync O(n²) in state bytes written; only
+      a SIGKILL can cost a refetch window of up to ``state_every`` files);
     * ``pattern`` is an fnmatch glob on the relpath (drop-dir filtering);
     * ``on_file`` fires per landed file (the FileUploadCallback analog).
     """
@@ -195,31 +205,49 @@ def sync_remote_dir(backend, staging_dir: str,
         with open(state_path) as f:
             state = json.load(f)
     fetched: list[str] = []
-    for e in backend.list():
-        if pattern and not fnmatch.fnmatch(e.relpath, pattern):
-            continue
-        if state.get(e.relpath) == [e.size, e.mtime]:
-            continue
-        dest = os.path.join(staging_dir, e.relpath)
-        os.makedirs(os.path.dirname(dest) or staging_dir, exist_ok=True)
-        # "_" prefix: Spark scans ignore _/. -prefixed files, so even a
-        # SIGKILL'd fetch (cleanup never runs) or a scan concurrent with a
-        # sync can never read a half-written temp as data
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), prefix="_",
-                                   suffix=".tmp")
-        os.close(fd)
-        try:
-            backend.fetch(e.relpath, tmp)
-            os.rename(tmp, dest)
-        except BaseException:
+    dirty = 0
+    try:
+        for e in backend.list():
+            if os.path.basename(e.relpath) == "_sync_state.json":
+                raise ValueError(
+                    f"remote file {e.relpath!r} collides with the sync "
+                    "protocol's reserved state-doc name — rename it remotely "
+                    "or sync with a pattern that excludes it")
+            if pattern and not fnmatch.fnmatch(e.relpath, pattern):
+                continue
+            if state.get(e.relpath) == [e.size, e.mtime]:
+                continue
+            dest = os.path.join(staging_dir, e.relpath)
+            os.makedirs(os.path.dirname(dest) or staging_dir, exist_ok=True)
+            # "_" prefix: Spark scans ignore _/. -prefixed files, so even a
+            # SIGKILL'd fetch (cleanup never runs) or a scan concurrent with a
+            # sync can never read a half-written temp as data
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), prefix="_",
+                                       suffix=".tmp")
+            os.close(fd)
             try:
-                os.remove(tmp)
-            except OSError:
-                pass
-            raise
-        state[e.relpath] = [e.size, e.mtime]
-        _atomic_write_json(state_path, state)
-        fetched.append(e.relpath)
-        if on_file is not None:
-            on_file(dest)
+                backend.fetch(e.relpath, tmp)
+                os.rename(tmp, dest)
+            except BaseException:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
+            state[e.relpath] = [e.size, e.mtime]
+            fetched.append(e.relpath)
+            dirty += 1
+            if dirty >= max(state_every, 1):
+                _atomic_write_json(state_path, state)
+                dirty = 0
+            if on_file is not None:
+                on_file(dest)
+    finally:
+        # flush on EVERY exit — success, batch boundary or a raised fetch
+        # error — so a crash refetches at most the in-flight file (the old
+        # per-file guarantee) while the happy path writes the doc only
+        # every state_every files. Only a SIGKILL (no finally) can cost a
+        # refetch window of up to state_every already-landed files.
+        if dirty:
+            _atomic_write_json(state_path, state)
     return fetched

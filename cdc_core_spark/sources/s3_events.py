@@ -99,6 +99,11 @@ def s3_event_ingest(engine, notifications_path: str, checkpoint_dir: str,
     notification offsets, redelivered batches hit the engine's
     committed-epoch skip, and the epoch merge is idempotent.
 
+    Both knobs are validated below (same contract as archive/mail): a
+    typo'd value would otherwise silently revert to 'error' behavior —
+    and for ``on_missing`` that is a permanently halted stream, the exact
+    outage the knob exists to prevent.
+
     Failure routing — both knobs exist because there is no LIST fallback to
     rediscover a dropped object, so silent loss must be opt-in:
 
@@ -112,6 +117,11 @@ def s3_event_ingest(engine, notifications_path: str, checkpoint_dir: str,
       stream permanently. ``"error"`` (default) keeps that loud behavior;
       ``"skip"`` drops missing paths after a driver-side existence probe
       (O(batch) metadata calls)."""
+    for knob, val in (("on_malformed", on_malformed),
+                      ("on_missing", on_missing)):
+        if val not in ("error", "skip"):
+            raise ValueError(
+                f"{knob} must be 'error' or 'skip', got {val!r}")
     from cdc_core_spark import fsutil
     from cdc_core_spark.streaming.stream import stream_epoch_base
 

@@ -326,6 +326,12 @@ def generator_fingerprint() -> str:
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
+#: the one shared fixture-cache root (bench.py, the scaling harness and the
+#: isolation probe all key off this — a drifted copy would silently double
+#: multi-GB fixture generation across two caches)
+DEFAULT_CACHE = "/tmp/cdc_bench_cache"
+
+
 def ensure_fixture(cache_root: str, scale: str) -> str:
     """Materialize (or reuse) the parquet fixture for ``scale`` under
     ``cache_root`` — the single shared implementation for bench.py, the

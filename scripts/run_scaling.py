@@ -17,7 +17,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CACHE = "/tmp/cdc_bench_cache"
+from cdc_core_spark.synth import DEFAULT_CACHE as CACHE  # one shared cache root
 
 
 def ensure_fixture(scale: str) -> str:

@@ -256,3 +256,15 @@ def test_newline_path_rejected_at_listing(spark, tmp_path):
                    check=True, env=env)
     with pytest.raises(ValueError, match="newline"):
         gitsync.list_change_events(repo, "org/nl")
+
+
+def test_non_utf8_path_raises_named_error():
+    """A latin-1 filename in history must fail with repo/commit/path named
+    and a remediation, not a bare UnicodeDecodeError."""
+    import pytest
+
+    from cdc_core_spark.sources.gitsync import _unquote
+
+    with pytest.raises(ValueError, match="not valid UTF-8"):
+        _unquote('"caf\\351.txt"')
+    assert _unquote('"caf\\303\\251.txt"') == "café.txt"  # utf-8 ok

@@ -195,3 +195,22 @@ def test_attachments_stray_file_routing(spark, tmp_path):
     got = mail.read_mbox_attachments(spark, str(tmp_path / "*.mbox"),
                                      on_error="skip").collect()
     assert len(got) == 1 and bytes(got[0]["content"]) == raw
+
+
+def test_leading_fragment_refused_in_fail_mode(spark, tmp_path):
+    """Bytes before the first 'From ' separator = a truncated download's
+    leading message fragment — fail mode must refuse, not silently drop it;
+    skip mode drops the file; whitespace-only leaders stay tolerated."""
+    import pytest
+
+    from cdc_core_spark.sources.mail import read_mbox_messages
+
+    good = (b"From a@b Thu Jan  1 00:00:00 1970\n"
+            b"Subject: s1\n\nbody\n")
+    (tmp_path / "trunc.mbox").write_bytes(b"cut-off tail of msg 0\n" + good)
+    (tmp_path / "blank.mbox").write_bytes(b"\n\n" + good)
+    with pytest.raises(Exception, match="trunc.mbox"):
+        read_mbox_messages(spark, str(tmp_path / "trunc.mbox")).collect()
+    rows = read_mbox_messages(spark, f"{tmp_path}/*.mbox",
+                              on_error="skip").collect()
+    assert [r["subject"] for r in rows] == ["s1"]  # blank leader tolerated

@@ -349,3 +349,12 @@ def test_read_excel_pad_names_avoid_collision(spark, tmp_path):
     readers.write_excel_minimal(str(p), ["c2", "x"], [("a", "b", "c")])
     df = readers.read_excel(spark, str(p))
     assert len(set(df.columns)) == 3 and df.columns[:2] == ["c2", "x"]
+
+
+def test_read_excel_header_only_sheet(spark, tmp_path):
+    """A header row with zero data rows (a legal 'no records' export) must
+    come back as an empty typed frame, not a schema-inference crash."""
+    p = str(tmp_path / "empty.xlsx")
+    readers.write_excel_minimal(p, ["a", "b"], [])
+    got = readers.read_excel(spark, p)
+    assert got.columns == ["a", "b"] and got.count() == 0

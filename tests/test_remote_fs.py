@@ -101,3 +101,25 @@ def test_sync_crash_refetches_only_inflight_file(tmp_path):
 def test_sftp_backend_is_import_gated():
     with pytest.raises(ImportError, match="paramiko"):
         rfs.SftpBackend("host", "user")
+
+
+def test_reserved_state_name_refused_and_batched_state(tmp_path):
+    """A remote file named _sync_state.json would be clobbered by the state
+    republish (silently never delivered) — refused loudly. State is
+    republished in batches; a final write still lands everything."""
+    remote = tmp_path / "remote"
+    staging = tmp_path / "staging"
+    remote.mkdir()
+    for i in range(7):
+        (remote / f"f{i}.txt").write_text(f"v{i}")
+    got = rfs.sync_remote_dir(rfs.LocalBackend(str(remote)), str(staging),
+                              state_every=3)
+    assert len(got) == 7
+    state = json.load(open(staging / "_sync_state.json"))
+    assert set(state) == {f"f{i}.txt" for i in range(7)}  # final flush
+    assert rfs.sync_remote_dir(rfs.LocalBackend(str(remote)),
+                               str(staging)) == []  # incremental no-op
+
+    (remote / "_sync_state.json").write_text("{}")
+    with pytest.raises(ValueError, match="reserved"):
+        rfs.sync_remote_dir(rfs.LocalBackend(str(remote)), str(staging))
