@@ -357,12 +357,13 @@ def _replay_initial(spark, sf_dir):
         F.col("c_name").alias("content"))
 
 
-def _run_replay_epochs(eng, adapted, wrap=None):
+def _run_replay_epochs(eng, adapted, wrap=None, after_epoch=None):
     """THE two-epoch replay split shared by every engine gate (parity filter
     on ``event_seq``, in-band DDL rows riding epoch 1) — defined once so the
     gates can never drift into replaying different streams. ``wrap``
     transforms each epoch batch before it enters the engine (the Avro
-    wire-roundtrip gate)."""
+    wire-roundtrip gate); ``after_epoch`` runs after each commit (the
+    incremental-rollup gate refreshes its derived state per epoch there)."""
     for epoch in (0, 1):
         batch = adapted.filter(F.pmod(F.col("event_seq"), F.lit(2)) == epoch)
         if epoch == 1:  # in-band DDL: 1.1 ADD, 2.0 RENAME, 2.1 WIDEN
@@ -370,6 +371,8 @@ def _run_replay_epochs(eng, adapted, wrap=None):
         if wrap is not None:
             batch = wrap(batch)
         eng.apply_epoch(batch, epoch)
+        if after_epoch is not None:
+            after_epoch(epoch)
 
 
 def q_cdc_engine_replay(spark, sf_dir):
@@ -513,6 +516,45 @@ def q_cdc_out_chain(spark, sf_dir):
     return t2.read(spark).select(
         "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Changelog-maintained ROLLUP gate (continuous-aggregate /
+    incrementally-maintained-materialized-view analog,
+    operators/rollup.py): run the standard MOR engine replay, create a
+    per-language aggregate over the target table right after the initial
+    load — BEFORE the in-band ADD/RENAME/WIDEN DDLs exist — and refresh it
+    incrementally after every epoch commit from ``read_changes`` deltas
+    (signed retraction against a bucket-pruned pre-image read; min/max by
+    affected-group recompute). The final rollup state must equal a direct
+    GROUP BY over the replay oracle's converged winner set, proving the
+    incremental fold never drifts across schema evolution: the group
+    column is created as 1.0's ``lang`` and resolves through the 2.0
+    rename, and sum/min/max survive the 2.1 int→long widen (rev values
+    > 2^31 appear only post-widen). At 100 TB this is the derived-state
+    shape: each refresh costs O(changes), never a table re-scan."""
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.operators.rollup import IncrementalRollup
+
+    base = _scratch("rollup", sf_dir)
+    eng = CdcEngine(spark, f"{base}/up", _replay_registry(), n_buckets=8,
+                    merge_mode="mor")
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+    roll = IncrementalRollup.create(
+        spark, eng.table, f"{base}/roll", ["lang"],
+        [{"op": "count"}, {"op": "sum", "col": "rev"},
+         {"op": "avg", "col": "rev"}, {"op": "min", "col": "rev"},
+         {"op": "max", "col": "rev"}])
+    _run_replay_epochs(eng, _adapt_events(spark, sf_dir),
+                       after_epoch=lambda _ep: roll.refresh(spark))
+    # column names chosen so the unique group column sorts FIRST under the
+    # driver's sort-columns-by-name compare: rows then order on `language`
+    # alone and the nullable aggregate columns are never compared across
+    # None/number (the replay gates get the same property from content_sha)
+    return roll.read(spark).select(
+        F.col("lang").alias("language"), F.col("cnt").alias("n_rows"),
+        F.col("sum_rev").alias("rev_sum"), F.col("avg_rev").alias("rev_avg"),
+        F.col("min_rev").alias("rev_min"), F.col("max_rev").alias("rev_max"))
 
 
 def q_avro_envelope_roundtrip(spark, sf_dir):
@@ -774,15 +816,19 @@ def q_semi_join(spark, sf_dir):
 
 
 def q_join_kinds(spark, sf_dir):
-    """Gate consolidation of the anti and semi join shapes: both results
-    union'd under a ``join_kind`` tag (semi rows carry a NULL status — the
-    two shapes project differently). Both physical join strategies stay
-    exercised by one oracle entry."""
+    """Gate consolidation of the anti join, semi join and EXCEPT set-op
+    shapes: all three results union'd under a ``join_kind`` tag (semi and
+    except rows carry NULLs for the columns their shape doesn't project).
+    All three physical strategies stay exercised by one oracle entry."""
     anti = q_anti_semi_setops(spark, sf_dir).withColumn("join_kind", F.lit("anti"))
     semi = (q_semi_join(spark, sf_dir)
             .withColumn("o_orderstatus", F.lit(None).cast("string"))
             .withColumn("join_kind", F.lit("semi")))
-    return anti.unionByName(semi)
+    exc = (q_setop_except(spark, sf_dir)
+           .withColumn("o_orderstatus", F.lit(None).cast("string"))
+           .withColumn("o_totalprice", F.lit(None).cast("double"))
+           .withColumn("join_kind", F.lit("except")))
+    return anti.unionByName(semi).unionByName(exc)
 
 
 def q_setop_except(spark, sf_dir):
@@ -1497,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_engine_replay": q_stream_engine_replay,
         "cdc_engine_manifests": q_cdc_engine_manifests,
         "cdc_out_chain": q_cdc_out_chain,
+        "incremental_rollup": q_incremental_rollup,
         "datastore_writeback": q_datastore_writeback,
         "docstore_upsert": q_docstore_upsert,
         "avro_envelope_roundtrip": q_avro_envelope_roundtrip,
@@ -1511,7 +1558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "search_q": q_query_surface,
         "anti_semi_setops": q_join_kinds,
-        "setop_except": q_setop_except,
         "grouping_sets": q_grouping_sets,
         "text_search": q_text_search,
         # transforms
@@ -1754,12 +1800,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE EXISTS (
                 SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
                 AND l_quantity >= 45)
-        """,
-        "setop_except": """
-            SELECT DISTINCT o_orderkey FROM (
+            UNION ALL
+            SELECT 'except', o_orderkey, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM (SELECT DISTINCT o_orderkey FROM (
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
                 EXCEPT ALL
-                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
         """,
         "grouping_sets": """
             SELECT 'rollup' AS op_set,
@@ -1805,6 +1852,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
         "cdc_out_chain": _ENGINE_REPLAY_SQL,
+        # direct GROUP BY over the replay winner set — the incremental
+        # refreshes must land on exactly this state (DuckDB sum(bigint) is
+        # hugeint; cast back so the schema row matches Spark's long)
+        "incremental_rollup": _REPLAY_CTE + """
+            , final AS (
+                SELECT CASE WHEN w.repo IS NOT NULL THEN w.lang
+                            ELSE i.lang END AS language,
+                       CAST(CASE WHEN w.repo IS NOT NULL THEN w.rev END
+                            AS BIGINT) AS rev
+                FROM init i FULL OUTER JOIN winners w
+                  ON i.repo = w.repo AND i.path = w.path
+                WHERE w.op IS NULL OR w.op <> 5)
+            SELECT language, count(*) AS n_rows,
+                   CAST(sum(rev) AS BIGINT) AS rev_sum,
+                   avg(rev) AS rev_avg,
+                   min(rev) AS rev_min, max(rev) AS rev_max
+            FROM final GROUP BY language
+        """,
         "archive_scan": """
             SELECT 'nations.zip' AS archive,
                    'n_' || CAST(n_nationkey AS VARCHAR) || '.txt' AS member,
