@@ -109,7 +109,8 @@ class CdcEngine:
     def __init__(self, spark: SparkSession, root: str, registry: SchemaRegistry,
                  entity: str = "source_repos", n_buckets: int = 16,
                  salt: int | str | None = None, merge_mode: str | None = None,
-                 sort_order: list[str] | None = None):
+                 sort_order: list[str] | None = None,
+                 zorder: list[str] | None = None):
         self.spark = spark
         self.root = root
         self.registry = registry
@@ -122,6 +123,13 @@ class CdcEngine:
         # replay path stays sort-free (the MOR fold reads whole buckets, so
         # clustering buys nothing there; point lookups are where it pays).
         self.sort_order = list(sort_order) if sort_order else None
+        # Z-order variant of the same contract: >= 2 columns, maintenance
+        # rewrites cluster by the interleaved Morton key (zorder.py) so
+        # predicates on ANY named column prune row groups. Exclusive with
+        # sort_order (competing physical layouts).
+        self.zorder = list(zorder) if zorder else None
+        if self.sort_order and self.zorder:
+            raise ValueError("pass sort_order OR zorder, not both")
         # None = plain single-stage max_by (right default: partial agg
         # already collapses hot keys map-side), int = always salt that wide,
         # "auto" = decide per applied batch from lww.choose_lww_salt's
@@ -152,18 +160,20 @@ class CdcEngine:
         # files while the caller believes clustering is on). Compare
         # through the alias map so a post-rename caller passing the
         # CURRENT column names still matches a creation-time prop.
-        if self.sort_order and self.table.exists():
-            meta = self.table.latest_meta()
-            have = [meta.aliases.get(c, c)
-                    for c in meta.props.get("sort_order", [])]
-            want = [meta.aliases.get(c, c) for c in self.sort_order]
-            if have != want:
-                raise ValueError(
-                    f"table at {self.table.root} already exists with "
-                    f"sort_order={meta.props.get('sort_order')!r}; "
-                    f"requested {self.sort_order!r}. Retrofit via "
-                    "table.commit_metadata(fields, aliases, "
-                    "props={**props, 'sort_order': [...]}) then compact()")
+        for prop, want_raw in (("sort_order", self.sort_order),
+                               ("zorder", self.zorder)):
+            if want_raw and self.table.exists():
+                meta = self.table.latest_meta()
+                have = [meta.aliases.get(c, c)
+                        for c in meta.props.get(prop, [])]
+                want = [meta.aliases.get(c, c) for c in want_raw]
+                if have != want:
+                    raise ValueError(
+                        f"table at {self.table.root} already exists with "
+                        f"{prop}={meta.props.get(prop)!r}; "
+                        f"requested {want_raw!r}. Retrofit via "
+                        "table.commit_metadata(fields, aliases, "
+                        f"props={{**props, '{prop}': [...]}}) then compact()")
 
     # ------------------------------------------------------------------ state
     @property
@@ -202,14 +212,17 @@ class CdcEngine:
         sdef = self.registry.get(self.entity, schema_version)
         fields = [dict(f) for f in sdef.fields]
         base_props = {"schema_version": schema_version}
-        if self.sort_order:
+        for prop, cols in (("sort_order", self.sort_order),
+                           ("zorder", self.zorder)):
+            if not cols:
+                continue
             known = {f["name"] for f in fields}
-            bad = [c for c in self.sort_order if c not in known]
+            bad = [c for c in cols if c not in known]
             if bad:
                 raise ValueError(
-                    f"sort_order names unknown columns {bad!r} for entity "
+                    f"{prop} names unknown columns {bad!r} for entity "
                     f"{self.entity!r} schema {schema_version}")
-            base_props["sort_order"] = self.sort_order
+            base_props[prop] = cols
         if not self.table.exists():
             self.table = SnapshotTable.create(
                 self.table.root, fields=fields, key_cols=sdef.key_cols(),

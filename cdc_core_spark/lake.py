@@ -593,6 +593,10 @@ class SnapshotTable:
         10^10-key scale: start at 32 buckets, re-bucket to 1024 when bucket
         file sizes outgrow the target, all in one atomic commit."""
         prev = self.latest()
+        if prev.props.get("sort_order") and prev.props.get("zorder"):
+            raise ValueError(
+                "table props carry BOTH sort_order and zorder — they are "
+                "competing clustering layouts; keep exactly one")
         if maintenance and sort_cols is None and prev.props.get("sort_order"):
             # EVERY maintenance rewrite honors the table's sort_order prop
             # (compact, tombstone expiry, future rewrites) — otherwise a
@@ -602,6 +606,13 @@ class SnapshotTable:
             # keeps creation-time names across renames.
             sort_cols = [prev.aliases.get(c, c)
                          for c in prev.props["sort_order"]]
+        elif maintenance and sort_cols is None and prev.props.get("zorder"):
+            # same contract for the zorder prop, except the sort key is the
+            # ONE interleaved z-value expression (zorder.py) — costs one
+            # stats agg job over the rewrite input, nothing on the hot path
+            from cdc_core_spark.zorder import zorder_column
+            sort_cols = [zorder_column(
+                df, [prev.aliases.get(c, c) for c in prev.props["zorder"]])]
         rebucket = n_buckets is not None and n_buckets != prev.n_buckets
         out_buckets = n_buckets if n_buckets is not None else prev.n_buckets
         if rebucket and set(touched_buckets) != set(range(out_buckets)):
@@ -659,9 +670,13 @@ class SnapshotTable:
         staged = df if pre_partitioned else df.repartition(
             max(n_partitions, 1), *partition_cols)
         if sort_cols:
+            # entries may be names OR computed Column expressions (the
+            # zorder path sorts by an interleaved z-value that never
+            # materializes as a stored column)
             staged = staged.sortWithinPartitions(
                 *partition_cols, *[c for c in sort_cols
-                                   if c not in partition_cols])
+                                   if not isinstance(c, str)
+                                   or c not in partition_cols])
         (staged.write.partitionBy(*partition_cols)
          .options(**fsutil.parquet_write_options())
          .mode("overwrite").parquet(stage_abs))
@@ -1023,22 +1038,44 @@ class SnapshotTable:
         scans — get row-group statistics tight enough for the parquet
         reader to skip non-matching groups under pushed-down key predicates
         (bucket pruning picks the file; the sort order prunes within it),
-        plus better zstd locality on repo/path-prefixed text."""
+        plus better zstd locality on repo/path-prefixed text.
+
+        A ``zorder`` prop (list of >= 2 column names) clusters by the
+        interleaved Morton key instead (zorder.py): row-group envelopes
+        get tight on EVERY named column, so predicates on any one of them
+        prune — the multi-dimensional complement to the linear
+        ``sort_order`` (which only helps prefixes). The two props are
+        mutually exclusive."""
         prev = self.latest()
         nb = n_buckets or prev.n_buckets
         key_cols = prev.key_cols
-        sort_cols = prev.props.get("sort_order")
-        if sort_cols:
+
+        def _prop_cols(prop: str) -> list[str] | None:
+            cols = prev.props.get(prop)
+            if not cols:
+                return None
             # a RENAME evolution updates fields but the prop keeps the
             # creation-time names — remap old→new through the cumulative
-            # alias map so a renamed sort column can't brick maintenance
-            sort_cols = [prev.aliases.get(c, c) for c in sort_cols]
+            # alias map so a renamed clustering column can't brick
+            # maintenance
+            cols = [prev.aliases.get(c, c) for c in cols]
             names = set(prev.field_names())
-            bad = [c for c in sort_cols if c not in names]
+            bad = [c for c in cols if c not in names]
             if bad:
                 raise ValueError(
-                    f"sort_order prop names unknown columns {bad!r} — "
+                    f"{prop} prop names unknown columns {bad!r} — "
                     f"table schema has {sorted(names)}")
+            return cols
+
+        sort_cols = _prop_cols("sort_order")
+        zorder_cols = _prop_cols("zorder")
+
+        def _sort_key(df):
+            if zorder_cols:
+                from cdc_core_spark.zorder import zorder_column
+                return [zorder_column(df, zorder_cols)]
+            return sort_cols
+
         if nb == prev.n_buckets and min_delta_files is not None:
             from collections import Counter
             depth = Counter(f["bucket"] for f in prev.files
@@ -1049,13 +1086,13 @@ class SnapshotTable:
             df = (self.read(spark, buckets=todo, with_internal_cols=True)
                   .withColumn("_bucket", bucket_expr(key_cols, nb)))
             self.commit_merge(df, todo, epoch=None, manifests=[],
-                              maintenance=True, sort_cols=sort_cols)
+                              maintenance=True, sort_cols=_sort_key(df))
             return
         df = (self.read(spark, with_internal_cols=True)
               .withColumn("_bucket", bucket_expr(key_cols, nb)))
         self.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
                           n_buckets=nb, maintenance=True,
-                          sort_cols=sort_cols)
+                          sort_cols=_sort_key(df))
 
     # ---------------- incremental changelog read ----------------
     def read_changes(self, spark: SparkSession, from_version: int,
