@@ -110,7 +110,8 @@ class CdcEngine:
                  entity: str = "source_repos", n_buckets: int = 16,
                  salt: int | str | None = None, merge_mode: str | None = None,
                  sort_order: list[str] | None = None,
-                 zorder: list[str] | None = None):
+                 zorder: list[str] | None = None,
+                 bloom_filters: list[str] | None = None):
         self.spark = spark
         self.root = root
         self.registry = registry
@@ -130,6 +131,11 @@ class CdcEngine:
         self.zorder = list(zorder) if zorder else None
         if self.sort_order and self.zorder:
             raise ValueError("pass sort_order OR zorder, not both")
+        # Parquet bloom filters on the named columns for EVERY engine-owned
+        # write, hot-path delta files included (fsutil.parquet_write_options)
+        # — equality row-group skipping where clustering can't reach.
+        # Composes with either clustering prop.
+        self.bloom_filters = list(bloom_filters) if bloom_filters else None
         # None = plain single-stage max_by (right default: partial agg
         # already collapses hot keys map-side), int = always salt that wide,
         # "auto" = decide per applied batch from lww.choose_lww_salt's
@@ -161,7 +167,8 @@ class CdcEngine:
         # through the alias map so a post-rename caller passing the
         # CURRENT column names still matches a creation-time prop.
         for prop, want_raw in (("sort_order", self.sort_order),
-                               ("zorder", self.zorder)):
+                               ("zorder", self.zorder),
+                               ("bloom_filters", self.bloom_filters)):
             if want_raw and self.table.exists():
                 meta = self.table.latest_meta()
                 have = [meta.aliases.get(c, c)
@@ -213,7 +220,8 @@ class CdcEngine:
         fields = [dict(f) for f in sdef.fields]
         base_props = {"schema_version": schema_version}
         for prop, cols in (("sort_order", self.sort_order),
-                           ("zorder", self.zorder)):
+                           ("zorder", self.zorder),
+                           ("bloom_filters", self.bloom_filters)):
             if not cols:
                 continue
             known = {f["name"] for f in fields}

@@ -53,15 +53,37 @@ def parquet_zstd_level() -> str:
     return os.environ.get("CDC_PARQUET_ZSTD_LEVEL", "1")
 
 
-def parquet_write_options() -> dict:
+#: default expected distinct values per row group for bloom sizing — at the
+#: parquet-mr 1% false-positive target this is ~120 KB of filter per column
+#: per row group, < 0.1% of a default 128 MB group; without an NDV hint
+#: parquet-mr falls back to its 1 MB max-bytes cap
+BLOOM_DEFAULT_NDV = 100_000
+
+
+def parquet_write_options(bloom_cols: list[str] | None = None,
+                          bloom_ndv: int | None = None) -> dict:
     """The option dict for every engine-owned ``df.write`` — codec plus,
     for zstd, the level (``parquet.compression.codec.zstd.level`` is read
     from the write job's Hadoop conf, and DataFrameWriter options are
     propagated there, so the level rides the write exactly like the codec
-    and cannot be reverted by a caller-built session)."""
+    and cannot be reverted by a caller-built session).
+
+    ``bloom_cols`` adds a parquet bloom filter per named column
+    (``parquet.bloom.filter.enabled#<col>``): the reader then skips row
+    groups on EQUALITY predicates whose value cannot be present — the
+    statistics-independent complement to clustering, and the only
+    row-group pruning available inside hot-path delta files, which are
+    deliberately written unsorted. parquet-mr intentionally drops the
+    filter for chunks that stay fully dictionary-encoded (the dictionary
+    page is already an exact membership filter), so low-cardinality
+    columns may carry no bloom bytes — same skipping, for free."""
     opts = {"compression": parquet_codec()}
     if opts["compression"] == "zstd":
         opts["parquet.compression.codec.zstd.level"] = parquet_zstd_level()
+    for c in bloom_cols or []:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(
+            bloom_ndv or BLOOM_DEFAULT_NDV)
     return opts
 
 

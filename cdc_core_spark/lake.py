@@ -677,8 +677,19 @@ class SnapshotTable:
                 *partition_cols, *[c for c in sort_cols
                                    if not isinstance(c, str)
                                    or c not in partition_cols])
+        # bloom_filters prop rides EVERY commit flavor (delta, grouped,
+        # merge): equality row-group skipping inside the hot path's
+        # unsorted delta files is the whole point. Creation-time names,
+        # alias-remapped; columns absent from this frame (e.g. a pre-ADD
+        # write-time schema) are simply not built by parquet-mr.
+        prev = self.latest()
+        prev_props = prev.props
+        bloom = [prev.aliases.get(c, c)
+                 for c in prev_props.get("bloom_filters", [])] or None
         (staged.write.partitionBy(*partition_cols)
-         .options(**fsutil.parquet_write_options())
+         .options(**fsutil.parquet_write_options(
+             bloom_cols=bloom,
+             bloom_ndv=prev_props.get("bloom_ndv")))
          .mode("overwrite").parquet(stage_abs))
         key_of = {"_bucket": "bucket", "checkpoint_epoch": "epoch"}
         new_files: list[dict] = []
