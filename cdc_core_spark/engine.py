@@ -129,6 +129,9 @@ class CdcEngine:
         # predicates on ANY named column prune row groups. Exclusive with
         # sort_order (competing physical layouts).
         self.zorder = list(zorder) if zorder else None
+        if self.zorder:
+            from cdc_core_spark.zorder import validate_zorder_cols
+            validate_zorder_cols(self.zorder)
         if self.sort_order and self.zorder:
             raise ValueError("pass sort_order OR zorder, not both")
         # Parquet bloom filters on the named columns for EVERY engine-owned
@@ -166,11 +169,13 @@ class CdcEngine:
         # files while the caller believes clustering is on). Compare
         # through the alias map so a post-rename caller passing the
         # CURRENT column names still matches a creation-time prop.
+        meta = (self.table.latest_meta()
+                if (self.sort_order or self.zorder or self.bloom_filters)
+                and self.table.exists() else None)
         for prop, want_raw in (("sort_order", self.sort_order),
                                ("zorder", self.zorder),
                                ("bloom_filters", self.bloom_filters)):
-            if want_raw and self.table.exists():
-                meta = self.table.latest_meta()
+            if want_raw and meta is not None:
                 have = [meta.aliases.get(c, c)
                         for c in meta.props.get(prop, [])]
                 want = [meta.aliases.get(c, c) for c in want_raw]

@@ -631,7 +631,7 @@ class SnapshotTable:
             new_files = self._stage_files(df, stage_abs, ["_bucket"],
                                           len(touched_buckets),
                                           pre_partitioned, sid, None,
-                                          sort_cols=sort_cols)
+                                          sort_cols=sort_cols, snap=prev)
         touched = set(touched_buckets)
         carried = [] if rebucket else [f for f in prev.files if f["bucket"] not in touched]
         manifest_rows = manifests() if callable(manifests) else manifests
@@ -647,7 +647,8 @@ class SnapshotTable:
                      partition_cols: list[str], n_partitions: int,
                      pre_partitioned: bool, sid: str,
                      kind: str | None,
-                     sort_cols: list[str] | None = None) -> list[dict]:
+                     sort_cols: list[str] | None = None,
+                     snap: "Snapshot | None" = None) -> list[dict]:
         """THE shared stage-write + file-walk used by every commit flavor
         (delta, grouped delta, merge): write ``df`` partitioned by
         ``partition_cols`` under ``stage_abs`` and return one record per
@@ -682,14 +683,16 @@ class SnapshotTable:
         # unsorted delta files is the whole point. Creation-time names,
         # alias-remapped; columns absent from this frame (e.g. a pre-ADD
         # write-time schema) are simply not built by parquet-mr.
-        prev = self.latest()
-        prev_props = prev.props
-        bloom = [prev.aliases.get(c, c)
-                 for c in prev_props.get("bloom_filters", [])] or None
+        # `snap` is the caller's already-loaded parent snapshot — never
+        # re-read the log (each latest() also resolves the manifest-list
+        # sidecar, pure redundant I/O per hot-path commit)
+        snap = snap if snap is not None else self.latest()
+        bloom = [snap.aliases.get(c, c)
+                 for c in snap.props.get("bloom_filters", [])] or None
         (staged.write.partitionBy(*partition_cols)
          .options(**fsutil.parquet_write_options(
              bloom_cols=bloom,
-             bloom_ndv=prev_props.get("bloom_ndv")))
+             bloom_ndv=snap.props.get("bloom_ndv")))
          .mode("overwrite").parquet(stage_abs))
         key_of = {"_bucket": "bucket", "checkpoint_epoch": "epoch"}
         new_files: list[dict] = []
@@ -748,7 +751,7 @@ class SnapshotTable:
                                  f"delta-{uuid.uuid4().hex[:12]}")
         new_files = self._stage_files(df, stage_abs, ["_bucket"],
                                       prev.n_buckets // 2, pre_partitioned,
-                                      sid, "delta")
+                                      sid, "delta", snap=prev)
         manifest_rows = manifests(new_files) if callable(manifests) else manifests
         snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
                         key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
@@ -788,7 +791,7 @@ class SnapshotTable:
         new_files = self._stage_files(
             df, stage_abs, ["checkpoint_epoch", "_bucket"],
             max(prev.n_buckets // 2, 1) * max(len(epochs), 1),
-            pre_partitioned, sid, "delta")
+            pre_partitioned, sid, "delta", snap=prev)
         manifest_rows = manifests(new_files) if callable(manifests) else manifests
         snap = Snapshot(version=prev.version + 1, epoch=epochs[-1] if epochs else None,
                         n_buckets=prev.n_buckets,
@@ -1076,6 +1079,9 @@ class SnapshotTable:
                 raise ValueError(
                     f"{prop} prop names unknown columns {bad!r} — "
                     f"table schema has {sorted(names)}")
+            if prop == "zorder":
+                from cdc_core_spark.zorder import validate_zorder_cols
+                validate_zorder_cols(cols)
             return cols
 
         sort_cols = _prop_cols("sort_order")

@@ -67,6 +67,10 @@ class RollupSpecError(ValueError):
     """Bad aggregate spec (unknown op, non-numeric sum column, name clash)."""
 
 
+class RollupStateError(RuntimeError):
+    """The rollup's on-disk state is unusable (interrupted create)."""
+
+
 def _canon_spec(group_cols: list[str], aggs: list[dict],
                 src_types: dict[str, str]) -> list[dict]:
     """Validate + normalize the agg spec: each entry {op, col?, as?} becomes
@@ -107,7 +111,13 @@ def _phys_fields(group_cols: list[str], spec: list[dict],
     per source column; count(col) shares ``nn_<c>``; min/max store the
     extreme directly.
     """
-    fields = [{"name": g, "type": src_types[g]} for g in group_cols]
+    # group columns, like the min/max accumulators below, store NUMERIC
+    # types at the widest width: an upstream int→long widen DDL on a group
+    # column must not overflow (ANSI) or wrap (non-ANSI) the rollup's own
+    # read-normalization cast. Bucket hashing uses these stored types via
+    # bucket_expr(cast_types=...), so codes stay consistent across refreshes.
+    fields = [{"name": g, "type": _SUM_TYPE.get(src_types[g], src_types[g])}
+              for g in group_cols]
     fields.append({"name": "cnt", "type": "long"})
     added = {"cnt"}
     for a in spec:
@@ -161,25 +171,42 @@ class IncrementalRollup:
                 raise RollupSpecError(f"unknown group column {g!r}")
         spec = _canon_spec(group_cols, aggs, src_types)
         fields = _phys_fields(group_cols, spec, src_types)
-        props = {"rollup_base_version": src_snap.version,
-                 "rollup_spec": json.dumps(
-                     {"group_cols": group_cols, "aggs": spec})}
+        # rollup_base_version deliberately does NOT ride the metadata-only
+        # create commit: it is published atomically WITH the initial full
+        # aggregate (_commit). A crash between the two leaves a table whose
+        # props carry only the spec — load() refuses it loudly instead of
+        # silently refreshing deltas onto empty state (negative counts,
+        # dropped groups). Same pattern as the engine's initial_loaded flag.
+        props = {"rollup_spec": json.dumps(
+            {"group_cols": group_cols, "aggs": spec})}
         table = SnapshotTable.create(root, fields=fields, key_cols=group_cols,
                                      n_buckets=n_buckets, props=props)
         r = cls(source, table, group_cols, spec)
-        state = r._full_state(spark, src_snap)
-        r._commit(state, list(range(n_buckets)), src_snap.version)
+        v0 = table.latest()
+        state = r._full_state(spark, src_snap, v0)
+        r._commit(state, list(range(n_buckets)), src_snap.version, v0)
         return r
 
     @classmethod
     def load(cls, source: SnapshotTable, root: str) -> "IncrementalRollup":
         table = SnapshotTable(root)
-        doc = json.loads(table.latest().props["rollup_spec"])
+        props = table.latest().props
+        if "rollup_base_version" not in props:
+            raise RollupStateError(
+                f"rollup at {root} was never finalized (create() crashed "
+                "between the metadata commit and the initial aggregate) — "
+                "delete the directory and re-create")
+        doc = json.loads(props["rollup_spec"])
         return cls(source, table, doc["group_cols"], doc["aggs"])
 
     @property
     def base_version(self) -> int:
-        return int(self.table.latest().props["rollup_base_version"])
+        props = self.table.latest().props
+        if "rollup_base_version" not in props:
+            raise RollupStateError(
+                f"rollup at {self.table.root} was never finalized — "
+                "delete the directory and re-create")
+        return int(props["rollup_base_version"])
 
     # ---------------- column plumbing ----------------
 
@@ -193,9 +220,9 @@ class IncrementalRollup:
     def _minmax(self) -> list[dict]:
         return [a for a in self.spec if a["op"] in ("min", "max")]
 
-    def _acc_cols(self) -> list[str]:
+    def _acc_cols(self, roll: Snapshot) -> list[str]:
         """Stored accumulator column names, group cols excluded."""
-        return [f["name"] for f in self.table.latest().fields
+        return [f["name"] for f in roll.fields
                 if f["name"] not in self.group_cols]
 
     def _delta_aggs(self, stype: dict[str, str]):
@@ -222,10 +249,10 @@ class IncrementalRollup:
                     F.lit(0)).cast("long").alias(f"nn_{c}"))
         return aggs
 
-    def _stored_types(self) -> dict[str, str]:
-        """name → SQL type of the rollup's stored fields (one log read)."""
-        return {f["name"]: sql_type(f["type"])
-                for f in self.table.latest().fields}
+    @staticmethod
+    def _stored_types(roll: Snapshot) -> dict[str, str]:
+        """name → SQL type of the rollup's stored fields."""
+        return {f["name"]: sql_type(f["type"]) for f in roll.fields}
 
     def _full_aggs(self, stype: dict[str, str]):
         """Direct aggregates for the initial full compute (and tests)."""
@@ -250,10 +277,12 @@ class IncrementalRollup:
                     aggs.append(getattr(F, a["op"])(c).alias(name))
         return aggs
 
-    def _full_state(self, spark: SparkSession, src_snap: Snapshot) -> DataFrame:
+    def _full_state(self, spark: SparkSession, src_snap: Snapshot,
+                    roll: Snapshot) -> DataFrame:
         src = self.source.read(spark, snap=src_snap,
                                columns=self._needed_src_cols())
-        return src.groupBy(*self.group_cols).agg(*self._full_aggs(self._stored_types()))
+        return src.groupBy(*self.group_cols).agg(
+            *self._full_aggs(self._stored_types(roll)))
 
     # ---------------- refresh ----------------
 
@@ -264,7 +293,12 @@ class IncrementalRollup:
         caught up (idempotent — safe to re-run after a crash)."""
         to_v = (self.source.latest().version if to_version is None
                 else to_version)
-        base_v = self.base_version
+        roll = self.table.latest()  # ONE log read per refresh, threaded down
+        if "rollup_base_version" not in roll.props:
+            raise RollupStateError(
+                f"rollup at {self.table.root} was never finalized — "
+                "delete the directory and re-create")
+        base_v = int(roll.props["rollup_base_version"])
         if to_v <= base_v:
             return None
         to_snap = self.source.snapshot(to_v)
@@ -315,9 +349,10 @@ class IncrementalRollup:
                    .select(*sel, F.lit(-1).alias("_sign"))
                    .unionByName(post.filter(~F.col("_deleted"))
                                 .select(*sel, F.lit(1).alias("_sign"))))
-        delta = contrib.groupBy(*self.group_cols).agg(*self._delta_aggs(self._stored_types()))
+        delta = contrib.groupBy(*self.group_cols).agg(
+            *self._delta_aggs(self._stored_types(roll)))
 
-        return self._merge_delta(spark, delta, to_snap, to_v)
+        return self._merge_delta(spark, delta, to_snap, to_v, roll)
 
     def _normalize_to(self, df: DataFrame, to_snap: Snapshot,
                       with_internal: bool = False) -> DataFrame:
@@ -340,11 +375,10 @@ class IncrementalRollup:
         return df.select(*keep)
 
     def _merge_delta(self, spark: SparkSession, delta: DataFrame,
-                     to_snap: Snapshot, to_v: int) -> Snapshot:
+                     to_snap: Snapshot, to_v: int, roll: Snapshot) -> Snapshot:
         """Copy-on-write merge of signed deltas into the rollup's touched
         buckets: union(old bucket rows, delta rows) → one groupBy re-fold,
         min/max overridden by affected-group recompute, empty groups drop."""
-        roll = self.table.latest()
         group_types = {f["name"]: f["type"] for f in roll.fields
                        if f["name"] in self.group_cols}
         delta = delta.localCheckpoint(eager=False)
@@ -356,15 +390,16 @@ class IncrementalRollup:
             # nothing changed in range (e.g. maintenance-only commits):
             # still advance the consumed version so refresh stays O(1)
             return self._commit(
-                self.table.read(spark, buckets=[]), [], to_v)
+                self.table.read(spark, buckets=[], snap=roll), [], to_v,
+                roll)
 
-        acc = self._acc_cols()
-        stype = self._stored_types()
+        acc = self._acc_cols(roll)
+        stype = self._stored_types(roll)
         mm = [f"{a['op']}_{a['col']}" for a in self._minmax()]
         mm = list(dict.fromkeys(mm))
         inv = [c for c in acc if c not in mm]
 
-        old = self.table.read(spark, buckets=touched)
+        old = self.table.read(spark, buckets=touched, snap=roll)
         old_c = old.select(*self.group_cols, *inv,
                            *[F.col(c).alias(f"_old_{c}") for c in mm])
         delta_c = delta.select(*self.group_cols, *inv,
@@ -418,13 +453,20 @@ class IncrementalRollup:
             merged = merged.select(*self.group_cols, *inv)
 
         new_rows = merged.filter(F.col("cnt") > 0)
-        return self._commit(new_rows, touched, to_v)
+        return self._commit(new_rows, touched, to_v, roll)
 
     def _commit(self, state: DataFrame, touched: list[int],
-                base_version: int) -> Snapshot:
-        roll = self.table.latest()
+                base_version: int, roll: Snapshot) -> Snapshot:
         group_types = {f["name"]: f["type"] for f in roll.fields
                        if f["name"] in self.group_cols}
+        # every staged file must PHYSICALLY match the stored schema: state
+        # frames arrive with source-side widths (e.g. an int group value
+        # pre-widen, long post-widen) and all rollup commits share one
+        # schema_id, so without this cast a read would merge int32/int64
+        # files under whichever schema the first-listed file carries
+        stype = self._stored_types(roll)
+        state = state.select(*[F.col(f["name"]).cast(stype[f["name"]])
+                               .alias(f["name"]) for f in roll.fields])
         df = (state
               .withColumn("_op_ts", F.lit(base_version).cast("bigint"))
               .withColumn("_event_seq", F.lit(0).cast("bigint"))

@@ -34,18 +34,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: dtypes that get range-preserving codes (everything else hashes)
-_RANGE_KINDS = ("tinyint", "smallint", "int", "bigint", "float", "double",
-                "decimal", "date", "timestamp", "timestamp_ntz")
+#: dtypes that get range-preserving codes (everything else hashes).
+#: EXACT names plus the parameterized decimal prefix — a prefix match on
+#: "int" would also capture "interval day to second", which cannot cast to
+#: double and must take the hash path
+_RANGE_KINDS = frozenset(("tinyint", "smallint", "int", "bigint", "float",
+                          "double", "date", "timestamp", "timestamp_ntz"))
+
+
+def _is_ranged(dt: str) -> bool:
+    return dt in _RANGE_KINDS or dt.startswith("decimal(")
 
 MAX_COLS = 4
+
+
+def validate_zorder_cols(cols: list[str]) -> None:
+    """Shared shape check, callable at PROP-RECORDING time (engine
+    construction / compact prop resolution) so a bad column count fails
+    where the mistake is made, not at the first maintenance rewrite."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (use sort_order for 1)")
+    if len(cols) > MAX_COLS:
+        raise ValueError(
+            f"zorder supports at most {MAX_COLS} columns (got {len(cols)}): "
+            "each extra column halves every column's code resolution")
 
 
 def _code(df_dtypes: dict[str, str], col: str, lo, hi, bits: int) -> Column:
     """Fixed-width [0, 2^bits) code for one column (module docstring)."""
     n = 1 << bits
     dt = df_dtypes[col]
-    if dt.startswith(_RANGE_KINDS):
+    if _is_ranged(dt):
         v = F.col(col)
         if dt in ("date",):
             v = v.cast("timestamp")
@@ -68,19 +87,14 @@ def zorder_column(df: DataFrame, cols: list[str]) -> Column:
     sorting by the z-value visits the space in Morton order.
     """
     k = len(cols)
-    if k < 2:
-        raise ValueError("zorder needs >= 2 columns (use sort_order for 1)")
-    if k > MAX_COLS:
-        raise ValueError(
-            f"zorder supports at most {MAX_COLS} columns (got {k}): each "
-            "extra column halves every column's code resolution")
+    validate_zorder_cols(cols)
     dtypes = dict(df.dtypes)
     missing = [c for c in cols if c not in dtypes]
     if missing:
         raise ValueError(f"zorder columns not in frame: {missing!r}")
     bits = min(16, 62 // k)
 
-    ranged = [c for c in cols if dtypes[c].startswith(_RANGE_KINDS)]
+    ranged = [c for c in cols if _is_ranged(dtypes[c])]
     stats: dict[str, tuple] = {}
     if ranged:
         aggs = []

@@ -223,3 +223,49 @@ def test_rollup_random_model(spark, tmp_path):
         F.max("v").alias("max_v"))
     assert _as_map2(r.read(spark)) == _as_map2(
         direct.select("g", "cnt", "sum_v", "avg_v", "min_v", "max_v"))
+
+
+def test_rollup_group_col_widen_and_crash_create(spark, tmp_path):
+    """(a) an int→long widen DDL on the GROUP column between refreshes must
+    not wrap/overflow the rollup's stored group key (stored wide from
+    creation); (b) an interrupted create() — metadata commit published,
+    initial aggregate never written — must refuse load()/refresh() loudly
+    rather than fold deltas onto empty state."""
+    from cdc_core_spark.operators.rollup import RollupStateError
+
+    fields = [{"name": "k", "type": "long"}, {"name": "g", "type": "int"},
+              {"name": "v", "type": "long"}]
+    t = SnapshotTable.create(str(tmp_path / "s"), fields=fields,
+                             key_cols=["k"], n_buckets=4)
+    df = spark.createDataFrame([(1, 7, 10, False), (2, 7, 20, False)],
+                               "k long, g int, v long, _deleted boolean")
+    t.commit_delta(df.withColumn("_op_ts", F.lit(100).cast("bigint"))
+                   .withColumn("_event_seq", F.col("k"))
+                   .withColumn("_bucket", bucket_expr(["k"], 4)),
+                   epoch=0, manifests=[])
+    r = IncrementalRollup.create(spark, t, str(tmp_path / "r"), ["g"],
+                                 [{"op": "count"}, {"op": "sum", "col": "v"}])
+    # widen g int→long, then a group value beyond int range arrives
+    t.commit_metadata([{"name": "k", "type": "long"},
+                       {"name": "g", "type": "long"},
+                       {"name": "v", "type": "long"}], {})
+    big = 2_147_483_648 + 5
+    df2 = spark.createDataFrame([(3, big, 5, False)],
+                                "k long, g long, v long, _deleted boolean")
+    t.commit_delta(df2.withColumn("_op_ts", F.lit(200).cast("bigint"))
+                   .withColumn("_event_seq", F.col("k"))
+                   .withColumn("_bucket", bucket_expr(["k"], 4)),
+                   epoch=1, manifests=[])
+    r.refresh(spark)
+    got = {row["g"]: (row["cnt"], row["sum_v"])
+           for row in r.read(spark).collect()}
+    assert got == {7: (2, 30), big: (1, 5)}
+
+    # interrupted create: metadata-only v0, no initial aggregate commit
+    broken = SnapshotTable.create(
+        str(tmp_path / "broken"), fields=[{"name": "g", "type": "long"},
+                                          {"name": "cnt", "type": "long"}],
+        key_cols=["g"], props={"rollup_spec": "{\"group_cols\": [\"g\"], \"aggs\": []}"})
+    assert broken is not None
+    with pytest.raises(RollupStateError, match="never finalized"):
+        IncrementalRollup.load(t, str(tmp_path / "broken"))
