@@ -799,8 +799,12 @@ class CdcEngine:
         scale the write cost follows the delete distribution, not the table
         size. Buckets without old tombstones are carried by reference."""
         self._sync_buckets()
+        # the probe, the rewrite read and the commit are pinned to ONE
+        # snapshot; the commit rebases over concurrent ingest (lake OCC)
+        snap = self.table.latest()
         old_tomb = F.col("_deleted") & (F.col("_op_ts") < F.lit(watermark_op_ts))
-        probe = (self.table.read(self.spark, with_internal_cols=True)
+        probe = (self.table.read(self.spark, with_internal_cols=True,
+                                 snap=snap)
                  .filter(old_tomb)
                  .select(bucket_expr(self._key_cols(), self.n_buckets)
                          .alias("_bucket")))
@@ -808,11 +812,12 @@ class CdcEngine:
         todo = sorted(r["_bucket"] for r in probe.distinct().collect())
         if not todo:
             return
-        df = (self.table.read(self.spark, buckets=todo, with_internal_cols=True)
+        df = (self.table.read(self.spark, buckets=todo,
+                              with_internal_cols=True, snap=snap)
               .filter(~old_tomb)
               .withColumn("_bucket", bucket_expr(self._key_cols(), self.n_buckets)))
         self.table.commit_merge(df, todo, epoch=None, manifests=[],
-                                maintenance=True)
+                                maintenance=True, base=snap)
 
     def compact(self, n_buckets: int | None = None,
                 min_delta_files: int | None = None) -> None:

@@ -71,6 +71,18 @@ delta is that Iceberg's manifests track column stats per file (we keep
 footer-derived stats in commit manifests instead), which only makes scan
 pruning better after the swap.
 
+Commit concurrency follows Iceberg's optimistic model (commit-retry +
+validation, ``CommitFailedException``/``ValidationException``): every
+commit flavor CASes on the next version and, on losing to a concurrent
+writer, REBASES when provably safe — additive MOR deltas over anything
+structural-compatible, maintenance rewrites over commits that didn't take
+their input files, metadata evolutions over data commits — and raises
+``CommitConflictError`` otherwise (copy-on-write over changed buckets,
+re-bucket racing anything, duplicate epochs, two schema changes). Pass
+``base=`` to pin a read-compute-commit pipeline to one snapshot; the
+payoff at 100 TB is that compaction/retention run concurrently with
+ingest instead of behind the reference's distributed locks.
+
 The mapping above is executable, not just prose: ``lake_iceberg.
 IcebergSnapshotTable`` routes each call to the real Iceberg operation when
 the runtime jars are present, and ``tests/test_lake_iceberg.py`` is the
@@ -109,6 +121,16 @@ _TYPES = {
     "long": "bigint", "float": "float", "double": "double", "string": "string",
     "binary": "binary", "timestamp": "timestamp",
 }
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit changed state this commit depends on, and the
+    commit cannot be rebased over it safely (Iceberg's
+    ``ValidationException`` / ``CommitFailedException`` analog). The staged
+    data files were already cleaned up; recompute against fresh state and
+    retry the whole operation. Commits that CAN rebase safely — additive
+    MOR deltas over anything, maintenance rewrites over commits that didn't
+    take their input files — retry internally and never raise this."""
 
 
 def sql_type(t: str) -> str:
@@ -575,7 +597,8 @@ class SnapshotTable:
                      pre_partitioned: bool = False,
                      n_buckets: int | None = None,
                      maintenance: bool = False,
-                     sort_cols: list[str] | None = None) -> Snapshot:
+                     sort_cols: list[str] | None = None,
+                     base: Snapshot | None = None) -> Snapshot:
         """Copy-on-write commit: stage new files for ``touched_buckets`` from
         ``df`` (must carry ``_bucket``), carry all other buckets forward by
         reference, publish atomically. ``pre_partitioned`` skips the
@@ -591,8 +614,20 @@ class SnapshotTable:
         full range — every old file is dropped (old bucket ids are
         meaningless under the new hashing). This is the growth knob for
         10^10-key scale: start at 32 buckets, re-bucket to 1024 when bucket
-        file sizes outgrow the target, all in one atomic commit."""
-        prev = self.latest()
+        file sizes outgrow the target, all in one atomic commit.
+
+        ``base`` pins the commit to an already-loaded snapshot — the one
+        the caller computed ``df`` FROM. This closes the read→commit race
+        (a concurrent delta landing between a maintenance job's read and
+        its publish must not be dropped from the rewritten buckets) and
+        arms the optimistic-concurrency rebase: on losing the version CAS,
+        a ``maintenance`` rewrite re-parents over the interloper, keeping
+        every file it didn't consume (the LWW fold is commit-order-free,
+        so a fresh delta layers exactly over the new base), while a
+        copy-on-write commit whose touched buckets changed underneath —
+        or a re-bucket racing anything, or two concurrent schema changes —
+        raises ``CommitConflictError`` instead of losing data."""
+        prev = base if base is not None else self.latest()
         if prev.props.get("sort_order") and prev.props.get("zorder"):
             raise ValueError(
                 "table props carry BOTH sort_order and zorder — they are "
@@ -633,15 +668,83 @@ class SnapshotTable:
                                           pre_partitioned, sid, None,
                                           sort_cols=sort_cols, snap=prev)
         touched = set(touched_buckets)
-        carried = [] if rebucket else [f for f in prev.files if f["bucket"] not in touched]
         manifest_rows = manifests() if callable(manifests) else manifests
-        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=out_buckets,
-                        key_cols=prev.key_cols, fields=fields, aliases=aliases,
-                        schemas=schemas, files=carried + new_files,
-                        manifests=manifest_rows, parent=prev.version,
-                        props=props if props is not None else prev.props,
-                        maintenance=maintenance)
-        return self._publish_or_clean(snap, stage_abs)
+        our_epochs = [epoch] if epoch is not None else []
+        # the input set this commit folded/replaced — what a maintenance
+        # rebase must verify is still live (nobody else rewrote it) and
+        # what it removes from the new head's file list
+        consumed = {f["path"] for f in prev.files if f["bucket"] in touched}
+
+        def rebuild(b: Snapshot) -> Snapshot:
+            if b is prev:
+                carried = [] if rebucket else [
+                    f for f in prev.files if f["bucket"] not in touched]
+                out_fields, out_aliases, schemas_b = fields, aliases, schemas
+                out_props = props if props is not None else prev.props
+            else:
+                self._rebase_guard(prev, b, our_epochs, "merge rebase")
+                if rebucket:
+                    raise CommitConflictError(
+                        "re-bucket rebase: a re-bucket drops every "
+                        "pre-existing file, so ANY concurrent commit would "
+                        "be silently lost — recompute against fresh state")
+                if props is not None and b.props != prev.props:
+                    raise CommitConflictError(
+                        "merge rebase: table props changed concurrently "
+                        "while this commit also sets props")
+                if new_fields is not None and (b.fields != prev.fields
+                                               or b.aliases != prev.aliases):
+                    raise CommitConflictError(
+                        "merge rebase: schema changed concurrently while "
+                        "this commit also changes it")
+                if maintenance:
+                    # state-preserving rewrite: valid as long as every
+                    # file it folded is still referenced by the new head;
+                    # anything committed since (delta layers, other
+                    # buckets' rewrites, a schema evolution) is kept —
+                    # the LWW fold is commit-order-free, so interloper
+                    # deltas layer exactly over the rewritten base
+                    gone = consumed - {f["path"] for f in b.files}
+                    if gone:
+                        raise CommitConflictError(
+                            f"maintenance rebase: {len(gone)} input "
+                            "file(s) this rewrite folded were removed by "
+                            "a concurrent rewrite")
+                    carried = [f for f in b.files
+                               if f["path"] not in consumed]
+                    out_fields = new_fields if new_fields is not None else b.fields
+                    out_aliases = new_aliases if new_aliases is not None else b.aliases
+                else:
+                    # copy-on-write: output buckets were computed FROM the
+                    # touched buckets' state at `prev` — any concurrent
+                    # change there (even an additive delta: it lives in
+                    # carried-from-prev files this commit drops) is lost
+                    # if rebased, so it conflicts
+                    if b.fields != prev.fields or b.aliases != prev.aliases:
+                        raise CommitConflictError(
+                            "merge rebase: schema changed concurrently "
+                            "under a copy-on-write commit")
+                    b_touched = {f["path"] for f in b.files
+                                 if f["bucket"] in touched}
+                    if b_touched != consumed:
+                        raise CommitConflictError(
+                            "merge rebase: a concurrent commit changed "
+                            "bucket(s) this copy-on-write commit rewrites "
+                            "— rebasing would drop its files")
+                    carried = [f for f in b.files
+                               if f["bucket"] not in touched]
+                    out_fields, out_aliases = fields, aliases
+                schemas_b = dict(b.schemas)
+                schemas_b.setdefault(sid, fields)
+                out_props = props if props is not None else b.props
+            return Snapshot(version=b.version + 1, epoch=epoch,
+                            n_buckets=out_buckets, key_cols=b.key_cols,
+                            fields=out_fields, aliases=out_aliases,
+                            schemas=schemas_b, files=carried + new_files,
+                            manifests=manifest_rows, parent=b.version,
+                            props=out_props, maintenance=maintenance)
+
+        return self._occ_publish(prev, stage_abs, rebuild)
 
     def _stage_files(self, df: DataFrame, stage_abs: str,
                      partition_cols: list[str], n_partitions: int,
@@ -714,19 +817,78 @@ class SnapshotTable:
         walk(stage_abs, 0, {})
         return new_files
 
-    def _publish_or_clean(self, snap: Snapshot, stage_abs: str) -> Snapshot:
-        """Optimistic publish; losing the CAS to a concurrent writer removes
-        this commit's staged files (they were never referenced)."""
-        try:
-            self._publish(snap)
-        except FileExistsError:
+    #: bounded CAS retries before a commit gives up as a conflict — losing
+    #: the version race this many times in a row means pathological
+    #: contention (many lease-less writers on one table), which should
+    #: surface, not spin
+    OCC_MAX_RETRIES = 5
+
+    def _occ_publish(self, prev: Snapshot, stage_abs: str | None,
+                     rebuild) -> Snapshot:
+        """Optimistic-concurrency publish (the Iceberg commit-retry loop):
+        attempt the version CAS at ``base.version + 1``; on losing to a
+        concurrent writer, reload the new head and ask ``rebuild(base)``
+        for a snapshot REBASED on top of it. ``rebuild`` owns the safety
+        rules per commit flavor — it raises ``CommitConflictError`` when
+        the interloping commit changed state this commit depends on
+        (bucket layout, schema, its input files); then the staged files
+        are removed and the error propagates to the caller. ``rebuild``
+        must be pure metadata (no Spark jobs): the staged data files are
+        written once, only the snapshot document is rebuilt per attempt."""
+        base = prev
+        for _ in range(self.OCC_MAX_RETRIES + 1):
+            try:
+                snap = rebuild(base)
+                self._publish(snap)
+                return snap
+            except CommitConflictError:
+                if stage_abs:
+                    shutil.rmtree(stage_abs, ignore_errors=True)
+                raise
+            except FileExistsError:
+                newest = self.latest()
+                if newest.version <= base.version:
+                    # v{base+1}.json exists yet the newest doc is not newer:
+                    # an out-of-sequence external write — not rebasable
+                    if stage_abs:
+                        shutil.rmtree(stage_abs, ignore_errors=True)
+                    raise
+                base = newest
+        if stage_abs:
             shutil.rmtree(stage_abs, ignore_errors=True)
-            raise
-        return snap
+        raise CommitConflictError(
+            f"lost the version CAS {self.OCC_MAX_RETRIES + 1} times in a "
+            f"row under {self.log_dir} — giving up; too many concurrent "
+            "writers on one table")
+
+    def _rebase_guard(self, prev: Snapshot, b: Snapshot,
+                      epochs: list[int], what: str) -> None:
+        """Invariants EVERY rebase needs, whatever the commit flavor:
+        same bucket count (bucket ids are meaningless across a re-bucket,
+        so files staged under the old hashing cannot ride forward), same
+        key columns, and none of this commit's epochs already committed by
+        the interloper (two lease-less writers applying the same epoch —
+        rebasing would double-apply it; the exactly-once manifest check
+        happens BEFORE staging, so only a concurrent duplicate can trip
+        this)."""
+        if b.n_buckets != prev.n_buckets:
+            raise CommitConflictError(
+                f"{what}: table was re-bucketed concurrently "
+                f"({prev.n_buckets} -> {b.n_buckets} buckets)")
+        if b.key_cols != prev.key_cols:
+            raise CommitConflictError(f"{what}: key columns changed "
+                                      "concurrently")
+        if epochs:
+            dup = set(epochs) & self.committed_epochs()
+            if dup:
+                raise CommitConflictError(
+                    f"{what}: epoch(s) {sorted(dup)} were committed "
+                    "concurrently — duplicate writer on one table")
 
     def commit_delta(self, df: DataFrame, epoch: int | None,
                      manifests,
-                     pre_partitioned: bool = False) -> Snapshot:
+                     pre_partitioned: bool = False,
+                     base: Snapshot | None = None) -> Snapshot:
         """Merge-on-read commit: stage ``df`` (per-key LWW winners carrying
         ``_bucket`` + internal cols) as DELTA files and keep every existing
         file — per-epoch write cost is O(epoch winners), not O(table). The
@@ -741,27 +903,42 @@ class SnapshotTable:
         list (each ``{path, bucket, ...}``, paths relative to the table
         root) so the caller can derive manifest stats from ``df.observe``
         metrics or the staged parquet footers of the very same job, making
-        an epoch cost exactly ONE Spark job."""
-        prev = self.latest()
+        an epoch cost exactly ONE Spark job.
+
+        Deltas are purely ADDITIVE, so a commit that loses the version CAS
+        to a concurrent writer rebases automatically (new head's files +
+        these delta files) — ingest never fails because maintenance or
+        another entity's writer got there first. The only conflicts are
+        structural: a concurrent re-bucket (these files' bucket ids are
+        stale) or a duplicate writer committing the same epoch."""
+        prev = base if base is not None else self.latest()
         sid = _sid_for(prev, prev.fields)
-        schemas = dict(prev.schemas)
-        if sid not in schemas:
-            schemas[sid] = prev.fields
         stage_abs = os.path.join(self.root, "data",
                                  f"delta-{uuid.uuid4().hex[:12]}")
         new_files = self._stage_files(df, stage_abs, ["_bucket"],
                                       prev.n_buckets // 2, pre_partitioned,
                                       sid, "delta", snap=prev)
         manifest_rows = manifests(new_files) if callable(manifests) else manifests
-        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
-                        key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
-                        schemas=schemas, files=prev.files + new_files,
-                        manifests=manifest_rows, parent=prev.version, props=prev.props)
-        return self._publish_or_clean(snap, stage_abs)
+        our_epochs = [epoch] if epoch is not None else []
+
+        def rebuild(b: Snapshot) -> Snapshot:
+            if b is not prev:
+                self._rebase_guard(prev, b, our_epochs, "delta rebase")
+            schemas_b = dict(b.schemas)
+            schemas_b.setdefault(sid, prev.fields)
+            return Snapshot(version=b.version + 1, epoch=epoch,
+                            n_buckets=b.n_buckets, key_cols=b.key_cols,
+                            fields=b.fields, aliases=b.aliases,
+                            schemas=schemas_b, files=b.files + new_files,
+                            manifests=manifest_rows, parent=b.version,
+                            props=b.props)
+
+        return self._occ_publish(prev, stage_abs, rebuild)
 
     def commit_delta_grouped(self, df: DataFrame, epochs: list[int],
                              manifests,
-                             pre_partitioned: bool = False) -> Snapshot:
+                             pre_partitioned: bool = False,
+                             base: Snapshot | None = None) -> Snapshot:
         """GROUP-COMMIT merge-on-read: stage the winners of SEVERAL epochs in
         ONE write job — partitioned ``checkpoint_epoch=<e>/_bucket=<b>`` so
         every epoch keeps its own delta layer — and publish a single atomic
@@ -780,12 +957,12 @@ class SnapshotTable:
         publish leaves every epoch of the group uncommitted and the rerun
         re-applies the group idempotently. ``committed_epochs`` reports all
         epochs via the per-epoch manifest rows. ``df`` must carry a
-        ``checkpoint_epoch`` column restricted to ``epochs``."""
-        prev = self.latest()
+        ``checkpoint_epoch`` column restricted to ``epochs``.
+
+        Additive like ``commit_delta``: losing the version CAS rebases the
+        whole group over the new head (same structural conflicts)."""
+        prev = base if base is not None else self.latest()
         sid = _sid_for(prev, prev.fields)
-        schemas = dict(prev.schemas)
-        if sid not in schemas:
-            schemas[sid] = prev.fields
         stage_abs = os.path.join(self.root, "data",
                                  f"delta-{uuid.uuid4().hex[:12]}")
         new_files = self._stage_files(
@@ -793,26 +970,55 @@ class SnapshotTable:
             max(prev.n_buckets // 2, 1) * max(len(epochs), 1),
             pre_partitioned, sid, "delta", snap=prev)
         manifest_rows = manifests(new_files) if callable(manifests) else manifests
-        snap = Snapshot(version=prev.version + 1, epoch=epochs[-1] if epochs else None,
-                        n_buckets=prev.n_buckets,
-                        key_cols=prev.key_cols, fields=prev.fields, aliases=prev.aliases,
-                        schemas=schemas, files=prev.files + new_files,
-                        manifests=manifest_rows, parent=prev.version, props=prev.props)
-        return self._publish_or_clean(snap, stage_abs)
+
+        def rebuild(b: Snapshot) -> Snapshot:
+            if b is not prev:
+                self._rebase_guard(prev, b, list(epochs), "delta rebase")
+            schemas_b = dict(b.schemas)
+            schemas_b.setdefault(sid, prev.fields)
+            return Snapshot(version=b.version + 1,
+                            epoch=epochs[-1] if epochs else None,
+                            n_buckets=b.n_buckets, key_cols=b.key_cols,
+                            fields=b.fields, aliases=b.aliases,
+                            schemas=schemas_b, files=b.files + new_files,
+                            manifests=manifest_rows, parent=b.version,
+                            props=b.props)
+
+        return self._occ_publish(prev, stage_abs, rebuild)
 
     def commit_metadata(self, new_fields: list[dict], new_aliases: dict,
                         epoch: int | None = None,
-                        props: dict | None = None) -> Snapshot:
+                        props: dict | None = None,
+                        base: Snapshot | None = None) -> Snapshot:
         """Metadata-only evolution commit (add/rename/widen — no data rewrite),
-        the Iceberg-ALTER-TABLE analog of EntitySchema.apply."""
-        prev = self.latest()
-        schemas = dict(prev.schemas)
-        snap = Snapshot(version=prev.version + 1, epoch=epoch, n_buckets=prev.n_buckets,
-                        key_cols=prev.key_cols, fields=new_fields, aliases=new_aliases,
-                        schemas=schemas, files=prev.files, manifests=[], parent=prev.version,
-                        props=props if props is not None else prev.props)
-        self._publish(snap)
-        return snap
+        the Iceberg-ALTER-TABLE analog of EntitySchema.apply.
+
+        Rebases over concurrent DATA commits (the evolution was computed
+        against a schema the interloper didn't change, so it still
+        applies, and the interloper's files ride forward); two concurrent
+        SCHEMA or prop changes conflict."""
+        prev = base if base is not None else self.latest()
+        our_epochs = [epoch] if epoch is not None else []
+
+        def rebuild(b: Snapshot) -> Snapshot:
+            if b is not prev:
+                self._rebase_guard(prev, b, our_epochs, "metadata rebase")
+                if b.fields != prev.fields or b.aliases != prev.aliases:
+                    raise CommitConflictError(
+                        "metadata rebase: schema changed concurrently — "
+                        "recompute the evolution against the new schema")
+                if props is not None and b.props != prev.props:
+                    raise CommitConflictError(
+                        "metadata rebase: table props changed concurrently "
+                        "while this commit also sets props")
+            return Snapshot(version=b.version + 1, epoch=epoch,
+                            n_buckets=b.n_buckets, key_cols=b.key_cols,
+                            fields=new_fields, aliases=new_aliases,
+                            schemas=dict(b.schemas), files=b.files,
+                            manifests=[], parent=b.version,
+                            props=props if props is not None else b.props)
+
+        return self._occ_publish(prev, None, rebuild)
 
     # ---------------- lineage ----------------
     def _expired_base_doc(self) -> dict:
@@ -1035,7 +1241,8 @@ class SnapshotTable:
         return sorted(removed)
 
     def compact(self, spark: SparkSession, n_buckets: int | None = None,
-                min_delta_files: int | None = None) -> None:
+                min_delta_files: int | None = None,
+                base: Snapshot | None = None) -> None:
         """Re-base MOR delta layers into one base file set per bucket (the
         Iceberg ``rewriteDataFiles`` analog). ``min_delta_files=K`` makes it
         INCREMENTAL: buckets are selected by delta-layer file count from
@@ -1059,8 +1266,15 @@ class SnapshotTable:
         get tight on EVERY named column, so predicates on any one of them
         prune — the multi-dimensional complement to the linear
         ``sort_order`` (which only helps prefixes). The two props are
-        mutually exclusive."""
-        prev = self.latest()
+        mutually exclusive.
+
+        The whole rewrite — bucket selection, the fold read, the commit —
+        is pinned to ONE snapshot (``base``, default the head at entry),
+        and the commit rebases over anything that lands meanwhile (see
+        ``commit_merge``): compaction runs CONCURRENTLY with ingest, the
+        100-TB operational requirement (you cannot pause a CDC stream to
+        compact). Only a racing rewrite of the same files conflicts."""
+        prev = base if base is not None else self.latest()
         nb = n_buckets or prev.n_buckets
         key_cols = prev.key_cols
 
@@ -1100,16 +1314,18 @@ class SnapshotTable:
             todo = sorted(b for b, c in depth.items() if c >= min_delta_files)
             if not todo:
                 return
-            df = (self.read(spark, buckets=todo, with_internal_cols=True)
+            df = (self.read(spark, buckets=todo, with_internal_cols=True,
+                            snap=prev)
                   .withColumn("_bucket", bucket_expr(key_cols, nb)))
             self.commit_merge(df, todo, epoch=None, manifests=[],
-                              maintenance=True, sort_cols=_sort_key(df))
+                              maintenance=True, sort_cols=_sort_key(df),
+                              base=prev)
             return
-        df = (self.read(spark, with_internal_cols=True)
+        df = (self.read(spark, with_internal_cols=True, snap=prev)
               .withColumn("_bucket", bucket_expr(key_cols, nb)))
         self.commit_merge(df, list(range(nb)), epoch=None, manifests=[],
                           n_buckets=nb, maintenance=True,
-                          sort_cols=_sort_key(df))
+                          sort_cols=_sort_key(df), base=prev)
 
     # ---------------- incremental changelog read ----------------
     def read_changes(self, spark: SparkSession, from_version: int,

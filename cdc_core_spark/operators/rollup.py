@@ -476,8 +476,11 @@ class IncrementalRollup:
                                       cast_types=group_types)))
         props = dict(roll.props)
         props["rollup_base_version"] = base_version
+        # base=roll: the whole refresh (old-state read, merge, commit) is
+        # pinned to one rollup snapshot; a concurrent refresher conflicts
+        # (CommitConflictError) instead of silently splicing two refreshes
         return self.table.commit_merge(df, touched, epoch=None, manifests=[],
-                                       props=props)
+                                       props=props, base=roll)
 
     # ---------------- read ----------------
 

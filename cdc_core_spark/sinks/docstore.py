@@ -132,7 +132,10 @@ def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
         tbl = SnapshotTable.create(root, fields=fields, key_cols=key_cols,
                                    n_buckets=n_buckets,
                                    props={"store": "documents"})
-    meta = tbl.latest_meta()
+    # full latest() (not latest_meta): the probe read and the commit below
+    # are PINNED to this one snapshot, closing the read→commit race — the
+    # lake-level OCC rebases or conflicts if a concurrent writer lands
+    meta = tbl.latest()
     nb = meta.n_buckets
     # normalize incoming key types to the TABLE'S declared types BEFORE
     # hashing: xxhash64 hashes int 7 and bigint 7 differently (the
@@ -155,7 +158,7 @@ def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
     touched = sorted(r["_bucket"] for r in
                      incoming.select("_bucket").distinct().collect())
 
-    survivors = (tbl.read(spark, buckets=touched)
+    survivors = (tbl.read(spark, buckets=touched, snap=meta)
                  .withColumn("_bucket", bucket_expr(key_cols, nb))
                  .join(incoming.select(*key_cols), on=key_cols,
                        how="left_anti"))
@@ -166,7 +169,7 @@ def upsert_documents(df: DataFrame, root: str, key_cols: list[str],
     state = (state.withColumn("_op_ts", F.lit(-1).cast("bigint"))
              .withColumn("_event_seq", F.lit(-1).cast("bigint"))
              .withColumn("_deleted", F.lit(False)))
-    tbl.commit_merge(state, touched, epoch=None, manifests=[])
+    tbl.commit_merge(state, touched, epoch=None, manifests=[], base=meta)
 
 
 def delete_documents(spark: SparkSession, root: str, key_cols: list[str],
