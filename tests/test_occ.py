@@ -146,6 +146,54 @@ def test_cow_merge_conflicts_when_touched_bucket_changed(spark, tmp_path):
     assert _stage_dirs(tmp_path) == _referenced_stages(t2)
 
 
+def test_cow_merge_rebases_over_disjoint_bucket_delta(spark, tmp_path):
+    """A copy-on-write commit whose touched buckets were NOT changed by
+    the interloper rebases cleanly — concurrent writers on disjoint key
+    ranges (e.g. two doc-store upsert jobs) both land, neither retries
+    its Spark work. Keys 0 and 1 hash to buckets 0 and 2 under NB=4."""
+    t1, t2 = _mk(tmp_path), SnapshotTable(str(tmp_path))
+    _commit(spark, t1, [(0, 5, False), (1, 10, False)], 100, epoch=0)
+
+    base = t1.latest()
+    cow = (t1.read(spark, snap=base, with_internal_cols=True)
+           .filter("k = 1").withColumn("v", F.col("v") + 1)
+           .withColumn("_bucket", bucket_expr(["k"], NB)))
+    _commit(spark, t2, [(0, 6, False)], 200, epoch=1)   # bucket 0 only
+    snap = t1.commit_merge(cow, [2], epoch=None, manifests=[], base=base)
+
+    assert snap.parent == base.version + 1              # rebased, not raced
+    assert _state(spark, t1) == {0: 6, 1: 11}           # both writes kept
+
+
+def test_docstore_concurrent_disjoint_upserts(spark, tmp_path):
+    """Two doc-store writers upserting keys in DIFFERENT buckets at the
+    same time: the CAS loser's copy-on-write commit rebases over the
+    winner's untouched buckets — both documents land, no error, no lock."""
+    from cdc_core_spark.sinks.docstore import (read_documents,
+                                               upsert_documents)
+    root = str(tmp_path / "docs")
+    seed = spark.createDataFrame([(0, "a"), (1, "b")], "k long, body string")
+    upsert_documents(seed, root, ["k"], n_buckets=NB)
+
+    barrier, errs = threading.Barrier(2), []
+
+    def writer(key, body):
+        try:
+            df = spark.createDataFrame([(key, body)], "k long, body string")
+            barrier.wait()
+            upsert_documents(df, root, ["k"], n_buckets=NB)
+        except Exception as e:          # surfaced below, never swallowed
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=a)
+          for a in ((0, "a2"), (1, "b2"))]
+    [x.start() for x in ts]
+    [x.join() for x in ts]
+    assert not errs, errs
+    docs = {r["k"]: r["doc"] for r in read_documents(spark, root).collect()}
+    assert docs == {0: '{"body":"a2"}', 1: '{"body":"b2"}'}
+
+
 def test_rebucket_conflicts_with_any_concurrent_commit(spark, tmp_path):
     t1, t2 = _mk(tmp_path), SnapshotTable(str(tmp_path))
     _commit(spark, t1, [(k, k, False) for k in range(8)], 100, epoch=0)
