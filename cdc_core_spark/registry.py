@@ -116,6 +116,19 @@ def validate_evolution(old: SchemaDef, new: SchemaDef) -> list[SchemaOp]:
             if pair not in WIDENING:
                 raise SchemaEvolutionError(
                     f"MODIFY {op.name}: {pair[0]} → {pair[1]} is not a legal widening")
+            if op.name in new.key_cols():
+                # storage bucketing hashes the key's PHYSICAL type
+                # (bucket_expr: xxhash64(int 7) != xxhash64(bigint 7)), so
+                # a widened key re-hashes every existing key into a
+                # different bucket — point lookups and bucket-pruned
+                # merges would probe the new bucket and silently miss
+                # every pre-widen row. Key types are frozen; the migration
+                # path is an explicit full re-bucket (compact(n_buckets=))
+                # under the new type, which is a rewrite, not an evolution.
+                raise SchemaEvolutionError(
+                    f"MODIFY {op.name}: key column types are frozen — "
+                    f"widening re-hashes storage bucketing; migrate via an "
+                    f"explicit re-bucket rewrite instead")
         elif op.op == "NARROW":
             raise SchemaEvolutionError(
                 f"field '{op.name}' narrowed nullable → required: existing "

@@ -69,6 +69,25 @@ def test_key_change_rejected():
         validate_evolution(old, new)
 
 
+def test_key_widening_rejected():
+    """Widening a KEY column is a legal lattice move but an illegal
+    evolution: bucket_expr hashes the key's physical type (xxhash64(int 7)
+    != xxhash64(bigint 7)), so a widened key re-hashes every existing key
+    into a different storage bucket — point lookups and bucket-pruned
+    merges would silently miss every pre-widen row. Key types are frozen;
+    the same widening on a NON-key column stays legal."""
+    ik = [{"name": "k", "type": "int", "nullable": False, "key": True}]
+    old = _sd(ik + [{"name": "x", "type": "int", "nullable": True}])
+    new = _sd([{"name": "k", "type": "long", "nullable": False, "key": True},
+               {"name": "x", "type": "int", "nullable": True}], minor=1)
+    with pytest.raises(SchemaEvolutionError, match="key column types are frozen"):
+        validate_evolution(old, new)
+    # same move on the payload column: fine
+    wide_x = _sd(ik + [{"name": "x", "type": "long", "nullable": True}],
+                 minor=1)
+    validate_evolution(old, wide_x)
+
+
 def test_drop_is_soft_allowed():
     old = _sd(KEY + [{"name": "x", "type": "int", "nullable": True}])
     new = _sd(KEY, minor=1)
