@@ -194,7 +194,8 @@ class IcebergSnapshotTable:
     def commit_metadata(self, new_fields: list[dict],
                         new_aliases: dict | None = None,
                         epoch: int | None = None,
-                        props: dict | None = None) -> None:
+                        props: dict | None = None,
+                        base=None) -> None:
         """Metadata-only evolution (SnapshotTable.commit_metadata analog):
         renames from ``new_aliases`` (old→resolved name, applied when the
         old name is still live), then ADD COLUMN for new fields, then ALTER
@@ -279,19 +280,22 @@ class IcebergSnapshotTable:
         return int(row[0]["snapshot_id"]) if row else None
 
     def commit_delta(self, df: DataFrame, epoch: int | None,
-                     manifests, pre_partitioned: bool = False
-                     ) -> _IcebergCommit:
+                     manifests, pre_partitioned: bool = False,
+                     base=None) -> _IcebergCommit:
         """MOR delta: one atomic append snapshot, epoch + manifest rows in
         the snapshot summary (Transaction.newAppend + summary props).
         ``pre_partitioned`` is accepted for signature parity; Iceberg's
         fanout writer makes the pre-shuffle an optimization, not a
-        requirement."""
+        requirement. ``base`` (the lake's optimistic-concurrency pin) is
+        accepted for parity and unused: Iceberg's commit loop retries
+        appends against the fresh head natively (``commit.retry.*``), the
+        exact behavior ``SnapshotTable``'s delta rebase reimplements."""
         self._writer(df, epoch, manifests).append()
         return _IcebergCommit(self._last_snapshot_id(), epoch, manifests)
 
     def commit_delta_grouped(self, df: DataFrame, epochs: list[int],
-                             manifests, pre_partitioned: bool = False
-                             ) -> _IcebergCommit:
+                             manifests, pre_partitioned: bool = False,
+                             base=None) -> _IcebergCommit:
         """Group-commit MOR: several epochs' winners in ONE append snapshot;
         per-epoch committedness is recovered from the manifest rows'
         ``checkpoint_epoch`` (same fold rule as SnapshotTable)."""
@@ -306,14 +310,27 @@ class IcebergSnapshotTable:
                      props: dict | None = None,
                      pre_partitioned: bool = False,
                      n_buckets: int | None = None,
-                     maintenance: bool = False) -> _IcebergCommit:
+                     maintenance: bool = False,
+                     sort_cols: list[str] | None = None,
+                     base=None) -> _IcebergCommit:
         """Copy-on-write merge: dynamic partition overwrite replaces exactly
         the ``_bucket`` partitions present in ``df`` and carries the rest —
         the Iceberg form of SnapshotTable's touched-bucket rewrite (the
         identity-partition layout makes the two partition sets identical;
         ``touched_buckets`` is accepted for signature parity and the frame's
         own partitions are the authority, as with overwritePartitions).
-        DDL rides ahead of the data commit via ``commit_metadata``."""
+        DDL rides ahead of the data commit via ``commit_metadata``.
+
+        ``base`` (the lake's optimistic-concurrency pin) is accepted for
+        parity; the conflict rules it arms map onto Iceberg's NATIVE
+        validation rather than adapter code: overwrite/rewrite commits
+        validate concurrently-changed partitions per the table's
+        ``write.*.isolation-level`` (serializable = the lake's CoW
+        conflict; snapshot = its maintenance rebase), retries come from
+        ``commit.retry.*``, and a failed validation surfaces as
+        ``ValidationException`` — the ``CommitConflictError`` analog.
+        ``sort_cols`` parity: clustering belongs to the table's
+        ``write.sort-order`` (SORT ORDERED BY), not a per-commit flag."""
         if n_buckets is not None and n_buckets != self.n_buckets:
             raise NotImplementedError(
                 "re-bucketing via commit_merge(n_buckets=) is a lake-path "
