@@ -95,8 +95,10 @@ from __future__ import annotations
 import glob
 import json
 import os
+import random
 import shutil
 import tempfile
+import time
 import uuid
 
 from cdc_core_spark import fsutil
@@ -820,8 +822,15 @@ class SnapshotTable:
     #: bounded CAS retries before a commit gives up as a conflict — losing
     #: the version race this many times in a row means pathological
     #: contention (many lease-less writers on one table), which should
-    #: surface, not spin
+    #: surface, not spin (Iceberg: commit.retry.num-retries, default 4)
     OCC_MAX_RETRIES = 5
+
+    #: first-retry backoff ceiling in seconds; doubles per attempt with
+    #: full jitter, capped at 1 s (Iceberg: commit.retry.min/max-wait-ms).
+    #: Every CAS round has a winner, so progress is system-wide either
+    #: way — the backoff only de-synchronizes the losers so N writers
+    #: don't re-collide in lockstep and burn their whole retry budget
+    OCC_RETRY_BACKOFF_S = 0.05
 
     def _occ_publish(self, prev: Snapshot, stage_abs: str | None,
                      rebuild) -> Snapshot:
@@ -836,7 +845,7 @@ class SnapshotTable:
         must be pure metadata (no Spark jobs): the staged data files are
         written once, only the snapshot document is rebuilt per attempt."""
         base = prev
-        for _ in range(self.OCC_MAX_RETRIES + 1):
+        for attempt in range(self.OCC_MAX_RETRIES + 1):
             try:
                 snap = rebuild(base)
                 self._publish(snap)
@@ -854,6 +863,9 @@ class SnapshotTable:
                         shutil.rmtree(stage_abs, ignore_errors=True)
                     raise
                 base = newest
+                if attempt:  # first retry is free — contention is usually 2 writers
+                    time.sleep(random.uniform(
+                        0, min(self.OCC_RETRY_BACKOFF_S * (1 << attempt), 1.0)))
         if stage_abs:
             shutil.rmtree(stage_abs, ignore_errors=True)
         raise CommitConflictError(
