@@ -1,0 +1,136 @@
+"""spark-submit probe for compaction-DURING-ingest (OCC_PROBE.json).
+
+The optimistic commit model (lake.py: CAS-retry + safe rebase) exists so
+maintenance never pauses the CDC stream — the reference serializes both
+behind one distributed lock (core/.../processing/Processor.java:71-84),
+so at 100 TB its table either stops ingesting while it compacts or never
+compacts. This probe measures the lake-native alternative on the real
+fixture, one Spark session, back to back:
+
+  A. solo     — replay the fixture, nothing else running
+  B. racing   — same replay while a maintainer thread runs INCREMENTAL
+                compaction (min_delta_files=2) against the same table,
+                each pass pinned to the snapshot at its entry and rebased
+                over whatever ingest committed meanwhile
+
+and reports: both replay walls, how many compactions landed mid-ingest,
+conflicts (must be 0 — additive deltas and input-preserving rewrites are
+mutually rebasable), the end-state delta-layer count (B ends SHALLOWER:
+the background rewrites folded layers the solo run leaves for later), a
+converged-read wall on both end states, and CRC equality (the rebased
+interleaving must be bit-identical to the serial order).
+
+    spark-submit --master local[N] --py-files cdc_core_spark.zip \
+        scripts/occ_probe.py <fixture_dir> <state_root>
+
+Single-box caveat, disclosed in the JSON: solo and racing contend for the
+same cores here, so wall_B > wall_A reflects CPU sharing, not commit
+contention — on a real cluster maintenance runs on separate executors and
+the number that transfers is conflicts=0 + CRC equality + the shallower
+end state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    fixture_dir, state_root = sys.argv[1], sys.argv[2]
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from cdc_core_spark import synth
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.lake import SnapshotTable
+    from cdc_core_spark.oracle import state_crc
+    from cdc_core_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.from_docs(synth.registry_docs())
+    src_path = os.path.join(fixture_dir, "source_repos.parquet")
+    events_path = os.path.join(fixture_dir, "change_events")
+
+    def run(tag: str, racing: bool) -> dict:
+        root = os.path.join(state_root, tag)
+        shutil.rmtree(root, ignore_errors=True)
+        eng = CdcEngine(spark, root, reg, n_buckets=32)
+        src = spark.read.parquet(src_path)
+        eng.initial_load(src, "1.0")
+
+        tbl = SnapshotTable(os.path.join(root, "target"))
+        stop, errs, n_compact = threading.Event(), [], [0]
+
+        def maintainer() -> None:
+            try:
+                while not stop.is_set():
+                    v = tbl.latest_meta().version
+                    tbl.compact(spark, min_delta_files=2)
+                    if tbl.latest_meta().version > v:
+                        n_compact[0] += 1
+                    deadline = time.monotonic() + 5.0
+                    while (tbl.latest_meta().version <= v + 1
+                           and time.monotonic() < deadline
+                           and not stop.is_set()):
+                        time.sleep(0.05)
+            except Exception as e:  # conflict budget is ZERO — surface it
+                errs.append(repr(e))
+
+        th = threading.Thread(target=maintainer) if racing else None
+        t0 = time.monotonic()
+        if th:
+            th.start()
+        try:
+            eng.replay(events_path)
+        finally:
+            if th:
+                stop.set()
+                th.join()
+        replay_sec = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        crc = int(state_crc(eng.read_final_with_sha()))
+        read_sec = time.monotonic() - t1
+        snap = tbl.latest()
+        return {"replay_sec": round(replay_sec, 3),
+                "converged_read_sec": round(read_sec, 3),
+                "state_crc": crc,
+                "final_rows": eng.count_final(),
+                "delta_files_at_end": sum(
+                    1 for f in snap.files if f.get("kind") == "delta"),
+                "total_files_at_end": len(snap.files),
+                "snapshot_versions": snap.version,
+                **({"compactions_landed_mid_ingest": n_compact[0],
+                    "commit_conflicts": len(errs),
+                    "maintainer_errors": errs} if racing else {})}
+
+    solo = run("solo", racing=False)
+    racing = run("racing", racing=True)
+    out = {
+        "metric": ("compaction-DURING-ingest on the bench fixture: same "
+                   "replay with a live incremental-compaction thread vs "
+                   "solo; the OCC rebase rules are the only coordination"),
+        "cores": spark.sparkContext.defaultParallelism,
+        "solo": solo, "racing": racing,
+        "crc_equal": solo["state_crc"] == racing["state_crc"],
+        "rows_equal": solo["final_rows"] == racing["final_rows"],
+        "single_box_caveat": (
+            "solo and racing share one box's cores, so the racing replay "
+            "wall includes CPU contention with the rewrites, not commit "
+            "contention; what transfers to a multi-node cluster is "
+            "conflicts=0, CRC equality, and the shallower delta state"),
+    }
+    print("RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
