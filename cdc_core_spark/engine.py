@@ -618,7 +618,8 @@ class CdcEngine:
                schema_version: str = "1.0", epochs: list[int] | None = None,
                compact_every: int | None = None,
                group_commit: bool = True, lease: bool = True,
-               transform=None) -> None:
+               transform=None,
+               background_compact: int | None = None) -> None:
         """Resume-from-checkpoint replay loop. Skips epochs whose manifests are
         already committed (the ReceiverOffset committed-split analog).
 
@@ -648,7 +649,42 @@ class CdcEngine:
         per-group liveness heartbeats (coordination.py — DistributedLock /
         HeartbeatThread analogs); a second driver on the same table fails
         fast with LockHeldError instead of computing doomed commits. The
-        snapshot CAS remains the correctness arbiter either way."""
+        snapshot CAS remains the correctness arbiter either way.
+
+        ``background_compact=K`` runs incremental compaction
+        (``min_delta_files=K``) on a driver-side thread CONCURRENTLY with
+        the replay — the lake's optimistic commit rules are the only
+        coordination (additive epoch deltas and input-preserving rewrites
+        rebase over each other; the rewrite takes no lease). Unlike
+        ``compact_every``, ingest never waits for a rewrite: Spark
+        schedules both threads' jobs side by side. Measured on the bench
+        fixture (``OCC_PROBE.json``): rewrites land mid-replay with zero
+        conflicts, the racing replay wall matches or beats solo (the
+        background rewrites keep the merge-on-read fold shallow), and the
+        converged read is ~1.8× faster on the compacted end state. A
+        maintainer failure is re-raised AFTER the replay completes —
+        ingest is never sacrificed to a maintenance error."""
+        import threading
+
+        if background_compact is not None:
+            stop, errs = threading.Event(), []
+            th = threading.Thread(
+                target=self._bg_compact_loop,
+                args=(stop, errs, background_compact), daemon=True)
+            th.start()
+            try:
+                self.replay(events_path, source_df, schema_version, epochs,
+                            compact_every, group_commit, lease,
+                            transform=transform)
+            finally:
+                stop.set()
+                th.join()
+            if errs:
+                raise RuntimeError(
+                    "background compaction failed (replay itself completed "
+                    "and committed)") from errs[0]
+            return
+
         from cdc_core_spark import coordination as coord
         if lease:
             lock = coord.ProcessLock(self.root, owner=self.entity).acquire()
@@ -846,6 +882,33 @@ class CdcEngine:
         self.table.compact(self.spark, n_buckets=n_buckets,
                            min_delta_files=min_delta_files)
         self.n_buckets = nb
+
+    def _bg_compact_loop(self, stop, errs: list,
+                         min_delta_files: int) -> None:
+        """Background maintainer driven by ``replay(background_compact=K)``:
+        incremental rewrites against the live table, each pass pinned to
+        the snapshot at its entry and rebased over whatever ingest commits
+        meanwhile (lake OCC). Goes straight at ``self.table`` — never
+        ``self.compact`` — so the replay thread's engine state
+        (``n_buckets`` sync) is untouched. Between passes it waits for
+        fresh ingest so an idle stream isn't rewritten in a hot loop.
+        Any failure is recorded for the caller, which re-raises AFTER the
+        replay finishes — a maintenance error must not kill ingest."""
+        try:
+            while not stop.is_set():
+                if not self.table.exists():   # initial load not published yet
+                    stop.wait(0.05)
+                    continue
+                v = self.table.latest_meta().version
+                self.table.compact(self.spark,
+                                   min_delta_files=min_delta_files)
+                deadline = time.monotonic() + 5.0
+                while (self.table.latest_meta().version <= v + 1
+                       and time.monotonic() < deadline
+                       and not stop.is_set()):
+                    stop.wait(0.05)
+        except Exception as e:               # re-raised by replay() post-run
+            errs.append(e)
 
     # ------------------------------------------------------------------- reads
     def read_final(self, columns: list[str] | None = None) -> DataFrame:
