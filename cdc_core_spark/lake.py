@@ -862,6 +862,19 @@ class SnapshotTable:
                     if stage_abs:
                         shutil.rmtree(stage_abs, ignore_errors=True)
                     raise
+                if attempt >= 2:
+                    # observability at scale: steady rebases are normal for
+                    # one background maintainer, but a writer repeatedly
+                    # losing the CAS means real multi-writer contention the
+                    # operator should know about before the retry budget
+                    # (OCC_MAX_RETRIES) turns it into CommitConflictError
+                    import warnings
+                    warnings.warn(
+                        f"commit under {self.log_dir} lost the version CAS "
+                        f"{attempt + 1} times (now rebasing v{base.version}"
+                        f"->v{newest.version}); concurrent writers are "
+                        "contending on this table", RuntimeWarning,
+                        stacklevel=2)
                 base = newest
                 if attempt:  # first retry is free — contention is usually 2 writers
                     time.sleep(random.uniform(
