@@ -308,3 +308,76 @@ def test_rollup_concurrent_refresh_conflicts(spark, tmp_path):
     r1.table.latest = orig
     got = {row["k"]: row["sum_v"] for row in r1.read(spark).collect()}
     assert got == {1: 11, 2: 20}
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_occ_random_interleavings_never_lose_data(spark, tmp_path, seed):
+    """Model-based randomized OCC check (the test_lake_model.py style,
+    pointed at concurrency): two handles on one table take a seeded random
+    walk of delta commits, incremental/full compactions and add-column
+    evolutions, where any step may pin ``base=`` to a snapshot up to four
+    commits STALE — i.e. every step is a potential read→commit race. The
+    invariants are outcome-agnostic, so the test can't replicate the rebase
+    rules it checks: (1) an ADDITIVE delta must never conflict, whatever it
+    raced; (2) a successful commit's effect is applied to the model, a
+    CommitConflictError leaves it untouched; (3) after EVERY step the
+    visible table state equals the model and the committed-epoch ledger
+    equals the model's epochs; (4) at the end every referenced file exists
+    on disk (a rebase that carried a path its interloper deleted would
+    surface here)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    handles = [_mk(tmp_path), SnapshotTable(str(tmp_path))]
+    model: dict[int, int | None] = {}
+    epochs_done: set[int] = set()
+    next_epoch = 0
+    n_extra = 0
+    bases: list = []
+
+    def check():
+        t = handles[0]
+        got = {r["k"]: r["v"] for r in
+               t.read(spark).select("k", "v").collect()}
+        want = {k: v for k, v in model.items() if v is not None}
+        assert got == want
+        assert t.committed_epochs() == epochs_done
+
+    for step in range(24):
+        t = rng.choice(handles)
+        base = rng.choice(bases[-4:]) if bases and rng.random() < 0.5 else None
+        op = rng.choices(["delta", "compact", "metadata"],
+                         weights=[6, 3, 1])[0]
+        if op == "delta":
+            rows = [(k, rng.randrange(1000),
+                     rng.random() < 0.15)          # 15% tombstones
+                    for k in rng.sample(range(16), rng.randrange(1, 6))]
+            _commit(spark, t, rows, op_ts=1000 + step, epoch=next_epoch,
+                    base=base)                     # invariant 1: never raises
+            for k, v, dead in rows:
+                model[k] = None if dead else v
+            epochs_done.add(next_epoch)
+            next_epoch += 1
+        elif op == "compact":
+            try:
+                t.compact(spark, base=base,
+                          min_delta_files=rng.choice([None, 1, 2]))
+            except CommitConflictError:
+                pass                               # invariant 2: no effect
+        else:
+            try:
+                snap = base if base is not None else t.latest()
+                fields = list(snap.fields) + [
+                    {"name": f"extra{n_extra}", "type": "string",
+                     "nullable": True}]
+                t.commit_metadata(fields, dict(snap.aliases), base=base)
+                n_extra += 1
+            except CommitConflictError:
+                pass
+        bases.append(handles[0].latest())
+        check()
+
+    # invariant 4: every referenced file exists on disk
+    head = handles[0].latest()
+    for f in head.files:
+        assert os.path.exists(os.path.join(str(tmp_path), f["path"])), f["path"]
