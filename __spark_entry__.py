@@ -484,7 +484,8 @@ def q_cdc_out_chain(spark, sf_dir):
     complete changelog from table-version 0 via read_changes (the Iceberg
     incremental-append-scan analog, lake.py), and apply that changelog to a
     SECOND SnapshotTable as a downstream incremental consumer would — LWW
-    fold of the change rows, one delta commit, tombstones filtered on read.
+    fold of the change rows, one delta commit staged on a WAP branch and
+    published via fast_forward, tombstones filtered on read.
     The downstream table's converged state must equal the upstream engine's,
     so the gate shares _ENGINE_REPLAY_SQL — proving the changelog is a
     lossless pipeline primitive (the sink turned back into a source), not
@@ -510,9 +511,18 @@ def q_cdc_out_chain(spark, sf_dir):
     payload = [c for c in snap.field_names() if c not in snap.key_cols]
     winners = lww_reduce(changes.drop("_change_version", "_change_op"),
                          snap.key_cols, payload + ["_deleted"])
-    t2.commit_delta(
+    # downstream applies via WRITE-AUDIT-PUBLISH (lake refs, the Iceberg
+    # spark.wap.branch flow): the delta is staged on a branch invisible to
+    # main readers, audited (metadata-only: the staged commit must carry
+    # files), then published atomically by fast_forward — so this gate also
+    # value-checks the branch commit + publish path against the SQL oracle
+    br = t2.create_branch("audit")
+    br.commit_delta(
         winners.withColumn("_bucket", bucket_expr(snap.key_cols, 8)),
         epoch=0, manifests=[])
+    assert br.latest().files and not t2.latest().files  # staged, unpublished
+    t2.fast_forward("audit")
+    t2.drop_branch("audit")
     return t2.read(spark).select(
         "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))

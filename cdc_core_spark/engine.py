@@ -37,6 +37,11 @@ SCHEMA_OPS = (0, 1, 2)
 DATA_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
 
 
+class WapAuditError(RuntimeError):
+    """wap_replay's audit rejected the staged branch state; main was never
+    touched and the branch is retained for inspection."""
+
+
 def _list_epochs(events_path: str) -> list[int] | None:
     """Epoch ids from the hive partition layout — a filesystem listing, not a
     Spark job. Returns None when the path isn't epoch-partitioned."""
@@ -708,6 +713,67 @@ class CdcEngine:
                                 epochs, compact_every, group_commit,
                                 transform=transform,
                                 beat=lambda st, ep=None, err=None: None)
+
+    def wap_replay(self, events_path: str, branch: str = "wap-audit",
+                   audit=None, source_df: DataFrame | None = None,
+                   schema_version: str = "1.0",
+                   drop_branch: bool = True, **replay_kw) -> None:
+        """Write-audit-publish replay (the Iceberg ``spark.wap.branch``
+        flow over ``lake`` refs): every epoch commit is staged on an
+        isolated BRANCH of the target table — invisible to main-ref
+        readers — then ``audit`` validates the staged state, and only on
+        success is the branch published atomically by fast-forwarding
+        main. This is the reference's validation-before-persist quality
+        gate (rules → quarantine, mapping/.../rules/RulesExecutor.java;
+        EntityValidationError upserts, PersistencePipeline.java:80-93)
+        lifted from per-row to whole-staged-state: downstream consumers
+        can never observe a batch that failed its audit.
+
+        ``audit`` is a callable receiving THIS engine bound to the branch
+        state (``read_final``/``count_final``/``manifests_df`` all resolve
+        against the staged table); return False or raise to reject. On
+        rejection the branch is KEPT for inspection
+        (``eng.table.branch(name)``) and ``WapAuditError`` (or the
+        audit's own exception) propagates — main is untouched. Re-running
+        ``wap_replay`` with the same branch resumes: branch-committed
+        epochs are skipped by the exactly-once manifests, the audit runs
+        again over the completed state, and a crash between audit and
+        publish re-enters ``fast_forward`` idempotently.
+
+        The initial snapshot load (``source_df`` on a fresh table) commits
+        to MAIN — it is the bootstrap readers must see; WAP stages the
+        incremental epochs on top of it. At 100 TB the cost over a plain
+        replay is zero data movement: branch and publish are both pure
+        metadata."""
+        main = self.table
+        if main.ref is not None:
+            raise ValueError("engine is already bound to a branch handle")
+        if source_df is not None and not main.exists():
+            self.initial_load(source_df, schema_version=schema_version)
+        if not main.exists():
+            raise FileNotFoundError(
+                "wap_replay needs an existing target table to fork "
+                "(run initial_load / pass source_df first)")
+        try:
+            br = main.branch(branch)
+        except FileNotFoundError:
+            br = main.create_branch(branch)
+        self.table = br
+        try:
+            self.replay(events_path, schema_version=schema_version,
+                        **replay_kw)
+            if audit is not None and audit(self) is False:
+                raise WapAuditError(
+                    f"audit rejected the staged state on branch "
+                    f"{branch!r}; main is untouched — inspect via "
+                    f"table.branch({branch!r}), repair (reprocess_errors / "
+                    "drop_branch + re-stage), then rerun wap_replay")
+        finally:
+            self.table = main
+        main.fast_forward(branch)
+        if drop_branch:
+            main.drop_branch(branch)
+        self._sync_buckets()
 
     def _replay_locked(self, events_path: str, source_df: DataFrame | None,
                        schema_version: str, epochs: list[int] | None,

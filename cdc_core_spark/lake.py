@@ -178,6 +178,15 @@ class Snapshot:
         return [f["name"] for f in self.fields]
 
 
+def _validate_ref_name(name: str) -> None:
+    import re
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+        raise ValueError(
+            f"invalid ref name {name!r}: letters/digits/._- only (max 64, "
+            "must start alphanumeric) — ref names become directory / file "
+            "names under _log")
+
+
 class SnapshotTable:
     #: max file entries stored inline in the snapshot JSON; above this the
     #: list is split into a sidecar manifest-list file (the Iceberg
@@ -187,9 +196,20 @@ class SnapshotTable:
     #: via CDC_INLINE_FILES_MAX.
     INLINE_FILES_MAX = 4096
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, ref: str | None = None):
         self.root = root
-        self.log_dir = os.path.join(root, "_log")
+        self.main_log_dir = os.path.join(root, "_log")
+        if ref is None:
+            self.log_dir = self.main_log_dir
+        else:
+            _validate_ref_name(ref)
+            self.log_dir = os.path.join(self.main_log_dir, "refs", ref)
+            if not os.path.isfile(os.path.join(self.log_dir, "base.json")):
+                raise FileNotFoundError(
+                    f"branch {ref!r} does not exist under {self.root} — "
+                    "create it with table.create_branch(name)")
+        self.ref = ref
+        self._fork_cache: int | None = None
         self.data_dir = os.path.join(root, "data")
         self.inline_files_max = int(
             os.environ.get("CDC_INLINE_FILES_MAX", self.INLINE_FILES_MAX))
@@ -212,12 +232,51 @@ class SnapshotTable:
         t._publish(snap)
         return t
 
-    def _snapshot_paths(self) -> list[str]:
+    @staticmethod
+    def _doc_version(path: str) -> int:
+        return int(os.path.basename(path)[1:-5])
+
+    @staticmethod
+    def _dir_doc_paths(d: str) -> list[str]:
         # strict v{digits}.json — excludes the v*-files.json manifest-list
         # sidecars living in the same directory
         import re
-        return sorted(p for p in glob.glob(os.path.join(self.log_dir, "v*.json"))
-                      if re.fullmatch(r"v\d+\.json", os.path.basename(p)))
+        return [p for p in glob.glob(os.path.join(d, "v*.json"))
+                if re.fullmatch(r"v\d+\.json", os.path.basename(p))]
+
+    def _snapshot_paths(self) -> list[str]:
+        if self.ref is None:
+            return sorted(self._dir_doc_paths(self.log_dir))
+        # a branch's chain = main's docs up to the fork version + the
+        # branch's own commits after it (versions continue main's numbering
+        # at the fork, so fast_forward is a pure metadata publish) — main
+        # commits made AFTER the fork belong to a diverged history and are
+        # excluded. v%012d basenames keep the cross-directory sort correct.
+        fork = self._fork_version()
+        main = [p for p in self._dir_doc_paths(self.main_log_dir)
+                if self._doc_version(p) <= fork]
+        return sorted(main + self._dir_doc_paths(self.log_dir),
+                      key=os.path.basename)
+
+    def _fork_version(self) -> int:
+        """The main-ref version this branch forked from (immutable, cached)."""
+        if self._fork_cache is None:
+            with open(os.path.join(self.log_dir, "base.json")) as f:
+                self._fork_cache = int(json.load(f)["fork_version"])
+        return self._fork_cache
+
+    def _doc_path(self, version: int) -> str:
+        """Where version's snapshot doc lives — ref-aware (a branch resolves
+        versions at-or-before its fork from the main log)."""
+        name = f"v{version:012d}.json"
+        if self.ref is not None and version <= self._fork_version():
+            return os.path.join(self.main_log_dir, name)
+        return os.path.join(self.log_dir, name)
+
+    def _require_main(self, what: str) -> None:
+        if self.ref is not None:
+            raise ValueError(f"{what} operates on the main ref — this handle "
+                             f"is bound to branch {self.ref!r}")
 
     def exists(self) -> bool:
         return bool(self._snapshot_paths())
@@ -253,7 +312,10 @@ class SnapshotTable:
             d = json.load(f)
         files = d["files"]
         if isinstance(files, dict):   # split-out manifest list (see _publish)
-            with open(os.path.join(self.log_dir, files["ref"])) as f:
+            # a sidecar lives NEXT TO its doc (branch docs carry branch-dir
+            # sidecars until fast_forward copies both) — resolve against the
+            # doc's directory, not this handle's log_dir
+            with open(os.path.join(os.path.dirname(path), files["ref"])) as f:
                 d["files"] = json.load(f)
         return Snapshot(**d)
 
@@ -262,7 +324,7 @@ class SnapshotTable:
         specific published version; pass it to ``read(spark, snap=...)`` to
         read the table as of that commit. Raises ``FileNotFoundError`` for a
         version never published or already expired."""
-        path = os.path.join(self.log_dir, f"v{version:012d}.json")
+        path = self._doc_path(version)
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"snapshot v{version} not found under {self.log_dir} "
@@ -1049,8 +1111,10 @@ class SnapshotTable:
     def _expired_base_doc(self) -> dict:
         """Ledger of what ``expire_snapshots`` folded away: committed epochs
         and lineage manifests from expired snapshots survive retention here,
-        so exactly-once resume and metrics stay correct after cleanup."""
-        p = os.path.join(self.log_dir, "expired-base.json")
+        so exactly-once resume and metrics stay correct after cleanup.
+        Always the MAIN ref's ledger: expiration runs on main only, and a
+        branch's history below its fork IS main's history."""
+        p = os.path.join(self.main_log_dir, "expired-base.json")
         if not os.path.exists(p):
             return {"epochs": [], "manifests": []}
         with open(p) as f:
@@ -1112,14 +1176,169 @@ class SnapshotTable:
         self._epochs_cache = (key, eps)
         return set(eps)
 
+    # ---------------- refs: branches + tags ----------------
+    # The Iceberg branch/tag surface (Iceberg refs; spark.wap.branch flow),
+    # re-expressed over the snapshot log. A BRANCH is an isolated commit
+    # chain under _log/refs/<name>/ whose versions CONTINUE main's numbering
+    # from an immutable fork point — so publishing it is fast_forward's pure
+    # metadata copy, never a data rewrite. A TAG pins one version against
+    # retention. The reference has no refs concept (its stores are mutable);
+    # the CDC use is WRITE-AUDIT-PUBLISH: stage epochs on a branch, validate
+    # the staged state, publish atomically by fast-forwarding main — the
+    # quality gate the reference runs row-by-row (validation rules →
+    # quarantine, mapping/.../rules/RulesExecutor.java) applied instead to a
+    # whole staged table state before downstream readers can see it.
+
+    def create_branch(self, name: str) -> "SnapshotTable":
+        """Fork a branch at the current main head; returns a handle bound to
+        it. All commit flavors (delta / merge / metadata / compact) work on
+        the branch handle unchanged — same OCC rules, CASed within the
+        branch's own log."""
+        self._require_main("create_branch")
+        _validate_ref_name(name)
+        d = os.path.join(self.main_log_dir, "refs", name)
+        if os.path.isdir(d):
+            raise FileExistsError(f"branch {name!r} already exists")
+        head = self.latest_meta().version
+        os.makedirs(d, exist_ok=True)
+        # exclusive: two drivers racing create_branch must not silently
+        # share a branch forked at different heads
+        _atomic_write_json(os.path.join(d, "base.json"),
+                           {"fork_version": head}, exclusive=True)
+        return SnapshotTable(self.root, ref=name)
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Handle to an existing branch (FileNotFoundError if absent)."""
+        self._require_main("branch")
+        return SnapshotTable(self.root, ref=name)
+
+    def branches(self) -> dict[str, int]:
+        """Live branches: name -> fork_version."""
+        out: dict[str, int] = {}
+        for base in glob.glob(os.path.join(self.main_log_dir, "refs", "*",
+                                           "base.json")):
+            with open(base) as f:
+                out[os.path.basename(os.path.dirname(base))] = \
+                    int(json.load(f)["fork_version"])
+        return dict(sorted(out.items()))
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: metadata-only removal of its log. Data files
+        referenced only by the dropped branch become unreferenced debris —
+        ``remove_orphan_files`` collects them after its grace window (the
+        Iceberg pattern: dropping a ref never deletes data inline)."""
+        self._require_main("drop_branch")
+        _validate_ref_name(name)
+        d = os.path.join(self.main_log_dir, "refs", name)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"branch {name!r} does not exist")
+        shutil.rmtree(d)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish branch ``name`` onto main (Iceberg ``fast_forward``):
+        requires main's head to be the branch's fork point (or already a
+        prefix of the branch — reruns after a crash mid-publish resume
+        idempotently). Each branch commit doc (+ its manifest-list sidecar)
+        is copied into the main log oldest-first with the same exclusive
+        version CAS every commit uses, so a concurrent main writer makes
+        this raise ``CommitConflictError`` instead of splicing histories —
+        divergence is never silently merged (rebase by replaying the branch
+        epochs on a fresh fork instead; exactly-once manifests make the
+        replay safe). Crash-safe: any prefix of the copy is itself a valid
+        main chain, and the sidecar is copied before the doc that
+        references it."""
+        self._require_main("fast_forward")
+        br = self.branch(name)
+        fork = br._fork_version()
+        bpaths = sorted(self._dir_doc_paths(br.log_dir),
+                        key=os.path.basename)
+        head = self.latest_meta().version
+        if not bpaths:
+            if head != fork:
+                raise CommitConflictError(
+                    f"fast_forward({name!r}): branch has no commits and "
+                    f"main advanced past its fork (v{fork} -> v{head})")
+            return self.latest()
+        if head > self._doc_version(bpaths[-1]):
+            raise CommitConflictError(
+                f"fast_forward({name!r}): main head v{head} is past the "
+                f"branch head v{self._doc_version(bpaths[-1])} — histories "
+                "diverged")
+        for p in bpaths:
+            v = self._doc_version(p)
+            doc = self._load_snapshot_doc(p)
+            files = doc["files"]
+            if isinstance(files, dict):
+                src = os.path.join(br.log_dir, files["ref"])
+                dst = os.path.join(self.log_dir, files["ref"])
+                if not os.path.exists(dst):   # ref names are writer-unique
+                    with open(src) as f:
+                        _atomic_write_json(dst, json.load(f))
+            target = os.path.join(self.log_dir, f"v{v:012d}.json")
+            try:
+                _atomic_write_json(target, doc, exclusive=True)
+            except FileExistsError:
+                if self._load_snapshot_doc(target) == doc:
+                    continue   # already published (rerun / crash resume)
+                raise CommitConflictError(
+                    f"fast_forward({name!r}): main already holds a "
+                    f"DIFFERENT v{v} — histories diverged; replay the "
+                    "branch epochs on a fresh fork") from None
+        self._epochs_cache = None
+        return self.latest()
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: head) against ``expire_snapshots`` and
+        give it a name for time travel. One file per tag under _log/tags/,
+        exclusive create — re-tagging a live name raises."""
+        self._require_main("create_tag")
+        _validate_ref_name(name)
+        v = self.latest_meta().version if version is None else int(version)
+        if not os.path.exists(self._doc_path(v)):
+            raise FileNotFoundError(
+                f"cannot tag v{v}: snapshot not found (never published, or "
+                "expired)")
+        d = os.path.join(self.main_log_dir, "tags")
+        os.makedirs(d, exist_ok=True)
+        _atomic_write_json(os.path.join(d, f"{name}.json"),
+                           {"version": v}, exclusive=True)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """Live tags: name -> version."""
+        out: dict[str, int] = {}
+        for p in glob.glob(os.path.join(self.main_log_dir, "tags", "*.json")):
+            with open(p) as f:
+                out[os.path.basename(p)[:-5]] = int(json.load(f)["version"])
+        return dict(sorted(out.items()))
+
+    def drop_tag(self, name: str) -> None:
+        self._require_main("drop_tag")
+        p = os.path.join(self.main_log_dir, "tags", f"{name}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"tag {name!r} does not exist")
+        os.remove(p)
+
+    def ref_snapshot(self, name: str) -> Snapshot:
+        """Resolve a ref by name: a tag yields its pinned version's
+        snapshot, a branch yields the branch head (``VERSION AS OF``-style
+        named reads)."""
+        t = self.tags()
+        if name in t:
+            return self.snapshot(t[name])
+        return self.branch(name).latest()
+
     # ---------------- retention / maintenance ----------------
-    def _doc_files(self, doc: dict) -> tuple[list[dict], str | None]:
+    def _doc_files(self, doc: dict,
+                   doc_dir: str | None = None) -> tuple[list[dict], str | None]:
         """File list of a snapshot doc (resolving a manifest-list sidecar),
-        plus the sidecar's relative name if one exists."""
+        plus the sidecar's relative name if one exists. ``doc_dir`` is the
+        directory the doc was read from (sidecars live next to their doc);
+        defaults to this handle's log_dir."""
         files = doc["files"]
         if isinstance(files, dict):
             ref = files["ref"]
-            with open(os.path.join(self.log_dir, ref)) as f:
+            with open(os.path.join(doc_dir or self.log_dir, ref)) as f:
                 return json.load(f), ref
         return files, None
 
@@ -1135,6 +1354,7 @@ class SnapshotTable:
 
         Caller must hold the writer lease (``coordination.ProcessLock``) —
         concurrent expire + commit can race on the live-file computation."""
+        self._require_main("expire_snapshots")
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         paths = self._snapshot_paths()
@@ -1153,7 +1373,22 @@ class SnapshotTable:
         for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files*.json")):
             if os.path.basename(abs_sc) not in live_refs:
                 os.remove(abs_sc)
-        expired, retained = paths[:-keep_last], paths[-keep_last:]
+        # refs protect snapshots from expiration (the Iceberg rule): a
+        # TAGGED version's doc is pinned, and every doc at-or-after the
+        # OLDEST live branch fork is pinned — a branch reads main's docs up
+        # to its fork, and files its staged commits carry forward by
+        # reference are live exactly because the fork doc still references
+        # them. Protected docs simply stay retained (the live-file union
+        # below then keeps their data); expiration of the unprotected
+        # prefix remains union-idempotent across reruns.
+        protected = set(self.tags().values())
+        forks = list(self.branches().values())
+        min_fork = min(forks) if forks else None
+        cand = paths[:-keep_last]
+        expired = [p for p in cand
+                   if self._doc_version(p) not in protected
+                   and (min_fork is None or self._doc_version(p) < min_fork)]
+        retained = [p for p in paths if p not in set(expired)]
         if not expired:
             return {"snapshots_removed": 0, "files_removed": 0}
         live: set[str] = set()
@@ -1217,9 +1452,18 @@ class SnapshotTable:
         with the writer lease held, or with ``grace_s`` comfortably above
         the longest stage-to-publish latency."""
         import time
+        self._require_main("remove_orphan_files")
         referenced: set[str] = set()
-        for p in self._snapshot_paths():
-            files, _ = self._doc_files(self._load_snapshot_doc(p))
+        # every ref keeps its files live: an unpublished WAP branch's staged
+        # deltas are referenced ONLY by branch docs, and sweeping them would
+        # corrupt the branch before its audit ever ran
+        doc_paths = list(self._snapshot_paths())
+        for name in self.branches():
+            doc_paths.extend(self._dir_doc_paths(
+                os.path.join(self.main_log_dir, "refs", name)))
+        for p in doc_paths:
+            files, _ = self._doc_files(self._load_snapshot_doc(p),
+                                       os.path.dirname(p))
             referenced.update(os.path.normpath(f["path"]) for f in files)
         cutoff = time.time() - grace_s
         removed: list[str] = []
@@ -1400,9 +1644,9 @@ class SnapshotTable:
         change_cols = [("_change_version", "bigint"), ("_change_op", "string")]
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_snap.version + 1):
-            doc = self._load_snapshot_doc(
-                os.path.join(self.log_dir, f"v{v:012d}.json"))
-            files, _ = self._doc_files(doc)
+            doc_path = self._doc_path(v)
+            doc = self._load_snapshot_doc(doc_path)
+            files, _ = self._doc_files(doc, os.path.dirname(doc_path))
             cur_paths = {f["path"] for f in files}
             added = [f for f in files if f["path"] not in prev_paths]
             removed = prev_paths - cur_paths
