@@ -64,6 +64,12 @@ SnapshotTable call     Iceberg operation                           notes
 ``read_changes``       incremental append scan                     same skip-
                        (``TableScan.appendsBetween``)              on-rewrite
                                                                    rule
+``create_branch`` /    ``manageSnapshots().createBranch`` / SQL    WAP =
+``fast_forward`` /     ``ALTER TABLE t CREATE BRANCH b`` +         Iceberg's
+``drop_branch``        ``system.fast_forward(t,'main',b)``         wap.branch
+``create_tag`` /       ``manageSnapshots().createTag`` — tagged    same
+``drop_tag``           snapshots survive ``expireSnapshots``       retention
+                                                                   rule
 =====================  ==========================================  =========
 
 Nothing in the engine calls a primitive Iceberg lacks; the only behavioral

@@ -410,6 +410,45 @@ class IcebergSnapshotTable:
             F.when(F.col("_deleted"), F.lit("delete")).otherwise(
                 F.lit("upsert")))
 
+    # ---------------- refs: branches + tags ----------------
+    # lake.SnapshotTable's refs map 1:1 onto Iceberg refs; write-audit-
+    # publish = stage commits on the branch (writeTo(branch_ident(name)) or
+    # session conf spark.wap.branch), audit the branch read, then
+    # fast_forward main. Same retention rule: Iceberg never expires
+    # snapshots a ref points to.
+
+    def create_branch(self, name: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self.ident} CREATE BRANCH `{name}`")
+
+    def drop_branch(self, name: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self.ident} DROP BRANCH `{name}`")
+
+    def create_tag(self, name: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self.ident} CREATE TAG `{name}`")
+
+    def drop_tag(self, name: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self.ident} DROP TAG `{name}`")
+
+    def fast_forward(self, name: str) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.fast_forward"
+            f"(table => '{self.ident.split('.', 1)[1]}', "
+            f"branch => 'main', to => '{name}')")
+
+    def refs(self) -> DataFrame:
+        """The `refs` metadata table: one row per branch/tag with its
+        pinned snapshot id."""
+        return self.spark.read.format("iceberg").load(f"{self.ident}.refs")
+
+    def branch_ident(self, name: str) -> str:
+        """Writable identifier for a branch (``df.writeTo(...)`` target /
+        ``INSERT INTO`` — the Iceberg ``table.branch_<name>`` form)."""
+        return f"{self.ident}.branch_{name}"
+
+    def read_branch(self, name: str) -> DataFrame:
+        return (self.spark.read.format("iceberg").option("branch", name)
+                .load(self.ident))
+
     # ---------------- maintenance ----------------
     def compact(self) -> None:
         self.spark.sql(

@@ -193,3 +193,25 @@ def test_commit_signature_parity_with_lake():
             getattr(IcebergSnapshotTable, name)).parameters) - {"self"}
         missing = lake_kw - shim_kw
         assert not missing, f"{name}: shim missing kwargs {sorted(missing)}"
+
+
+def test_wap_branch_stage_audit_publish(spark, ice):
+    """Refs parity: stage a commit on a branch (invisible on main), then
+    fast_forward publishes it — the WAP flow lake.SnapshotTable ships,
+    executed against real Iceberg refs."""
+    ice.commit_delta(_rows(spark, [("r", "a", "v1", 100, 1, False)]),
+                     epoch=0, manifests=[])
+    ice.create_branch("audit")
+    (_rows(spark, [("r", "b", "v2", 200, 2, False)])
+     .withColumn("_bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(4)))
+     .writeTo(ice.branch_ident("audit")).append())
+    assert {r["path"] for r in ice.read().collect()} == {"a"}   # isolated
+    assert {r["path"] for r in ice.read_branch("audit").collect()} == {"a", "b"}
+    ice.fast_forward("audit")
+    assert {r["path"] for r in ice.read().collect()} == {"a", "b"}
+    names = {r["name"] for r in ice.refs().collect()}
+    assert "audit" in names
+    ice.drop_branch("audit")
+    ice.create_tag("pin")
+    assert {r["name"] for r in ice.refs().collect()} >= {"main", "pin"}
+    ice.drop_tag("pin")
