@@ -722,8 +722,11 @@ class CdcEngine:
         flow over ``lake`` refs): every epoch commit is staged on an
         isolated BRANCH of the target table — invisible to main-ref
         readers — then ``audit`` validates the staged state, and only on
-        success is the branch published atomically by fast-forwarding
-        main. This is the reference's validation-before-persist quality
+        success is the branch published atomically as ONE squash commit
+        (``publish_branch``: a single version CAS, so readers see the whole
+        audited state or none of it — per-epoch history of the staged
+        interval lives in the manifests, not as separate main commits).
+        This is the reference's validation-before-persist quality
         gate (rules → quarantine, mapping/.../rules/RulesExecutor.java;
         EntityValidationError upserts, PersistencePipeline.java:80-93)
         lifted from per-row to whole-staged-state: downstream consumers
@@ -738,7 +741,7 @@ class CdcEngine:
         ``wap_replay`` with the same branch resumes: branch-committed
         epochs are skipped by the exactly-once manifests, the audit runs
         again over the completed state, and a crash between audit and
-        publish re-enters ``fast_forward`` idempotently.
+        publish re-enters ``publish_branch`` idempotently.
 
         The initial snapshot load (``source_df`` on a fresh table) commits
         to MAIN — it is the bootstrap readers must see; WAP stages the
@@ -748,11 +751,17 @@ class CdcEngine:
         main = self.table
         if main.ref is not None:
             raise ValueError("engine is already bound to a branch handle")
-        if source_df is not None and not main.exists():
+        # same completeness rule as _replay_locked: a crash between table
+        # CREATE and the initial data commit leaves exists()==True with the
+        # initial_loaded prop unset — the rerun must finish the load, not
+        # skip it (initial_load itself is crash-idempotent)
+        loaded = (main.exists()
+                  and main.latest_meta().props.get("initial_loaded"))
+        if source_df is not None and not loaded:
             self.initial_load(source_df, schema_version=schema_version)
-        if not main.exists():
+        elif not loaded:
             raise FileNotFoundError(
-                "wap_replay needs an existing target table to fork "
+                "wap_replay needs a completed initial load to fork "
                 "(run initial_load / pass source_df first)")
         try:
             br = main.branch(branch)
@@ -770,7 +779,10 @@ class CdcEngine:
                     "drop_branch + re-stage), then rerun wap_replay")
         finally:
             self.table = main
-        main.fast_forward(branch)
+        # squash publish: ONE commit behind one CAS — main readers see the
+        # whole audited state or none of it, never an un-audited prefix
+        # (fast_forward would expose intermediate epochs mid-copy)
+        main.publish_branch(branch)
         if drop_branch:
             main.drop_branch(branch)
         self._sync_buckets()

@@ -179,6 +179,11 @@ class Snapshot:
     # re-bucket, tombstone expiry) — read_changes uses it to tell a
     # skippable maintenance rewrite from a logical copy-on-write change
     maintenance: bool = False
+    # extra committed-epoch ids beyond `epoch`/manifest rows: a squash
+    # publish (publish_branch) folds a whole branch chain into ONE commit
+    # and must carry every branch epoch for the exactly-once ledger even
+    # when a branch commit had no manifest rows
+    epochs: list | None = None
 
     def field_names(self) -> list[str]:
         return [f["name"] for f in self.fields]
@@ -421,8 +426,9 @@ class SnapshotTable:
             # streaming path never re-reads the snapshot log
             key, eps = self._epochs_cache
             eps = set(eps)
-            self._fold_epochs({"epoch": snap.epoch, "manifests": snap.manifests},
-                              eps)
+            self._fold_epochs({"epoch": snap.epoch,
+                               "manifests": snap.manifests,
+                               "epochs": snap.epochs}, eps)
             self._epochs_cache = (key + (os.path.basename(path),), eps)
 
     # ---------------- read ----------------
@@ -1163,6 +1169,9 @@ class SnapshotTable:
         for m in doc.get("manifests") or []:
             if m.get("checkpoint_epoch", -1) >= 0:
                 eps.add(m["checkpoint_epoch"])
+        # a squash publish carries the folded branch chain's epoch ids
+        for e in doc.get("epochs") or []:
+            eps.add(e)
 
     def committed_epochs(self) -> set[int]:
         """Committed-epoch set for the exactly-once skip, CACHED: a long
@@ -1241,18 +1250,28 @@ class SnapshotTable:
         shutil.rmtree(d)
 
     def fast_forward(self, name: str) -> Snapshot:
-        """Publish branch ``name`` onto main (Iceberg ``fast_forward``):
-        requires main's head to be the branch's fork point (or already a
-        prefix of the branch — reruns after a crash mid-publish resume
-        idempotently). Each branch commit doc (+ its manifest-list sidecar)
-        is copied into the main log oldest-first with the same exclusive
-        version CAS every commit uses, so a concurrent main writer makes
-        this raise ``CommitConflictError`` instead of splicing histories —
-        divergence is never silently merged (rebase by replaying the branch
-        epochs on a fresh fork instead; exactly-once manifests make the
-        replay safe). Crash-safe: any prefix of the copy is itself a valid
-        main chain, and the sidecar is copied before the doc that
-        references it."""
+        """Publish branch ``name`` onto main by copying its commit chain
+        (Iceberg ``fast_forward``): requires main's head to be the branch's
+        fork point (or already a prefix of the branch — reruns after a
+        crash mid-publish resume idempotently). Each branch commit doc (+
+        its manifest-list sidecar) is copied into the main log oldest-first
+        with the same exclusive version CAS every commit uses, so a
+        concurrent main writer makes this raise ``CommitConflictError``
+        instead of splicing histories — divergence is never silently merged
+        (rebase by replaying the branch epochs on a fresh fork instead;
+        exactly-once manifests make the replay safe). Crash-safe: any
+        prefix of the copy is itself a valid main chain, and the sidecar is
+        copied before the doc that references it.
+
+        Visibility: atomic PER COMMIT, not per chain — while a multi-commit
+        publish is in flight, main readers can observe intermediate
+        prefixes (each is exactly the state a plain non-staged replay would
+        have exposed at that epoch). When the publish must be
+        all-or-nothing — the WAP contract that no un-audited intermediate
+        is ever visible — use ``publish_branch``, which folds the chain
+        into ONE commit behind a single CAS. Use fast_forward when main
+        should preserve the branch's per-commit history (per-epoch time
+        travel and changelog granularity)."""
         self._require_main("fast_forward")
         br = self.branch(name)
         fork = br._fork_version()
@@ -1293,6 +1312,67 @@ class SnapshotTable:
         self._epochs_cache = None
         return self.latest()
 
+    def publish_branch(self, name: str) -> Snapshot:
+        """Atomically publish branch ``name`` as ONE squash commit on main
+        (the WAP publish): the new main snapshot carries the branch HEAD's
+        files/schema/layout plus the concatenated manifests and epoch ids
+        of every branch commit, behind a single version CAS at
+        ``fork + 1`` — main readers see the entire audited state at once or
+        not at all, never an intermediate prefix. Idempotent: a rerun
+        (crash between publish and branch drop) recognizes the identical
+        already-published squash and no-ops; any OTHER commit at that
+        version raises ``CommitConflictError`` (divergence is never
+        spliced). Trade-off vs ``fast_forward``: main's history records one
+        commit for the whole publish, so per-epoch time travel of the
+        staged interval lives only in manifests, and ``read_changes``
+        consumers see publish-granularity deltas — with the corollary that
+        a branch containing a REWRITE (compaction/CoW) squashes into a
+        file-removing logical commit that ``read_changes`` will refuse to
+        cross (keep WAP branches MOR-pure for CDC-out sources, or let
+        changelog consumers re-baseline)."""
+        self._require_main("publish_branch")
+        br = self.branch(name)
+        fork = br._fork_version()
+        bpaths = sorted(self._dir_doc_paths(br.log_dir), key=os.path.basename)
+        if not bpaths:
+            if self.latest_meta().version != fork:
+                raise CommitConflictError(
+                    f"publish_branch({name!r}): branch has no commits and "
+                    "main advanced past its fork")
+            return self.latest()
+        bhead = br.latest()
+        manifests: list[dict] = []
+        epochs: set[int] = set()
+        for p in bpaths:
+            doc = self._load_snapshot_doc(p)
+            self._fold_epochs(doc, epochs)
+            manifests.extend(doc.get("manifests") or [])
+        squash = Snapshot(version=fork + 1, epoch=None,
+                          n_buckets=bhead.n_buckets, key_cols=bhead.key_cols,
+                          fields=bhead.fields, aliases=bhead.aliases,
+                          schemas=bhead.schemas, files=bhead.files,
+                          manifests=manifests, parent=fork,
+                          props=bhead.props,
+                          maintenance=False, epochs=sorted(epochs))
+        try:
+            self._publish(squash)
+        except FileExistsError:
+            have = self._load_snapshot_doc(self._doc_path(fork + 1))
+            want = dict(squash.__dict__)
+            if len(squash.files) > self.inline_files_max:
+                # the published doc's file list was split to a sidecar;
+                # compare through resolution
+                have["files"], _ = self._doc_files(have, self.log_dir)
+            if have == want:
+                # already published by an earlier (crashed) run — no-op
+                # even if main has since moved on
+                return self.latest()
+            raise CommitConflictError(
+                f"publish_branch({name!r}): main already holds a different "
+                f"v{fork + 1} (or advanced past it) — histories diverged; "
+                "replay the branch epochs on a fresh fork") from None
+        return self.latest()
+
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Pin ``version`` (default: head) against ``expire_snapshots`` and
         give it a name for time travel. One file per tag under _log/tags/,
@@ -1320,6 +1400,7 @@ class SnapshotTable:
 
     def drop_tag(self, name: str) -> None:
         self._require_main("drop_tag")
+        _validate_ref_name(name)   # '../x' would os.remove outside tags/
         p = os.path.join(self.main_log_dir, "tags", f"{name}.json")
         if not os.path.exists(p):
             raise FileNotFoundError(f"tag {name!r} does not exist")
@@ -1394,7 +1475,8 @@ class SnapshotTable:
         expired = [p for p in cand
                    if self._doc_version(p) not in protected
                    and (min_fork is None or self._doc_version(p) < min_fork)]
-        retained = [p for p in paths if p not in set(expired)]
+        ex = set(expired)
+        retained = [p for p in paths if p not in ex]
         if not expired:
             return {"snapshots_removed": 0, "files_removed": 0}
         live: set[str] = set()
@@ -1651,6 +1733,18 @@ class SnapshotTable:
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_snap.version + 1):
             doc_path = self._doc_path(v)
+            if not os.path.exists(doc_path):
+                # a TAG pins its own doc through retention but not its
+                # successors — a changelog range starting at a tagged
+                # version can cross an expired gap; name the cause instead
+                # of surfacing a bare open() failure
+                raise FileNotFoundError(
+                    f"read_changes: snapshot v{v} in range "
+                    f"({from_version}, {to_snap.version}] was expired by "
+                    "retention (tagged versions survive expire_snapshots; "
+                    "the versions after them need not) — the range is not "
+                    "incrementally readable; re-baseline the consumer from "
+                    "a full read of a retained snapshot")
             doc = self._load_snapshot_doc(doc_path)
             files, _ = self._doc_files(doc, os.path.dirname(doc_path))
             cur_paths = {f["path"] for f in files}

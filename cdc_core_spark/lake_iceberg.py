@@ -423,8 +423,13 @@ class IcebergSnapshotTable:
     def drop_branch(self, name: str) -> None:
         self.spark.sql(f"ALTER TABLE {self.ident} DROP BRANCH `{name}`")
 
-    def create_tag(self, name: str) -> None:
-        self.spark.sql(f"ALTER TABLE {self.ident} CREATE TAG `{name}`")
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        """``version`` is the Iceberg snapshot id (the shim's version
+        domain, same as ``read_changes``); default = current head —
+        signature-parity with ``SnapshotTable.create_tag``."""
+        as_of = f" AS OF VERSION {int(version)}" if version is not None else ""
+        self.spark.sql(
+            f"ALTER TABLE {self.ident} CREATE TAG `{name}`{as_of}")
 
     def drop_tag(self, name: str) -> None:
         self.spark.sql(f"ALTER TABLE {self.ident} DROP TAG `{name}`")

@@ -240,3 +240,81 @@ def test_wap_replay_audit_reject_keeps_main_clean(spark, t1, registry,
     eng.wap_replay(f'{t1["dir"]}/change_events', branch="audit",
                    audit=lambda e: True)
     assert_final_equal(eng.read_final_with_sha().toPandas(), t1["expected"])
+
+
+def test_publish_branch_single_atomic_commit(spark, tmp_path):
+    """The WAP publish: a multi-commit branch lands on main as ONE squash
+    commit behind one CAS — no intermediate prefix is ever a main state —
+    and the epoch ledger survives even for manifest-less branch commits."""
+    from tests.test_occ import _delta_df
+
+    t = _mk(tmp_path)
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)        # fork head v1
+    br = t.create_branch("b")
+    _commit(spark, br, [(2, 20, False)], 200, epoch=1)
+    _commit(spark, br, [(3, 30, False)], 300, epoch=2)
+    br.commit_delta(_delta_df(spark, [(4, 40, False)], 400),
+                    epoch=3, manifests=[])                   # epochs-field path
+
+    n_before = len(t.history())
+    head = t.publish_branch("b")
+    assert len(t.history()) == n_before + 1                  # exactly one commit
+    assert head.version == 2                                 # fork(1) + 1
+    assert _state(spark, t) == {1: 10, 2: 20, 3: 30, 4: 40}
+    assert t.committed_epochs() == {0, 1, 2, 3}
+    assert len(head.manifests) == 2                          # folded forward
+
+    v = t.latest().version
+    assert t.publish_branch("b").version == v                # rerun: no-op
+    _commit(spark, t, [(9, 90, False)], 900, epoch=9)        # main moves on
+    assert t.publish_branch("b").version == t.latest().version  # still no-op
+    t.drop_branch("b")
+
+
+def test_publish_branch_divergence_raises(spark, tmp_path):
+    t = _mk(tmp_path)
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)
+    br = t.create_branch("b")
+    _commit(spark, br, [(1, 11, False)], 200, epoch=1)
+    _commit(spark, t, [(2, 20, False)], 250, epoch=5)        # main diverges
+    with pytest.raises(CommitConflictError, match="diverged"):
+        t.publish_branch("b")
+    assert _state(spark, t) == {1: 10, 2: 20}                # main untouched
+
+
+def test_read_changes_across_expired_gap_names_the_cause(spark, tmp_path):
+    """A tag pins its own doc, not its successors: a changelog range from a
+    tagged version across expired successors must fail with the cause, not
+    a bare open() error."""
+    t = _mk(tmp_path)
+    for i in range(4):
+        _commit(spark, t, [(i, i, False)], 100 + i, epoch=i)
+    t.create_tag("chk", version=2)
+    t.expire_snapshots(keep_last=1)                          # v2, v4 survive
+    with pytest.raises(FileNotFoundError, match="expired by retention"):
+        t.read_changes(spark, 2)
+
+
+def test_drop_tag_rejects_traversal_names(spark, tmp_path):
+    t = _mk(tmp_path)
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)
+    t.create_tag("x")
+    with pytest.raises(ValueError):
+        t.drop_tag("../expired-base")
+    assert t.tags() == {"x": t.latest().version}             # nothing removed
+
+
+def test_wap_replay_resumes_crashed_initial_load(spark, t1, registry,
+                                                 tmp_path):
+    """Crash between table create and the initial data commit leaves
+    exists()==True without the initial_loaded prop; wap_replay(source_df=)
+    must finish the load (same rule as plain replay), not skip it."""
+    eng = CdcEngine(spark, str(tmp_path / "w"), registry, n_buckets=8)
+    sdef = registry.get("source_repos", "1.0")
+    SnapshotTable.create(eng.table.root, fields=[dict(f) for f in sdef.fields],
+                         key_cols=sdef.key_cols(), n_buckets=8,
+                         aliases=dict(sdef.aliases),
+                         props={"schema_version": "1.0"})
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.wap_replay(f'{t1["dir"]}/change_events', source_df=src)
+    assert_final_equal(eng.read_final_with_sha().toPandas(), t1["expected"])
