@@ -279,7 +279,8 @@ class CdcEngine:
             n = 0 if empty_source else int(obs.get["n"])
             return [{"checkpoint_epoch": -1, "partition_id": -1, "events_read": n,
                      "events_applied": n, "events_error": 0, "max_op_ts": -1,
-                     "max_event_seq": -1, "wall_ms": 0}]
+                     "max_event_seq": -1, "wall_ms": 0,
+                     "bytes_written": 0, "files_written": 0}]
 
         self.table.commit_merge(df, list(range(self.n_buckets)), epoch=None,
                                 manifests=manifest,
@@ -419,12 +420,15 @@ class CdcEngine:
 
             def manifests_from_footers(new_files: list[dict]) -> list[dict]:
                 applied, max_ts, max_seq = {}, {}, {}
+                wbytes, wfiles = {}, {}
                 for f in new_files:
                     b = f["bucket"]
                     rows, mts, mseq = _footer_stats(
                         os.path.join(self.table.root, f["path"]),
                         ("_op_ts", "_max_seq"))
                     applied[b] = applied.get(b, 0) + rows
+                    wbytes[b] = wbytes.get(b, 0) + f.get("bytes", 0)
+                    wfiles[b] = wfiles.get(b, 0) + 1
                     if mts is not None:
                         max_ts[b] = max(max_ts.get(b, mts), mts)
                     if mseq is not None:
@@ -432,7 +436,8 @@ class CdcEngine:
                 stats = {
                     b: {"_bucket": b, "events_applied": applied[b],
                         "events_read": read_stats.get(b, 0),
-                        "max_op_ts": max_ts.get(b), "max_event_seq": max_seq.get(b)}
+                        "max_op_ts": max_ts.get(b), "max_event_seq": max_seq.get(b),
+                        "bytes_written": wbytes[b], "files_written": wfiles[b]}
                     for b in applied
                 }
                 return self._manifest_rows(epoch, stats, err_stats, t0)
@@ -548,12 +553,16 @@ class CdcEngine:
             applied: dict[tuple[int, int], int] = {}
             max_ts: dict[tuple[int, int], int] = {}
             max_seq: dict[tuple[int, int], int] = {}
+            wbytes: dict[tuple[int, int], int] = {}
+            wfiles: dict[tuple[int, int], int] = {}
             for f in new_files:
                 k = (f["epoch"], f["bucket"])
                 rows, mts, mseq = _footer_stats(
                     os.path.join(self.table.root, f["path"]),
                     ("_op_ts", "_max_seq"))
                 applied[k] = applied.get(k, 0) + rows
+                wbytes[k] = wbytes.get(k, 0) + f.get("bytes", 0)
+                wfiles[k] = wfiles.get(k, 0) + 1
                 if mts is not None:
                     max_ts[k] = max(max_ts.get(k, mts), mts)
                 if mseq is not None:
@@ -564,7 +573,9 @@ class CdcEngine:
                     b: {"_bucket": b, "events_applied": applied[(ep, b)],
                         "events_read": read_by_epoch.get(e, {}).get(b, 0),
                         "max_op_ts": max_ts.get((ep, b)),
-                        "max_event_seq": max_seq.get((ep, b))}
+                        "max_event_seq": max_seq.get((ep, b)),
+                        "bytes_written": wbytes[(ep, b)],
+                        "files_written": wfiles[(ep, b)]}
                     for (ep, b) in applied if ep == e
                 }
                 rows = self._manifest_rows(e, stats, err_by_epoch.get(e, {}), t0)
@@ -579,7 +590,8 @@ class CdcEngine:
                              "events_read": 0, "events_applied": 0,
                              "events_error": 0, "max_op_ts": -1,
                              "max_event_seq": -1,
-                             "wall_ms": int((time.monotonic() - t0) * 1000)}]
+                             "wall_ms": int((time.monotonic() - t0) * 1000),
+                             "bytes_written": 0, "files_written": 0}]
                 out.extend(rows)
             return out
 
@@ -593,6 +605,11 @@ class CdcEngine:
         rows = []
         for b in sorted(set(read_stats) | set(err_stats)):
             rs = read_stats.get(b)
+            if rs is not None and not isinstance(rs, dict):
+                # the CoW stats path collects Spark Rows; the MOR footer
+                # path builds dicts — normalize so the optional
+                # write-volume keys can default uniformly
+                rs = rs.asDict()
             rows.append({
                 "checkpoint_epoch": epoch, "partition_id": b,
                 "events_read": int(rs["events_read"]) if rs else 0,
@@ -601,6 +618,12 @@ class CdcEngine:
                 "max_op_ts": int(rs["max_op_ts"]) if rs and rs["max_op_ts"] is not None else -1,
                 "max_event_seq": int(rs["max_event_seq"]) if rs and rs["max_event_seq"] is not None else -1,
                 "wall_ms": wall_ms,
+                # write-amplification lineage: bytes/files this epoch's MOR
+                # delta commit staged for the partition (0 on rows whose
+                # commit path doesn't stage per-bucket deltas: quarantine-
+                # only buckets, copy-on-write modes, initial load)
+                "bytes_written": int(rs.get("bytes_written", 0)) if rs else 0,
+                "files_written": int(rs.get("files_written", 0)) if rs else 0,
             })
         return rows
 
@@ -1014,10 +1037,19 @@ class CdcEngine:
         return self.read_final().withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
     def manifests_df(self) -> DataFrame:
-        rows = self.table.all_manifests()
+        """Per-(epoch, partition) lineage ledger. ``bytes_written`` /
+        ``files_written`` are the MOR delta commit's staged write volume —
+        the write-amplification signal an operator trends against
+        ``events_applied`` to size ``compact_every`` (0 on copy-on-write /
+        initial-load / quarantine-only rows)."""
+        # default the write-volume fields: manifests committed by older
+        # builds (or hand-written in tests) may predate them
+        rows = [{"bytes_written": 0, "files_written": 0, **r}
+                for r in self.table.all_manifests()]
         ddl = ("checkpoint_epoch int, partition_id int, events_read bigint, "
                "events_applied bigint, events_error bigint, max_op_ts bigint, "
-               "max_event_seq bigint, wall_ms bigint")
+               "max_event_seq bigint, wall_ms bigint, bytes_written bigint, "
+               "files_written bigint")
         return self.spark.createDataFrame(rows, schema=ddl)
 
     def errors_df(self, empty_schema: str | None = None) -> DataFrame:

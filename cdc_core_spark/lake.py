@@ -389,6 +389,7 @@ class SnapshotTable:
                     seen[f["path"]] = {
                         "path": f["path"], "bucket": f["bucket"],
                         "kind": f.get("kind", "base"),
+                        "bytes": f.get("bytes"),   # None pre-upgrade
                         "tnx_epoch": f.get("epoch", s.epoch),
                         "added_version": s.version,
                         "removed_version": None, "deleted": False}
@@ -879,8 +880,12 @@ class SnapshotTable:
         def walk(d: str, depth: int, extra: dict) -> None:
             if depth == len(partition_cols):
                 for f in glob.glob(os.path.join(d, "*.parquet")):
+                    # size recorded per file (Iceberg manifests carry
+                    # file_size_in_bytes): feeds write-amplification metrics
+                    # in commit manifests and size-aware maintenance — one
+                    # stat() per staged file, during the walk we do anyway
                     rec = {"path": os.path.relpath(f, self.root), **extra,
-                           "schema_id": sid}
+                           "schema_id": sid, "bytes": os.path.getsize(f)}
                     if kind is not None:
                         rec["kind"] = kind
                     new_files.append(rec)

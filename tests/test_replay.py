@@ -347,3 +347,26 @@ def test_reprocess_errors_dlq_retry(spark, t1, registry, tmp_path):
     assert left.count() == n_bad - n_fixed
     reasons = {r["error_reason"] for r in left.select("error_reason").distinct().collect()}
     assert "delete_with_content" not in reasons and reasons <= {"invalid_op", "null_key"}
+
+
+def test_manifest_write_volume_matches_staged_bytes(spark, t1, registry,
+                                                    tmp_path):
+    """bytes_written/files_written in the manifests are the exact staged
+    MOR-delta write volume: their totals must equal the byte/file counts of
+    the delta files the snapshot references (write-amplification lineage an
+    operator trends against events_applied to size compact_every)."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+
+    m = eng.manifests_df().toPandas()
+    deltas = [f for f in eng.table.latest().files if f.get("kind") == "delta"]
+    assert deltas and all(f.get("bytes", 0) > 0 for f in deltas)
+    assert int(m["bytes_written"].sum()) == sum(f["bytes"] for f in deltas)
+    assert int(m["files_written"].sum()) == len(deltas)
+    # the initial-load row carries zeros (merge commit, not a delta stage)
+    init = m[m["checkpoint_epoch"] == -1]
+    assert (init["bytes_written"] == 0).all()
+    # block_deltas exposes the same per-file sizes
+    bd = {d["path"]: d for d in eng.table.block_deltas()}
+    assert all(bd[f["path"]]["bytes"] == f["bytes"] for f in deltas)
