@@ -957,7 +957,8 @@ class CdcEngine:
                                 maintenance=True, base=snap)
 
     def compact(self, n_buckets: int | None = None,
-                min_delta_files: int | None = None) -> None:
+                min_delta_files: int | None = None,
+                min_delta_bytes: int | None = None) -> None:
         """Rewrite buckets into one base file set under the current schema —
         bounds small-file count and delta-fold depth, and re-materializes
         alias/widen normalization (the Iceberg rewrite_data_files analog).
@@ -967,7 +968,11 @@ class CdcEngine:
         reaches the threshold are rewritten; the rest carry forward by
         reference. This is the steady-state maintenance shape at 100 TB —
         compaction I/O follows where the churn went, not the table size
-        (Iceberg ``rewriteDataFiles`` with a file filter). Default (None)
+        (Iceberg ``rewriteDataFiles`` with a file filter).
+        ``min_delta_bytes`` triggers on accumulated delta BYTES instead —
+        the write-amplification-aware variant (sizes ride the snapshot's
+        file records; the manifests' bytes_written column is the trend an
+        operator reads to pick the threshold). Default (both None)
         rewrites everything.
 
         ``n_buckets`` RE-BUCKETS the table in the same atomic commit — the
@@ -981,7 +986,8 @@ class CdcEngine:
         self._sync_buckets()
         nb = n_buckets or self.n_buckets
         self.table.compact(self.spark, n_buckets=n_buckets,
-                           min_delta_files=min_delta_files)
+                           min_delta_files=min_delta_files,
+                           min_delta_bytes=min_delta_bytes)
         self.n_buckets = nb
 
     def _bg_compact_loop(self, stop, errs: list,

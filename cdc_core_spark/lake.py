@@ -1604,14 +1604,21 @@ class SnapshotTable:
 
     def compact(self, spark: SparkSession, n_buckets: int | None = None,
                 min_delta_files: int | None = None,
+                min_delta_bytes: int | None = None,
                 base: Snapshot | None = None) -> None:
         """Re-base MOR delta layers into one base file set per bucket (the
         Iceberg ``rewriteDataFiles`` analog). ``min_delta_files=K`` makes it
         INCREMENTAL: buckets are selected by delta-layer file count from
         snapshot metadata alone (no data scan) and only those are rewritten —
         maintenance I/O follows the churn distribution, not table size.
-        ``n_buckets`` re-buckets (necessarily full-table) in the same atomic
-        commit. State is invariant in all modes.
+        ``min_delta_bytes=B`` selects by accumulated delta BYTES instead
+        (file records carry their staged size) — the better trigger when
+        churn is skewed: a hot bucket can pile megabytes into few files
+        while a cold one fragments into many tiny ones; byte-based
+        selection rewrites where the read-fold cost actually is. Both
+        thresholds given = union of the selections. ``n_buckets``
+        re-buckets (necessarily full-table) in the same atomic commit.
+        State is invariant in all modes.
 
         If the table carries a ``sort_order`` prop (a list of column names —
         the Iceberg table sort-order analog), compaction rewrites each
@@ -1669,11 +1676,24 @@ class SnapshotTable:
                 return [zorder_column(df, zorder_cols)]
             return sort_cols
 
-        if nb == prev.n_buckets and min_delta_files is not None:
+        if nb == prev.n_buckets and (min_delta_files is not None
+                                     or min_delta_bytes is not None):
             from collections import Counter
-            depth = Counter(f["bucket"] for f in prev.files
-                            if f.get("kind") == "delta")
-            todo = sorted(b for b, c in depth.items() if c >= min_delta_files)
+            depth: Counter = Counter()
+            dbytes: Counter = Counter()
+            for f in prev.files:
+                if f.get("kind") == "delta":
+                    depth[f["bucket"]] += 1
+                    # records from pre-size builds lack "bytes": count 0,
+                    # so byte-triggering degrades to never-select for them
+                    # (the file-count trigger still covers those buckets)
+                    dbytes[f["bucket"]] += f.get("bytes", 0)
+            todo = sorted(
+                b for b in depth
+                if (min_delta_files is not None
+                    and depth[b] >= min_delta_files)
+                or (min_delta_bytes is not None
+                    and dbytes[b] >= min_delta_bytes))
             if not todo:
                 return
             df = (self.read(spark, buckets=todo, with_internal_cols=True,

@@ -455,10 +455,24 @@ class IcebergSnapshotTable:
                 .load(self.ident))
 
     # ---------------- maintenance ----------------
-    def compact(self) -> None:
+    def compact(self, min_delta_files: int | None = None,
+                min_delta_bytes: int | None = None) -> None:
+        """rewrite_data_files; the incremental triggers map onto Iceberg's
+        rewrite options — ``min_delta_files`` → ``min-input-files``
+        (group-level file-count trigger), ``min_delta_bytes`` →
+        ``min-file-size-bytes`` (files below the target are rewrite
+        candidates; Iceberg selects by file size where SnapshotTable
+        selects by per-bucket accumulated delta bytes — same maintenance
+        intent, see lake.compact)."""
+        opts = []
+        if min_delta_files is not None:
+            opts.append(f"'min-input-files', '{int(min_delta_files)}'")
+        if min_delta_bytes is not None:
+            opts.append(f"'min-file-size-bytes', '{int(min_delta_bytes)}'")
+        extra = f", options => map({', '.join(opts)})" if opts else ""
         self.spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files"
-            f"(table => '{self.ident.split('.', 1)[1]}')")
+            f"(table => '{self.ident.split('.', 1)[1]}'{extra})")
 
     def expire_snapshots(self, keep_last: int) -> None:
         """Retention with the ledger folded forward: epoch/manifest summary

@@ -575,3 +575,41 @@ def test_engine_zstd_level_rides_the_write(spark, tmp_path, monkeypatch):
 
     b1, b19 = state_bytes("1"), state_bytes("19")
     assert b19 < b1 * 0.97, (b1, b19)
+
+
+def test_compact_min_delta_bytes_rewrites_where_the_bytes_are(spark, tmp_path):
+    """Byte-triggered incremental compaction: selection follows accumulated
+    delta BYTES per bucket (from the snapshot's file sizes, no data scan),
+    so a hot bucket with few-but-fat delta layers is rewritten while cold
+    fragmented buckets carry forward; state is invariant."""
+    from tests.test_occ import _commit, _mk, _state
+
+    t = _mk(tmp_path)
+    # keys 0..3 hash to some buckets; pile many updates on key 0 (fat
+    # deltas) and a single tiny delta on the others
+    for i in range(6):
+        _commit(spark, t, [(0, 100 + i, False)], 100 + i, epoch=i)
+    _commit(spark, t, [(1, 10, False), (2, 20, False), (3, 30, False)],
+            900, epoch=9)
+    before = _state(spark, t)
+    snap = t.latest()
+    from collections import Counter
+    sizes = Counter()
+    for f in snap.files:
+        if f.get("kind") == "delta":
+            sizes[f["bucket"]] += f["bytes"]
+    hot = max(sizes, key=sizes.get)
+    thresh = sizes[hot]  # only the hottest bucket reaches it
+    assert sum(1 for b in sizes if sizes[b] >= thresh) == 1
+
+    t.compact(spark, min_delta_bytes=thresh)
+    after_files = t.latest().files
+    assert not any(f.get("kind") == "delta" and f["bucket"] == hot
+                   for f in after_files)          # hot bucket re-based
+    assert any(f.get("kind") == "delta" for f in after_files)  # cold kept
+    assert _state(spark, t) == before
+
+    # below-threshold second pass: metadata-only no-op
+    v = t.latest().version
+    t.compact(spark, min_delta_bytes=thresh * 1000)
+    assert t.latest().version == v
