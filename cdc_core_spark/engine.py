@@ -70,6 +70,31 @@ def _footer_stats(path: str, max_cols: tuple[str, ...]) -> tuple[int, int | None
     return (md.num_rows, *maxima)
 
 
+def _delta_footer_stats(root: str, new_files: list[dict], key_of):
+    """Shared accumulation for the manifest-from-footers closures (single-
+    epoch and grouped commit paths differ ONLY in the grouping key):
+    per ``key_of(file)``, the applied row count, footer watermarks, and the
+    staged write volume. One definition so a new manifest stat can never
+    drift between the two paths."""
+    applied: dict = {}
+    max_ts: dict = {}
+    max_seq: dict = {}
+    wbytes: dict = {}
+    wfiles: dict = {}
+    for f in new_files:
+        k = key_of(f)
+        rows, mts, mseq = _footer_stats(os.path.join(root, f["path"]),
+                                        ("_op_ts", "_max_seq"))
+        applied[k] = applied.get(k, 0) + rows
+        wbytes[k] = wbytes.get(k, 0) + f.get("bytes", 0)
+        wfiles[k] = wfiles.get(k, 0) + 1
+        if mts is not None:
+            max_ts[k] = max(max_ts.get(k, mts), mts)
+        if mseq is not None:
+            max_seq[k] = max(max_seq.get(k, mseq), mseq)
+    return applied, max_ts, max_seq, wbytes, wfiles
+
+
 def valid_event_pred(key_cols: list[str] = ("repo", "path"),
                      content_col: str | None = "content"):
     """Quarantine predicate (reference DLQ: MessageProcessor.java:216-225):
@@ -419,20 +444,9 @@ class CdcEngine:
                      .withColumn("_deleted", F.col("op") == OP_DELETE).drop("op"))
 
             def manifests_from_footers(new_files: list[dict]) -> list[dict]:
-                applied, max_ts, max_seq = {}, {}, {}
-                wbytes, wfiles = {}, {}
-                for f in new_files:
-                    b = f["bucket"]
-                    rows, mts, mseq = _footer_stats(
-                        os.path.join(self.table.root, f["path"]),
-                        ("_op_ts", "_max_seq"))
-                    applied[b] = applied.get(b, 0) + rows
-                    wbytes[b] = wbytes.get(b, 0) + f.get("bytes", 0)
-                    wfiles[b] = wfiles.get(b, 0) + 1
-                    if mts is not None:
-                        max_ts[b] = max(max_ts.get(b, mts), mts)
-                    if mseq is not None:
-                        max_seq[b] = max(max_seq.get(b, mseq), mseq)
+                applied, max_ts, max_seq, wbytes, wfiles = \
+                    _delta_footer_stats(self.table.root, new_files,
+                                        lambda f: f["bucket"])
                 stats = {
                     b: {"_bucket": b, "events_applied": applied[b],
                         "events_read": read_stats.get(b, 0),
@@ -527,8 +541,11 @@ class CdcEngine:
         delta keeps one layer per epoch (``checkpoint_epoch=<e>/_bucket=<b>``),
         manifests stay per (epoch, bucket) with footer-derived watermarks,
         and the read path LWW-folds layers as before — so the converged
-        state and every manifest value are bit-identical to the
-        one-job-per-epoch path. In-band DDL may appear only at the FIRST
+        state and every LOGICAL manifest value (events read/applied/error,
+        watermarks) are bit-identical to the one-job-per-epoch path; the
+        physical write-volume columns (bytes_written / files_written) may
+        differ, because one grouped staging job lays files out differently
+        than N per-epoch jobs. In-band DDL may appear only at the FIRST
         epoch of a group (the replay loop enforces this by starting a new
         group at every DDL-carrying epoch)."""
         t0 = time.monotonic()
@@ -550,23 +567,9 @@ class CdcEngine:
                  .withColumn("_deleted", F.col("op") == OP_DELETE).drop("op"))
 
         def manifests_from_footers(new_files: list[dict]) -> list[dict]:
-            applied: dict[tuple[int, int], int] = {}
-            max_ts: dict[tuple[int, int], int] = {}
-            max_seq: dict[tuple[int, int], int] = {}
-            wbytes: dict[tuple[int, int], int] = {}
-            wfiles: dict[tuple[int, int], int] = {}
-            for f in new_files:
-                k = (f["epoch"], f["bucket"])
-                rows, mts, mseq = _footer_stats(
-                    os.path.join(self.table.root, f["path"]),
-                    ("_op_ts", "_max_seq"))
-                applied[k] = applied.get(k, 0) + rows
-                wbytes[k] = wbytes.get(k, 0) + f.get("bytes", 0)
-                wfiles[k] = wfiles.get(k, 0) + 1
-                if mts is not None:
-                    max_ts[k] = max(max_ts.get(k, mts), mts)
-                if mseq is not None:
-                    max_seq[k] = max(max_seq.get(k, mseq), mseq)
+            applied, max_ts, max_seq, wbytes, wfiles = \
+                _delta_footer_stats(self.table.root, new_files,
+                                    lambda f: (f["epoch"], f["bucket"]))
             out: list[dict] = []
             for e in epochs:
                 stats = {

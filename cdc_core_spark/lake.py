@@ -373,9 +373,11 @@ class SnapshotTable:
         rewrite (compaction / merge) dropped it.
 
         Returns one row per file ever referenced by a retained snapshot:
-        ``{path, bucket, kind, tnx_epoch, added_version, removed_version,
-        deleted}`` — ``deleted=False``/``removed_version=None`` for files
-        live in the newest snapshot. After ``expire_snapshots`` the walk
+        ``{path, bucket, kind, bytes, tnx_epoch, added_version,
+        removed_version, deleted}`` — ``deleted=False``/
+        ``removed_version=None`` for files live in the newest snapshot;
+        ``bytes`` is the staged file size (``None`` for files committed by
+        pre-size builds — guard before summing). After ``expire_snapshots`` the walk
         starts at the oldest RETAINED snapshot (same as Iceberg metadata
         after expiration). Driver-side O(snapshots × files) metadata walk
         resolving manifest-list sidecars; reads no data files."""
@@ -1684,10 +1686,12 @@ class SnapshotTable:
             for f in prev.files:
                 if f.get("kind") == "delta":
                     depth[f["bucket"]] += 1
-                    # records from pre-size builds lack "bytes": count 0,
-                    # so byte-triggering degrades to never-select for them
-                    # (the file-count trigger still covers those buckets)
-                    dbytes[f["bucket"]] += f.get("bytes", 0)
+                    # records from pre-size builds lack "bytes": treat the
+                    # size as unknown-large so a byte-only trigger SELECTS
+                    # the bucket (counting 0 would skip it forever while
+                    # its fold depth grows unbounded); one rewrite brings
+                    # it into the sized world — self-healing
+                    dbytes[f["bucket"]] += f.get("bytes", float("inf"))
             todo = sorted(
                 b for b in depth
                 if (min_delta_files is not None

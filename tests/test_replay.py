@@ -355,7 +355,10 @@ def test_manifest_write_volume_matches_staged_bytes(spark, t1, registry,
     MOR-delta write volume: their totals must equal the byte/file counts of
     the delta files the snapshot references (write-amplification lineage an
     operator trends against events_applied to size compact_every)."""
-    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    # merge_mode pinned: the assertion requires delta files, and the suite
+    # supports running under CDC_MERGE_STRATEGY=cow-jvm/cow-arrow
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8,
+                    merge_mode="mor")
     src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
     eng.replay(f'{t1["dir"]}/change_events', source_df=src)
 
