@@ -184,6 +184,12 @@ class Snapshot:
     # and must carry every branch epoch for the exactly-once ledger even
     # when a branch commit had no manifest rows
     epochs: list | None = None
+    # wall-clock publish instant, stamped by _publish (the Iceberg snapshot
+    # `timestamp-ms`): drives snapshot_as_of() time travel and age-based
+    # expire_snapshots(older_than_ms=). None only for docs written by
+    # pre-timestamp builds. fast_forward copies docs verbatim, so branch
+    # commits keep their original publish instant on main (Iceberg rule).
+    committed_at_ms: int | None = None
 
     def field_names(self) -> list[str]:
         return [f["name"] for f in self.fields]
@@ -358,9 +364,45 @@ class SnapshotTable:
                 "parent": d.get("parent"), "n_buckets": d["n_buckets"],
                 "n_files": files["n"] if isinstance(files, dict) else len(files),
                 "n_manifests": len(d.get("manifests") or []),
+                "committed_at_ms": d.get("committed_at_ms"),
                 "props": d.get("props") or {},
             })
         return out
+
+    def snapshot_as_of(self, ts_ms: int) -> Snapshot:
+        """Time travel by wall clock (the Iceberg ``TIMESTAMP AS OF`` scan):
+        the newest retained snapshot published at-or-before ``ts_ms``
+        (epoch milliseconds) — pass the result to ``read(spark, snap=...)``.
+
+        Publish instants are made effectively NON-DECREASING by a
+        running-max clamp over the version chain, so a backwards wall-clock
+        step between two commits cannot make as-of reads non-monotone (the
+        later version wins, exactly as Iceberg resolves its snapshot log).
+        Docs from pre-timestamp builds inherit the running clamp (and are
+        unreachable by-time when no earlier doc carries a timestamp).
+
+        Raises ``FileNotFoundError`` when every retained snapshot is newer
+        than ``ts_ms`` — the table did not exist yet at that instant, or
+        retention (``expire_snapshots``) dropped the history that old.
+        O(retained snapshots) doc reads; never resolves manifest sidecars
+        until the one chosen snapshot is loaded."""
+        best = None
+        running = None
+        for p in self._snapshot_paths():
+            with open(p) as f:
+                d = json.load(f)
+            ts = d.get("committed_at_ms")
+            if ts is not None:
+                running = ts if running is None else max(running, ts)
+            if running is not None and running <= ts_ms:
+                best = d["version"]
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot under {self.log_dir} was published at or "
+                f"before ts_ms={ts_ms} — the table is newer than that "
+                "instant, or retention expired the history (tag versions "
+                "to pin them)")
+        return self.snapshot(best)
 
     def block_deltas(self) -> list[dict]:
         """Per-data-file change lifecycle over the retained snapshot chain —
@@ -401,10 +443,63 @@ class SnapshotTable:
                     row["removed_version"] = s.version
         return list(seen.values())
 
+    def inspect(self, spark: SparkSession, kind: str = "history") -> DataFrame:
+        """Metadata tables as DataFrames — the Iceberg inspection surface
+        (``SELECT * FROM tbl.history / .files / .refs``; reference keeps
+        the same facts row-at-a-time in its transaction/lineage entities).
+        Driver-side O(metadata) builds: they read snapshot docs (plus, for
+        files/block_deltas, the one manifest-list sidecar per big commit),
+        never data files. Fixed DDL schemas per kind, so empty tables and
+        pre-timestamp docs (null ``committed_at_ms``) are well-typed.
+
+        kinds — ``history``: one row per retained snapshot;
+        ``files``: the newest snapshot's live data files;
+        ``block_deltas``: per-file add/remove lifecycle (block_deltas());
+        ``refs``: current head + branches (at fork version) + tags."""
+        if kind == "history":
+            rows = [(h["version"], h["epoch"], h["parent"], h["n_buckets"],
+                     h["n_files"], h["n_manifests"], h["committed_at_ms"],
+                     json.dumps(h["props"], sort_keys=True))
+                    for h in self.history()]
+            ddl = ("version bigint, epoch bigint, parent bigint, "
+                   "n_buckets int, n_files bigint, n_manifests bigint, "
+                   "committed_at_ms bigint, props string")
+        elif kind == "files":
+            rows = [(f["path"], f["bucket"], f.get("kind", "base"),
+                     f["schema_id"], f.get("epoch"), f.get("bytes"))
+                    for f in self.latest().files]
+            ddl = ("path string, bucket int, kind string, schema_id string, "
+                   "epoch bigint, bytes bigint")
+        elif kind == "block_deltas":
+            rows = [(r["path"], r["bucket"], r["kind"], r["bytes"],
+                     r["tnx_epoch"], r["added_version"],
+                     r["removed_version"], r["deleted"])
+                    for r in self.block_deltas()]
+            ddl = ("path string, bucket int, kind string, bytes bigint, "
+                   "tnx_epoch bigint, added_version bigint, "
+                   "removed_version bigint, deleted boolean")
+        elif kind == "refs":
+            head = "main" if self.ref is None else self.ref
+            rows = ([(head, "head", self.latest_meta().version)]
+                    + [(n, "branch", v)
+                       for n, v in self.branches().items()]
+                    + [(n, "tag", v) for n, v in self.tags().items()])
+            ddl = "name string, type string, version bigint"
+        else:
+            raise ValueError(f"unknown inspect kind {kind!r} — one of: "
+                             "history, files, block_deltas, refs")
+        return spark.createDataFrame(rows, schema=ddl)
+
     def _publish(self, snap: Snapshot) -> None:
         path = os.path.join(self.log_dir, f"v{snap.version:012d}.json")
         if os.path.exists(path):  # fast path; the REAL arbiter is below
             raise FileExistsError(f"snapshot {snap.version} already committed")
+        # stamp the publish instant (Iceberg `timestamp-ms`) — on the snap
+        # itself, not just the doc, so the in-memory object a committer
+        # holds matches what latest() reloads. Wall clocks can step
+        # backwards; readers (snapshot_as_of, age expiry) apply a
+        # running-max clamp instead of this hot path paying a parent read.
+        snap.committed_at_ms = int(time.time() * 1000)
         doc = dict(snap.__dict__)
         if len(snap.files) > self.inline_files_max:
             # split the file list into a sidecar manifest-list document:
@@ -1370,6 +1465,10 @@ class SnapshotTable:
                 # the published doc's file list was split to a sidecar;
                 # compare through resolution
                 have["files"], _ = self._doc_files(have, self.log_dir)
+            # the publish instant is stamped at write time — an identical
+            # rerun can never reproduce it, so it is not part of identity
+            have.pop("committed_at_ms", None)
+            want.pop("committed_at_ms", None)
             if have == want:
                 # already published by an earlier (crashed) run — no-op
                 # even if main has since moved on
@@ -1436,21 +1535,36 @@ class SnapshotTable:
                 return json.load(f), ref
         return files, None
 
-    def expire_snapshots(self, keep_last: int) -> dict:
-        """Retention (the Iceberg ``expireSnapshots`` analog): drop all but
-        the newest ``keep_last`` snapshot docs and physically delete data
-        files referenced ONLY by expired snapshots. Time-travel to expired
-        versions stops working (``snapshot()`` raises); everything the
-        engine needs beyond the retained window — committed epochs for the
-        exactly-once skip, lineage manifests for metrics — is folded into
+    def expire_snapshots(self, keep_last: int | None = None,
+                         older_than_ms: int | None = None) -> dict:
+        """Retention (the Iceberg ``expireSnapshots`` analog): drop expired
+        snapshot docs and physically delete data files referenced ONLY by
+        them. ``keep_last=n`` retains the newest n docs
+        (``retainLast(n)``); ``older_than_ms=ts`` expires only docs whose
+        publish instant (running-max clamped, same rule as
+        ``snapshot_as_of``) is strictly before ``ts``
+        (``expireOlderThan(ts)``) — given both, a doc must fail BOTH
+        retention rules to be expired, exactly Iceberg's conjunction; with
+        ``older_than_ms`` alone the head is still always retained
+        (``keep_last`` defaults to 1). Docs from pre-timestamp builds are
+        never expired BY AGE (their instant is unknowable) — use
+        ``keep_last`` to reclaim those. Time-travel to expired versions
+        stops working (``snapshot()`` raises); everything the engine needs
+        beyond the retained window — committed epochs for the exactly-once
+        skip, lineage manifests for metrics — is folded into
         ``_log/expired-base.json`` FIRST, so a crash mid-expire is safe to
         rerun (union-idempotent) and never loses the ledger.
 
         Caller must hold the writer lease (``coordination.ProcessLock``) —
         concurrent expire + commit can race on the live-file computation."""
         self._require_main("expire_snapshots")
-        if keep_last < 1:
+        if keep_last is None and older_than_ms is None:
+            raise ValueError(
+                "expire_snapshots needs keep_last and/or older_than_ms")
+        if keep_last is not None and keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if keep_last is None:
+            keep_last = 1   # never expire the head by age alone
         paths = self._snapshot_paths()
         # sweep sidecars orphaned by a previous run's crash between its
         # doc-delete and sidecar-delete loops — BEFORE the no-work early
@@ -1460,10 +1574,17 @@ class SnapshotTable:
         # per-writer unique, so a CAS loser's sidecar and a crashed run's
         # leftovers are both collected here)
         live_refs = set()
+        eff_ts: dict[str, int | None] = {}
+        running = None
         for p in paths:
-            _, ref = self._doc_files(self._load_snapshot_doc(p))
+            doc = self._load_snapshot_doc(p)
+            _, ref = self._doc_files(doc)
             if ref:
                 live_refs.add(ref)
+            ts = doc.get("committed_at_ms")
+            if ts is not None:
+                running = ts if running is None else max(running, ts)
+            eff_ts[p] = running if ts is not None else None
         for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files*.json")):
             if os.path.basename(abs_sc) not in live_refs:
                 os.remove(abs_sc)
@@ -1479,6 +1600,9 @@ class SnapshotTable:
         forks = list(self.branches().values())
         min_fork = min(forks) if forks else None
         cand = paths[:-keep_last]
+        if older_than_ms is not None:
+            cand = [p for p in cand
+                    if eff_ts[p] is not None and eff_ts[p] < older_than_ms]
         expired = [p for p in cand
                    if self._doc_version(p) not in protected
                    and (min_fork is None or self._doc_version(p) < min_fork)]

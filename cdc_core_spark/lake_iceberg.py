@@ -345,9 +345,19 @@ class IcebergSnapshotTable:
                               manifests if isinstance(manifests, list) else [])
 
     # ---------------- reads ----------------
-    def read(self, with_internal_cols: bool = False) -> DataFrame:
+    def read(self, with_internal_cols: bool = False,
+             as_of_ts_ms: int | None = None) -> DataFrame:
+        """Current state (LWW-folded); ``as_of_ts_ms`` time-travels the
+        scan (Iceberg ``TIMESTAMP AS OF`` / the ``as-of-timestamp`` read
+        option) — parity with ``SnapshotTable.snapshot_as_of`` +
+        ``read(snap=...)``."""
         from cdc_core_spark.lww import lww_reduce
-        df = self.spark.table(self.ident)
+        if as_of_ts_ms is None:
+            df = self.spark.table(self.ident)
+        else:
+            df = (self.spark.read.format("iceberg")
+                  .option("as-of-timestamp", str(int(as_of_ts_ms)))
+                  .table(self.ident))
         keys = self.key_cols
         payload = [c for c in df.columns
                    if c not in keys and c not in INTERNAL_COLS
@@ -481,17 +491,33 @@ class IcebergSnapshotTable:
             f"CALL {self.catalog}.system.rewrite_data_files"
             f"(table => '{self.ident.split('.', 1)[1]}'{extra})")
 
-    def expire_snapshots(self, keep_last: int) -> None:
+    def expire_snapshots(self, keep_last: int | None = None,
+                         older_than_ms: int | None = None) -> None:
         """Retention with the ledger folded forward: epoch/manifest summary
         props of to-be-expired snapshots are re-committed as table
         properties first (the expired-base-doc analog), then Iceberg
-        expires. Exactly-once resume survives retention."""
-        if keep_last < 1:
+        expires. Exactly-once resume survives retention. Signature parity
+        with ``SnapshotTable.expire_snapshots``: ``older_than_ms`` expires
+        by age (maps to the procedure's ``older_than``), ``keep_last`` maps
+        to ``retain_last``; given both, Iceberg applies the conjunction —
+        the local ledger fold below mirrors it."""
+        if keep_last is None and older_than_ms is None:
+            raise ValueError(
+                "expire_snapshots needs keep_last and/or older_than_ms")
+        if keep_last is not None and keep_last < 1:
             # same guard as SnapshotTable: keep_last=0 would otherwise slice
             # snaps[:-0] == [] and silently expire NOTHING
             raise ValueError("keep_last must be >= 1")
+        if keep_last is None:
+            keep_last = 1   # never expire the head by age alone
         snaps = (self.snapshots().orderBy("committed_at").collect())
         expiring = snaps[:-keep_last]
+        if older_than_ms is not None:
+            # committed_at collects as a session-local naive datetime;
+            # .timestamp() recovers epoch seconds under that same local tz
+            expiring = [s for s in expiring
+                        if s["committed_at"].timestamp() * 1000
+                        < older_than_ms]
         eps = {int(s["summary"][EPOCH_PROP]) for s in expiring
                if s["summary"] and EPOCH_PROP in s["summary"]}
         # group commits carry only their LAST epoch in EPOCH_PROP; the
@@ -521,11 +547,19 @@ class IcebergSnapshotTable:
             f"('{EXPIRED_EPOCHS_PROP}'='{json.dumps(eps)}', "
             f"'{EXPIRED_MANIFESTS_PROP}'='{json.dumps(mans)}')")
         if expiring:
-            ts = snaps[-keep_last]["committed_at"].isoformat(sep=" ")
+            if older_than_ms is not None:
+                import datetime as _dt
+                # naive local datetime — same session-local convention the
+                # collected committed_at values use
+                cutoff = _dt.datetime.fromtimestamp(older_than_ms / 1000.0)
+            else:
+                cutoff = snaps[-keep_last]["committed_at"]
+            ts = cutoff.isoformat(sep=" ")
             self.spark.sql(
                 f"CALL {self.catalog}.system.expire_snapshots"
                 f"(table => '{self.ident.split('.', 1)[1]}', "
-                f"older_than => TIMESTAMP '{ts}')")
+                f"older_than => TIMESTAMP '{ts}', "
+                f"retain_last => {keep_last})")
 
     def _table_props(self) -> dict[str, str]:
         return {r["key"]: r["value"] for r in self.spark.sql(
