@@ -402,7 +402,15 @@ def q_cdc_engine_replay(spark, sf_dir):
     values > 2^31 that only survive a real int→long widen. ~1% of events
     carry an invalid op and must be quarantined (DLQ,
     MessageProcessor.sendError analog) — the oracle excludes them, so
-    mis-applying a malformed event fails the value-hash."""
+    mis-applying a malformed event fails the value-hash.
+
+    The final read goes through the WALL-CLOCK TIME-TRAVEL path
+    (``snapshot_as_of`` at the chain's newest publish instant — the Iceberg
+    ``TIMESTAMP AS OF`` analog, lake.py): resolving that instant must pick
+    the head snapshot under the running-max clock clamp, so the oracle
+    value-hash also gates timestamp stamping + as-of selection. The chosen
+    instant is read back from the table's own history, never ``time.time()``
+    at query time, keeping the gate deterministic under clock steps."""
     from cdc_core_spark.engine import CdcEngine
 
     root = _scratch("replay", sf_dir)
@@ -410,7 +418,10 @@ def q_cdc_engine_replay(spark, sf_dir):
     eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
 
     _run_replay_epochs(eng, _adapt_events(spark, sf_dir))
-    return eng.read_final().select(
+    as_of = max(h["committed_at_ms"] for h in eng.table.history())
+    snap = eng.table.snapshot_as_of(as_of)
+    assert snap.version == eng.table.latest_meta().version
+    return eng.table.read(spark, snap=snap).select(
         "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))
 
