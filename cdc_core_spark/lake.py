@@ -387,15 +387,9 @@ class SnapshotTable:
         O(retained snapshots) doc reads; never resolves manifest sidecars
         until the one chosen snapshot is loaded."""
         best = None
-        running = None
-        for p in self._snapshot_paths():
-            with open(p) as f:
-                d = json.load(f)
-            ts = d.get("committed_at_ms")
-            if ts is not None:
-                running = ts if running is None else max(running, ts)
-            if running is not None and running <= ts_ms:
-                best = d["version"]
+        for _, doc, _, eff in self._walk_instants():
+            if eff is not None and eff <= ts_ms:
+                best = doc["version"]
         if best is None:
             raise FileNotFoundError(
                 f"no snapshot under {self.log_dir} was published at or "
@@ -403,6 +397,26 @@ class SnapshotTable:
                 "instant, or retention expired the history (tag versions "
                 "to pin them)")
         return self.snapshot(best)
+
+    def _walk_instants(self) -> list[tuple]:
+        """Shared effective-publish-instant walk: one
+        ``(path, doc, raw_ts, eff_ts)`` tuple per retained snapshot doc,
+        oldest→newest. ``eff_ts`` is the running-max clamp over
+        ``committed_at_ms`` (non-decreasing; legacy docs without a stamp
+        inherit it), SEEDED from the expired ledger's ``clock_floor_ms`` so
+        expiring the snapshot that anchored the running max cannot rewind
+        the effective instants of retained docs — as-of reads and age
+        retention stay monotone across ``expire_snapshots``. Single source
+        of the clamp rule for ``snapshot_as_of`` and ``expire_snapshots``."""
+        running = self._expired_base_doc()["clock_floor_ms"]
+        out = []
+        for p in self._snapshot_paths():
+            doc = self._load_snapshot_doc(p)
+            ts = doc.get("committed_at_ms")
+            if ts is not None:
+                running = ts if running is None else max(running, ts)
+            out.append((p, doc, ts, running))
+        return out
 
     def block_deltas(self) -> list[dict]:
         """Per-data-file change lifecycle over the retained snapshot chain —
@@ -1230,9 +1244,11 @@ class SnapshotTable:
         branch's history below its fork IS main's history."""
         p = os.path.join(self.main_log_dir, "expired-base.json")
         if not os.path.exists(p):
-            return {"epochs": [], "manifests": []}
+            return {"epochs": [], "manifests": [], "clock_floor_ms": None}
         with open(p) as f:
-            return json.load(f)
+            d = json.load(f)
+        d.setdefault("clock_floor_ms", None)
+        return d
 
     def all_manifests(self) -> list[dict]:
         rows = list(self._expired_base_doc()["manifests"])
@@ -1565,7 +1581,8 @@ class SnapshotTable:
             raise ValueError("keep_last must be >= 1")
         if keep_last is None:
             keep_last = 1   # never expire the head by age alone
-        paths = self._snapshot_paths()
+        walk = self._walk_instants()
+        paths = [w[0] for w in walk]
         # sweep sidecars orphaned by a previous run's crash between its
         # doc-delete and sidecar-delete loops — BEFORE the no-work early
         # return, because exactly that rerun usually has nothing left to
@@ -1575,16 +1592,15 @@ class SnapshotTable:
         # leftovers are both collected here)
         live_refs = set()
         eff_ts: dict[str, int | None] = {}
-        running = None
-        for p in paths:
-            doc = self._load_snapshot_doc(p)
+        eff_all: dict[str, int | None] = {}
+        for p, doc, ts, eff in walk:
             _, ref = self._doc_files(doc)
             if ref:
                 live_refs.add(ref)
-            ts = doc.get("committed_at_ms")
-            if ts is not None:
-                running = ts if running is None else max(running, ts)
-            eff_ts[p] = running if ts is not None else None
+            eff_all[p] = eff
+            # legacy docs (no stamp) are never expired BY AGE — their
+            # instant is unknowable, even though as-of reads clamp them
+            eff_ts[p] = eff if ts is not None else None
         for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files*.json")):
             if os.path.basename(abs_sc) not in live_refs:
                 os.remove(abs_sc)
@@ -1642,8 +1658,18 @@ class SnapshotTable:
         # in between leaves an unreferenced sidecar (harmless debris the
         # sweep below collects on rerun), never a live doc whose sidecar is
         # gone (which would wedge every metadata walk with FileNotFoundError)
+        # carry the clamp anchor forward: the newest EFFECTIVE instant being
+        # expired becomes the ledger's clock floor, so retained docs whose
+        # stamps sat under the anchor keep their (clamped) effective instant
+        # after it is gone — max-fold keeps crash-reruns idempotent
+        floor = base["clock_floor_ms"]
+        for p in expired:
+            e = eff_all[p]
+            if e is not None and (floor is None or e > floor):
+                floor = e
         _atomic_write_json(os.path.join(self.log_dir, "expired-base.json"),
-                           {"epochs": sorted(eps), "manifests": manifests})
+                           {"epochs": sorted(eps), "manifests": manifests,
+                            "clock_floor_ms": floor})
         for rel in dead:
             try:
                 os.remove(os.path.join(self.root, rel))

@@ -513,8 +513,11 @@ class IcebergSnapshotTable:
         snaps = (self.snapshots().orderBy("committed_at").collect())
         expiring = snaps[:-keep_last]
         if older_than_ms is not None:
-            # committed_at collects as a session-local naive datetime;
-            # .timestamp() recovers epoch seconds under that same local tz
+            # committed_at collects as a naive datetime in the DRIVER OS
+            # timezone (TimestampType.fromInternal uses
+            # datetime.fromtimestamp, not the Spark session tz);
+            # .timestamp() interprets naive under that same OS tz, so this
+            # recovers the true epoch instant
             expiring = [s for s in expiring
                         if s["committed_at"].timestamp() * 1000
                         < older_than_ms]
@@ -547,14 +550,20 @@ class IcebergSnapshotTable:
             f"('{EXPIRED_EPOCHS_PROP}'='{json.dumps(eps)}', "
             f"'{EXPIRED_MANIFESTS_PROP}'='{json.dumps(mans)}')")
         if expiring:
+            import datetime as _dt
             if older_than_ms is not None:
-                import datetime as _dt
-                # naive local datetime — same session-local convention the
-                # collected committed_at values use
-                cutoff = _dt.datetime.fromtimestamp(older_than_ms / 1000.0)
+                cut_s = older_than_ms / 1000.0
             else:
-                cutoff = snaps[-keep_last]["committed_at"]
-            ts = cutoff.isoformat(sep=" ")
+                # naive OS-local datetime → true epoch instant (see above)
+                cut_s = snaps[-keep_last]["committed_at"].timestamp()
+            # render the literal WITH an explicit zone offset: a bare
+            # TIMESTAMP literal is parsed in spark.sql.session.timeZone,
+            # which need not match the driver-OS tz the instant was
+            # computed under — the +00:00 suffix makes the literal
+            # instant-exact regardless of either setting, so the Iceberg
+            # expire cutoff and the local ledger fold above agree
+            ts = _dt.datetime.fromtimestamp(
+                cut_s, tz=_dt.timezone.utc).isoformat(sep=" ")
             self.spark.sql(
                 f"CALL {self.catalog}.system.expire_snapshots"
                 f"(table => '{self.ident.split('.', 1)[1]}', "

@@ -134,6 +134,46 @@ def test_expire_by_age_skips_tags_and_legacy_docs(spark, tmp_path):
     assert t.expire_snapshots(keep_last=1)["snapshots_removed"] == 1
 
 
+def test_expire_persists_the_clock_floor(spark, tmp_path):
+    """Expiring the snapshot that ANCHORED the running-max clamp must not
+    rewind the effective instants of retained docs: the newest expired
+    effective instant is persisted as the ledger's ``clock_floor_ms`` and
+    seeds every later clamp walk. Without it, as-of reads change answers
+    after retention and a follow-up age-based expire deletes snapshots
+    whose effective instant was newer than the cutoff."""
+    t = _mk(tmp_path)                                     # v0
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)     # v1
+    _commit(spark, t, [(1, 11, False)], 200, epoch=1)     # v2
+    _commit(spark, t, [(2, 20, False)], 300, epoch=2)     # v3
+    _set_ts(t, 0, 5000)          # the clamp anchor
+    _set_ts(t, 1, 1000)          # clock stepped back …
+    _set_ts(t, 2, 900)           # … twice
+    _set_ts(t, 3, 6000)
+
+    assert t.snapshot_as_of(5000).version == 2   # v1/v2 clamp to 5000
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_as_of(1000)                   # nothing effective ≤ 1000
+
+    # expire ONLY the anchor (v0: eff 5000 < 5500; v1/v2 clamp to 5000 too,
+    # but keep_last=3 pins them)
+    assert t.expire_snapshots(keep_last=3,
+                              older_than_ms=5500)["snapshots_removed"] == 1
+    # the anchor's effective instant survives as the ledger floor …
+    assert t._expired_base_doc()["clock_floor_ms"] == 5000
+    # … so retained docs keep their clamped instants: same answers as before
+    assert t.snapshot_as_of(5000).version == 2
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_as_of(1000)
+    # … and age retention cannot delete history the cutoff said to keep
+    # (v1/v2 are effectively at 5000, NOT at their raw 1000/900 stamps)
+    assert t.expire_snapshots(older_than_ms=2000)["snapshots_removed"] == 0
+    # a cutoff beyond the floor still reclaims them, and max-folds the floor
+    assert t.expire_snapshots(older_than_ms=5500)["snapshots_removed"] == 2
+    assert t._expired_base_doc()["clock_floor_ms"] == 5000
+    assert t.latest().version == 3
+    assert t.committed_epochs() == {0, 1, 2}              # ledger survives
+
+
 def test_as_of_on_branch_crosses_the_fork(spark, tmp_path):
     t = _mk(tmp_path)
     _commit(spark, t, [(1, 10, False)], 100, epoch=0)     # main v1
