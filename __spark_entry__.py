@@ -501,7 +501,10 @@ def q_cdc_out_chain(spark, sf_dir):
     so the gate shares _ENGINE_REPLAY_SQL — proving the changelog is a
     lossless pipeline primitive (the sink turned back into a source), not
     just a read API. At 100 TB this is the fan-out shape: downstream
-    consumers pay O(changes), never a table re-scan."""
+    consumers pay O(changes), never a table re-scan.
+    A final ROLLBACK leg commits a junk epoch downstream and undoes it via
+    rollback() (Iceberg rollback_to_snapshot), so the oracle also
+    value-checks that rollback restores the published state exactly."""
     from cdc_core_spark.engine import CdcEngine
     from cdc_core_spark.lake import SnapshotTable, bucket_expr
     from cdc_core_spark.lww import lww_reduce
@@ -534,6 +537,23 @@ def q_cdc_out_chain(spark, sf_dir):
     assert br.latest().files and not t2.latest().files  # staged, unpublished
     t2.fast_forward("audit")
     t2.drop_branch("audit")
+    # ROLLBACK leg (Iceberg rollback_to_snapshot, lake.py): commit a junk
+    # epoch downstream — late-timestamped garbage upserts plus tombstones,
+    # so it WINS the LWW fold and visibly corrupts state — then roll the
+    # table back to the published version. The gate's final read therefore
+    # value-checks that rollback restores the exact pre-junk state (file
+    # set + layout) against the SQL oracle: a rollback that leaked or lost
+    # one row hash-mismatches.
+    published = t2.latest().version
+    junk = (winners.limit(64)
+            .withColumn("rev", F.lit(-1).cast("bigint"))
+            .withColumn("_deleted",
+                        (F.xxhash64("repo", "path") % 3 == 0))
+            .withColumn("_op_ts", F.col("_op_ts") + F.lit(10**9))
+            .withColumn("_bucket", bucket_expr(snap.key_cols, 8)))
+    t2.commit_delta(junk, epoch=1, manifests=[])
+    rb = t2.rollback(published)
+    assert rb.rollback_of == published and rb.version == published + 2
     return t2.read(spark).select(
         "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))

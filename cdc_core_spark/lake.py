@@ -190,6 +190,11 @@ class Snapshot:
     # pre-timestamp builds. fast_forward copies docs verbatim, so branch
     # commits keep their original publish instant on main (Iceberg rule).
     committed_at_ms: int | None = None
+    # set ONLY on a rollback() commit: the version whose data state this
+    # commit restores. A doc field (not a props entry) because props
+    # propagate forward onto every later commit — the marker must annotate
+    # exactly one point in history.
+    rollback_of: int | None = None
 
     def field_names(self) -> list[str]:
         return [f["name"] for f in self.fields]
@@ -365,6 +370,7 @@ class SnapshotTable:
                 "n_files": files["n"] if isinstance(files, dict) else len(files),
                 "n_manifests": len(d.get("manifests") or []),
                 "committed_at_ms": d.get("committed_at_ms"),
+                "rollback_of": d.get("rollback_of"),
                 "props": d.get("props") or {},
             })
         return out
@@ -451,6 +457,11 @@ class SnapshotTable:
                         "tnx_epoch": f.get("epoch", s.epoch),
                         "added_version": s.version,
                         "removed_version": None, "deleted": False}
+                elif seen[f["path"]]["deleted"]:
+                    # rollback() resurrects files a rolled-past rewrite had
+                    # dropped — a live file must not report as deleted
+                    seen[f["path"]]["deleted"] = False
+                    seen[f["path"]]["removed_version"] = None
             for path, row in seen.items():
                 if not row["deleted"] and path not in now:
                     row["deleted"] = True
@@ -473,11 +484,11 @@ class SnapshotTable:
         if kind == "history":
             rows = [(h["version"], h["epoch"], h["parent"], h["n_buckets"],
                      h["n_files"], h["n_manifests"], h["committed_at_ms"],
-                     json.dumps(h["props"], sort_keys=True))
+                     h["rollback_of"], json.dumps(h["props"], sort_keys=True))
                     for h in self.history()]
             ddl = ("version bigint, epoch bigint, parent bigint, "
                    "n_buckets int, n_files bigint, n_manifests bigint, "
-                   "committed_at_ms bigint, props string")
+                   "committed_at_ms bigint, rollback_of bigint, props string")
         elif kind == "files":
             rows = [(f["path"], f["bucket"], f.get("kind", "base"),
                      f["schema_id"], f.get("epoch"), f.get("bytes"))
@@ -1485,6 +1496,8 @@ class SnapshotTable:
             # rerun can never reproduce it, so it is not part of identity
             have.pop("committed_at_ms", None)
             want.pop("committed_at_ms", None)
+            # a doc published by a pre-rollback_of build lacks the key
+            have.setdefault("rollback_of", None)
             if have == want:
                 # already published by an earlier (crashed) run — no-op
                 # even if main has since moved on
@@ -1536,6 +1549,66 @@ class SnapshotTable:
         if name in t:
             return self.snapshot(t[name])
         return self.branch(name).latest()
+
+    def rollback(self, version: int) -> Snapshot:
+        """Iceberg ``rollback_to_snapshot``: append a NEW head commit whose
+        DATA state (file set + bucket layout) is exactly that of retained
+        snapshot ``version`` — the undo for a bad epoch/publish. History
+        stays append-only and monotonic, so time travel, tags, changelog
+        cursors and concurrent readers never observe a version number
+        moving backwards; ``snapshot_as_of`` an instant before the rollback
+        still yields the undone state, and the rolled-PAST snapshots remain
+        readable until retention expires them.
+
+        Iceberg rules followed deliberately:
+
+        * **schema does not revert** — fields/aliases/schemas stay the
+          CURRENT ones (schema is table-level metadata, not snapshot
+          state); the target's files read through the normal
+          evolution path (columns added since the target come back null,
+          renames/widens resolve via the cumulative alias/schema maps).
+          Layout (``n_buckets``) DOES revert with the files it bucketed.
+        * **the exactly-once ledger is untouched** — epochs applied after
+          the target stay committed, so a resumed replay of the same event
+          log skips them and the state STAYS rolled back; to re-apply
+          repaired events, submit them as a NEW epoch (the
+          ``reprocess_errors`` path), never by replaying old epoch ids.
+        * **no auto-rebase** — a concurrent commit landing between the head
+          read and the publish raises ``CommitConflictError`` instead of
+          retrying on the new head: rebasing would silently undo a commit
+          the caller never saw. Re-read state and decide again.
+
+        The commit is metadata-only (no data I/O), ``maintenance=False``:
+        it CHANGES logical state, so ``read_changes`` refuses to cross it
+        (a rollback is not incrementally readable — downstream consumers
+        must re-baseline). Reference analog: transaction rollback /
+        replayable-offset reset in the processing loop
+        (core/src/main/java/io/zyient/base/core/processing/Processor.java),
+        lifted from per-batch to whole-table state."""
+        head = self.latest_meta()
+        if head.version == version:
+            return self.latest()                       # already there
+        if version > head.version:
+            raise ValueError(
+                f"rollback: v{version} is ahead of head v{head.version}")
+        target = self.snapshot(version)
+        snap = Snapshot(version=head.version + 1, epoch=None,
+                        n_buckets=target.n_buckets, key_cols=head.key_cols,
+                        fields=head.fields, aliases=head.aliases,
+                        schemas={**target.schemas, **head.schemas},
+                        files=target.files, manifests=[],
+                        parent=head.version, props=head.props,
+                        maintenance=False, rollback_of=version)
+        try:
+            self._publish(snap)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"rollback to v{version}: a concurrent commit took "
+                f"v{head.version + 1} — state moved since the head was "
+                "read; re-read and decide again (rollback never "
+                "auto-rebases over a commit the caller has not seen)"
+            ) from None
+        return self.latest()
 
     # ---------------- retention / maintenance ----------------
     def _doc_files(self, doc: dict,
@@ -1894,11 +1967,15 @@ class SnapshotTable:
           full state across such commits; CDC-out pipelines should commit
           logical changes in MOR mode (``merge_mode='mor'``).
 
-        ``strict=True`` raises on ANY rewrite commit in range, maintenance
-        included (matching Iceberg's refusal to scan across a replace
-        commit). Metadata-only commits contribute no rows. A version range
-        that predates retention (``expire_snapshots``) raises
-        FileNotFoundError.
+        A ``rollback()`` commit in range ALWAYS raises under the default
+        (and under ``strict``) regardless of its file delta — its "changes"
+        undo earlier commits and resurrected files would re-deliver rows
+        already consumed; ``on_logical_rewrite="skip"`` skips it like any
+        other rewrite. ``strict=True`` raises on ANY rewrite commit in
+        range, maintenance included (matching Iceberg's refusal to scan
+        across a replace commit). Metadata-only commits contribute no rows.
+        A version range that predates retention (``expire_snapshots``)
+        raises FileNotFoundError.
         """
         if on_logical_rewrite not in ("raise", "skip"):
             raise ValueError("on_logical_rewrite must be 'raise' or 'skip'")
@@ -1930,6 +2007,22 @@ class SnapshotTable:
             added = [f for f in files if f["path"] not in prev_paths]
             removed = prev_paths - cur_paths
             prev_paths = cur_paths
+            if doc.get("rollback_of") is not None:
+                # a rollback() commit is never incrementally readable,
+                # whatever its file delta looks like: its "changes" are the
+                # UNDO of earlier commits, and a resurrected file would
+                # re-deliver rows the consumer already saw as fresh upserts.
+                # Checked BEFORE the added/removed split so a net-additive
+                # rollback cannot slip through as an append.
+                if strict or on_logical_rewrite == "raise":
+                    raise ValueError(
+                        f"snapshot v{v} rolls the table back to "
+                        f"v{doc['rollback_of']} — a rollback is not "
+                        "incrementally readable; re-baseline the consumer "
+                        "from a full read of the rolled-back state, or pass "
+                        "on_logical_rewrite='skip' if the consumer re-reads "
+                        "full state across this commit")
+                continue
             if removed:
                 if strict:
                     raise ValueError(

@@ -450,6 +450,17 @@ class IcebergSnapshotTable:
             f"(table => '{self.ident.split('.', 1)[1]}', "
             f"branch => 'main', to => '{name}')")
 
+    def rollback(self, version: int) -> None:
+        """``SnapshotTable.rollback`` analog: Iceberg's
+        ``rollback_to_snapshot`` procedure. ``version`` is the snapshot id
+        (the shim's version domain). Same semantics the stand-in pins in
+        tests/test_rollback.py: data state reverts, schema and the
+        (prop-carried) epoch ledger do not, history stays time-travelable."""
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rollback_to_snapshot"
+            f"(table => '{self.ident.split('.', 1)[1]}', "
+            f"snapshot_id => {int(version)})")
+
     def refs(self) -> DataFrame:
         """The `refs` metadata table: one row per branch/tag with its
         pinned snapshot id."""

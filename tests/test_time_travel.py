@@ -197,7 +197,7 @@ def test_inspect_metadata_dataframes(spark, tmp_path):
     h = t.inspect(spark, "history")
     assert h.columns == ["version", "epoch", "parent", "n_buckets",
                          "n_files", "n_manifests", "committed_at_ms",
-                         "props"]
+                         "rollback_of", "props"]
     rows = {r["version"]: r for r in h.collect()}
     assert set(rows) == {0, 1, 2} and rows[2]["parent"] == 1
     assert rows[1]["committed_at_ms"] <= rows[2]["committed_at_ms"]
