@@ -502,9 +502,12 @@ def q_cdc_out_chain(spark, sf_dir):
     lossless pipeline primitive (the sink turned back into a source), not
     just a read API. At 100 TB this is the fan-out shape: downstream
     consumers pay O(changes), never a table re-scan.
-    A final ROLLBACK leg commits a junk epoch downstream and undoes it via
+    A ROLLBACK leg commits a junk epoch downstream and undoes it via
     rollback() (Iceberg rollback_to_snapshot), so the oracle also
-    value-checks that rollback restores the published state exactly."""
+    value-checks that rollback restores the published state exactly; a
+    final CHERRY-PICK leg (Iceberg cherrypick_snapshot) stages an epoch on
+    a branch, moves main past the fork, and publishes via cherry_pick —
+    value-checking the moved-main WAP publish path too."""
     from cdc_core_spark.engine import CdcEngine
     from cdc_core_spark.lake import SnapshotTable, bucket_expr
     from cdc_core_spark.lww import lww_reduce
@@ -554,6 +557,24 @@ def q_cdc_out_chain(spark, sf_dir):
     t2.commit_delta(junk, epoch=1, manifests=[])
     rb = t2.rollback(published)
     assert rb.rollback_of == published and rb.version == published + 2
+    # CHERRY-PICK leg (Iceberg cherrypick_snapshot, lake.py): the WAP
+    # publish once main has MOVED past the branch fork. Stage a delta of
+    # EXISTING winner rows (bit-identical per-key winners, so re-applying
+    # them is a no-op under the LWW fold) on a branch, move main with
+    # another such commit, then cherry_pick the branch commit onto the
+    # advanced head — fast_forward would raise here. The final read
+    # value-checks that the picked files merged without corrupting state.
+    idem = (winners
+            .withColumn("_bucket", bucket_expr(snap.key_cols, 8)))
+    cp = t2.create_branch("fix")
+    cp.commit_delta(idem.filter(F.xxhash64("repo", "path") % 7 == 0),
+                    epoch=2, manifests=[])
+    t2.commit_delta(idem.filter(F.xxhash64("repo", "path") % 7 == 1),
+                    epoch=3, manifests=[])                 # main moves
+    picked = t2.cherry_pick(cp.latest().version, from_branch="fix")
+    assert picked.epoch == 2 and picked.parent == rb.version + 1
+    t2.drop_branch("fix")
+    assert t2.committed_epochs() == {0, 1, 2, 3}
     return t2.read(spark).select(
         "repo", "path", "language", "size_bytes", "rev",
         F.sha2("content", 256).alias("content_sha"))

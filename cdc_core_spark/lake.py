@@ -1610,6 +1610,119 @@ class SnapshotTable:
             ) from None
         return self.latest()
 
+    def cherry_pick(self, version: int,
+                    from_branch: str | None = None) -> Snapshot:
+        """Iceberg ``cherrypick_snapshot``: apply ONE commit's file delta
+        onto the CURRENT head as a new commit. This is the WAP publish path
+        once main has MOVED past the branch fork — ``fast_forward`` and
+        ``publish_branch`` both require main at the fork point, so a
+        concurrent writer landing during the audit would force a full
+        re-stage; cherry-pick instead lifts the audited epoch onto the new
+        head, metadata-only, because MOR deltas are order-independent under
+        the LWW fold (the same property that lets ``commit_delta`` rebase).
+
+        Only pure MOR APPENDS are pickable (Iceberg limits cherry-pick to
+        appends / dynamic overwrites): the source commit must add
+        delta-kind files and remove none relative to its parent. Rewrites
+        (compaction / CoW merge), ``rollback()`` commits, and base-file
+        loads all raise — re-applying those onto a different head would
+        change semantics (a base file added to an already-based table
+        bypasses the fold entirely when no deltas remain).
+
+        Exactly-once: the picked commit carries the source's epoch ids and
+        manifests into this ref's ledger. An epoch already on the ledger
+        raises ``CommitConflictError`` (Iceberg's duplicate-WAP-commit
+        rule) — including an epoch a ``rollback()`` undid, because the
+        ledger is append-only by design; redo repaired data as a NEW epoch
+        (the ``reprocess_errors`` path), never by re-picking old ids.
+
+        Cross-ref rules: data files are shared under the table root, so
+        picking FROM a branch copies no data; ``from_branch`` resolution
+        requires a main handle (branches have no sub-branches), while
+        picking from this ref's own history works on any handle. Conflicts:
+        a concurrent commit rebases automatically (additive), but a
+        concurrent re-bucket / key change / duplicate epoch / already-live
+        source file raises."""
+        src_tab = self.branch(from_branch) if from_branch is not None else self
+        src = src_tab.snapshot(version)
+        if src.rollback_of is not None:
+            raise ValueError(
+                f"cherry_pick: v{version} is a rollback commit — its delta "
+                "is the undo of earlier commits, not an append; roll this "
+                "ref back directly instead")
+        parent_files = (src_tab.snapshot(src.parent).files
+                        if src.parent is not None else [])
+        parent_paths = {f["path"] for f in parent_files}
+        removed = parent_paths - {f["path"] for f in src.files}
+        if removed:
+            raise ValueError(
+                f"cherry_pick: v{version} removes {len(removed)} file(s) — "
+                "only pure appends (MOR delta commits) can be cherry-picked; "
+                "rewrites must be recomputed against the current head")
+        added = [f for f in src.files if f["path"] not in parent_paths]
+        non_delta = [f["path"] for f in added
+                     if f.get("kind", "base") != "delta"]
+        if non_delta:
+            raise ValueError(
+                f"cherry_pick: v{version} adds {len(non_delta)} "
+                "non-delta file(s) (base load) — base files bypass the LWW "
+                "fold on a compacted table; only MOR delta appends pick "
+                "safely onto an arbitrary head")
+        eps: set[int] = set()
+        self._fold_epochs({"epoch": src.epoch, "manifests": src.manifests,
+                           "epochs": src.epochs}, eps)
+        if not added and not eps:
+            raise ValueError(
+                f"cherry_pick: v{version} adds no files and carries no "
+                "epochs — nothing to apply")
+        missing = [f["path"] for f in added
+                   if not os.path.exists(os.path.join(self.root, f["path"]))]
+        if missing:
+            raise FileNotFoundError(
+                f"cherry_pick: {len(missing)} source data file(s) no longer "
+                f"exist (expired / orphan-collected), e.g. {missing[0]!r}")
+        prev = self.latest()
+        if src.n_buckets != prev.n_buckets:
+            raise CommitConflictError(
+                f"cherry_pick: v{version} was written under "
+                f"{src.n_buckets} buckets but the head has "
+                f"{prev.n_buckets} — bucket ids do not transfer across a "
+                "re-bucket; replay the epoch instead")
+        if src.key_cols != prev.key_cols:
+            raise CommitConflictError(
+                "cherry_pick: key columns changed since the source commit")
+
+        def rebuild(b: Snapshot) -> Snapshot:
+            if b is not prev:
+                # epochs=[] — the dup check below runs on EVERY attempt
+                # (first included) with a cherry-pick-specific message
+                self._rebase_guard(prev, b, [], "cherry-pick rebase")
+            live = {f["path"] for f in b.files}
+            if live & {f["path"] for f in added}:
+                raise CommitConflictError(
+                    f"cherry_pick: file(s) of v{version} are already live "
+                    "on this ref — the commit was already picked or "
+                    "published")
+            dup = eps & self.committed_epochs()
+            if dup:
+                raise CommitConflictError(
+                    f"cherry_pick: epoch(s) {sorted(dup)} are already on "
+                    "this ref's exactly-once ledger (committed earlier, or "
+                    "undone by a rollback — the ledger is append-only); "
+                    "submit repaired data as a NEW epoch instead")
+            schemas_b = dict(b.schemas)
+            for f in added:
+                schemas_b.setdefault(f["schema_id"], src.schemas[f["schema_id"]])
+            return Snapshot(version=b.version + 1, epoch=src.epoch,
+                            n_buckets=b.n_buckets, key_cols=b.key_cols,
+                            fields=b.fields, aliases=b.aliases,
+                            schemas=schemas_b, files=b.files + added,
+                            manifests=list(src.manifests or []),
+                            parent=b.version, props=b.props,
+                            epochs=src.epochs)
+
+        return self._occ_publish(prev, None, rebuild)
+
     # ---------------- retention / maintenance ----------------
     def _doc_files(self, doc: dict,
                    doc_dir: str | None = None) -> tuple[list[dict], str | None]:

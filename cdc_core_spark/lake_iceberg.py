@@ -461,6 +461,17 @@ class IcebergSnapshotTable:
             f"(table => '{self.ident.split('.', 1)[1]}', "
             f"snapshot_id => {int(version)})")
 
+    def cherry_pick(self, version: int) -> None:
+        """``SnapshotTable.cherry_pick`` analog: Iceberg's
+        ``cherrypick_snapshot`` procedure — applies a staged (WAP) or
+        ancestor append snapshot onto the current head. Iceberg enforces
+        the same limits natively: appends/dynamic-overwrites only, and a
+        duplicate ``wap.id`` raises (the stand-in's epoch-ledger rule)."""
+        self.spark.sql(
+            f"CALL {self.catalog}.system.cherrypick_snapshot"
+            f"(table => '{self.ident.split('.', 1)[1]}', "
+            f"snapshot_id => {int(version)})")
+
     def refs(self) -> DataFrame:
         """The `refs` metadata table: one row per branch/tag with its
         pinned snapshot id."""
