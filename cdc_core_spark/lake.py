@@ -409,19 +409,36 @@ class SnapshotTable:
         ``(path, doc, raw_ts, eff_ts)`` tuple per retained snapshot doc,
         oldest→newest. ``eff_ts`` is the running-max clamp over
         ``committed_at_ms`` (non-decreasing; legacy docs without a stamp
-        inherit it), SEEDED from the expired ledger's ``clock_floor_ms`` so
-        expiring the snapshot that anchored the running max cannot rewind
-        the effective instants of retained docs — as-of reads and age
-        retention stay monotone across ``expire_snapshots``. Single source
-        of the clamp rule for ``snapshot_as_of`` and ``expire_snapshots``."""
-        running = self._expired_base_doc()["clock_floor_ms"]
+        inherit it). ``expire_snapshots`` PINS every retained doc's
+        effective instant into the ledger (``eff_overrides``) before
+        deleting anything, so expiring the snapshot that anchored the
+        running max cannot rewind — and retaining a TAGGED doc amid newer
+        expired ones cannot inflate — the effective instants of survivors:
+        as-of reads and age retention give the same answers before and
+        after retention. Ledgers from pre-override builds fall back to
+        seeding the clamp with their ``clock_floor_ms``. Single source of
+        the clamp rule for ``snapshot_as_of`` and ``expire_snapshots``."""
+        base = self._expired_base_doc()
+        overrides = {int(v): e
+                     for v, e in (base.get("eff_overrides") or {}).items()}
+        # legacy ledger (floor, no overrides): seed the clamp as before
+        running = None if overrides else base["clock_floor_ms"]
         out = []
         for p in self._snapshot_paths():
             doc = self._load_snapshot_doc(p)
             ts = doc.get("committed_at_ms")
-            if ts is not None:
-                running = ts if running is None else max(running, ts)
-            out.append((p, doc, ts, running))
+            # pins are keyed by MAIN version numbers; a branch doc above the
+            # fork can share a number with a diverged main doc — never pin it
+            pinned = (overrides.get(doc["version"])
+                      if os.path.dirname(p) == self.main_log_dir else None)
+            if pinned is not None:
+                eff = pinned
+                running = pinned if running is None else max(running, pinned)
+            else:
+                if ts is not None:
+                    running = ts if running is None else max(running, ts)
+                eff = running
+            out.append((p, doc, ts, eff))
         return out
 
     def block_deltas(self) -> list[dict]:
@@ -1650,9 +1667,23 @@ class SnapshotTable:
                 f"cherry_pick: v{version} is a rollback commit — its delta "
                 "is the undo of earlier commits, not an append; roll this "
                 "ref back directly instead")
-        parent_files = (src_tab.snapshot(src.parent).files
-                        if src.parent is not None else [])
-        parent_paths = {f["path"] for f in parent_files}
+        src_parent = (src_tab.snapshot(src.parent)
+                      if src.parent is not None else None)
+        if src_parent is not None and (src.fields != src_parent.fields
+                                       or src.aliases != src_parent.aliases
+                                       or src.props != src_parent.props):
+            # Iceberg's cherrypick_snapshot rejects non-append operations;
+            # silently keeping the head's metadata would publish the commit's
+            # epoch ids to the exactly-once ledger while DROPPING its DDL —
+            # a resumed replay then skips the epoch and the schema change is
+            # lost permanently
+            raise ValueError(
+                f"cherry_pick: v{version} changes table metadata "
+                "(schema / aliases / props) — only pure data appends are "
+                "pickable; re-apply the DDL on this ref via commit_metadata, "
+                "then pick the data commits")
+        parent_paths = {f["path"] for f in
+                        (src_parent.files if src_parent is not None else [])}
         removed = parent_paths - {f["path"] for f in src.files}
         if removed:
             raise ValueError(
@@ -1777,16 +1808,13 @@ class SnapshotTable:
         # per-writer unique, so a CAS loser's sidecar and a crashed run's
         # leftovers are both collected here)
         live_refs = set()
-        eff_ts: dict[str, int | None] = {}
-        eff_all: dict[str, int | None] = {}
+        # one (raw_ts, eff) pair per doc path — raw None marks a legacy doc
+        info: dict[str, tuple[int | None, int | None]] = {}
         for p, doc, ts, eff in walk:
             _, ref = self._doc_files(doc)
             if ref:
                 live_refs.add(ref)
-            eff_all[p] = eff
-            # legacy docs (no stamp) are never expired BY AGE — their
-            # instant is unknowable, even though as-of reads clamp them
-            eff_ts[p] = eff if ts is not None else None
+            info[p] = (ts, eff)
         for abs_sc in glob.glob(os.path.join(self.log_dir, "v*-files*.json")):
             if os.path.basename(abs_sc) not in live_refs:
                 os.remove(abs_sc)
@@ -1803,8 +1831,10 @@ class SnapshotTable:
         min_fork = min(forks) if forks else None
         cand = paths[:-keep_last]
         if older_than_ms is not None:
+            # legacy docs (raw stamp None) are never expired BY AGE — their
+            # instant is unknowable, even though as-of reads clamp them
             cand = [p for p in cand
-                    if eff_ts[p] is not None and eff_ts[p] < older_than_ms]
+                    if info[p][0] is not None and info[p][1] < older_than_ms]
         expired = [p for p in cand
                    if self._doc_version(p) not in protected
                    and (min_fork is None or self._doc_version(p) < min_fork)]
@@ -1844,18 +1874,26 @@ class SnapshotTable:
         # in between leaves an unreferenced sidecar (harmless debris the
         # sweep below collects on rerun), never a live doc whose sidecar is
         # gone (which would wedge every metadata walk with FileNotFoundError)
-        # carry the clamp anchor forward: the newest EFFECTIVE instant being
-        # expired becomes the ledger's clock floor, so retained docs whose
-        # stamps sat under the anchor keep their (clamped) effective instant
-        # after it is gone — max-fold keeps crash-reruns idempotent
+        # pin every RETAINED doc's effective instant into the ledger BEFORE
+        # deleting anything: the next clamp walk reads these back verbatim,
+        # so expiring the doc that anchored the running max cannot rewind —
+        # and retaining a tagged doc amid newer expired ones cannot inflate —
+        # any survivor's instant. The map is recomputed whole each expiry
+        # (the walk already honors the previous pins, so values are stable
+        # and crash-reruns — including reruns with laxer retention — are
+        # idempotent); clock_floor_ms is still max-folded for ledger readers
+        # from pre-override builds.
         floor = base["clock_floor_ms"]
         for p in expired:
-            e = eff_all[p]
+            e = info[p][1]
             if e is not None and (floor is None or e > floor):
                 floor = e
+        overrides = {str(self._doc_version(p)): info[p][1]
+                     for p in retained if info[p][1] is not None}
         _atomic_write_json(os.path.join(self.log_dir, "expired-base.json"),
                            {"epochs": sorted(eps), "manifests": manifests,
-                            "clock_floor_ms": floor})
+                            "clock_floor_ms": floor,
+                            "eff_overrides": overrides})
         for rel in dead:
             try:
                 os.remove(os.path.join(self.root, rel))

@@ -177,3 +177,31 @@ def test_missing_source_files_raise_not_corrupt(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no longer exist"):
         t.cherry_pick(2, from_branch="wap")
     assert t.latest().version == head                     # nothing published
+
+
+def test_metadata_commit_is_not_pickable(spark, tmp_path):
+    """A commit that changed table metadata (schema / aliases / props) must
+    raise, even when it carries an epoch id: publishing would put the epoch
+    on the exactly-once ledger while silently DROPPING the DDL — a resumed
+    replay then skips the epoch and the schema change is lost permanently.
+    Iceberg's cherrypick_snapshot likewise rejects non-append operations."""
+    t = _mk(tmp_path)
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)     # v1
+    br = t.create_branch("wap")
+    new_fields = br.latest().fields + [{"name": "w", "type": "long"}]
+    br.commit_metadata(new_fields, dict(br.latest().aliases), epoch=7)  # br v2
+    _commit(spark, t, [(2, 20, False)], 300, epoch=2)     # main moved: v2
+
+    head = t.latest().version
+    with pytest.raises(ValueError, match="changes table metadata"):
+        t.cherry_pick(2, from_branch="wap")
+    assert t.latest().version == head                     # nothing published
+    assert 7 not in t.committed_epochs()                  # ledger untouched
+    # a props-only staged change is refused the same way
+    br2 = t.create_branch("props")
+    tb = t.branch("props")
+    tb.commit_metadata(list(tb.latest().fields), dict(tb.latest().aliases),
+                       props={**tb.latest().props, "zorder": "k"})
+    _commit(spark, t, [(3, 30, False)], 400, epoch=3)
+    with pytest.raises(ValueError, match="changes table metadata"):
+        t.cherry_pick(tb.latest().version, from_branch="props")

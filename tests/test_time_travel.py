@@ -174,6 +174,70 @@ def test_expire_persists_the_clock_floor(spark, tmp_path):
     assert t.committed_epochs() == {0, 1, 2}              # ledger survives
 
 
+def test_expire_keeps_tagged_older_snapshot_instant(spark, tmp_path):
+    """A TAGGED snapshot retained amid NEWER expired ones keeps ITS OWN
+    effective instant: retention pins every survivor's instant into the
+    ledger (``eff_overrides``) rather than seeding the whole walk with a
+    chain-wide floor — a floor seed would inflate the pinned doc's instant
+    to the newest expired one, breaking the 'tag versions to pin them'
+    contract ``snapshot_as_of``'s own error message advertises."""
+    t = _mk(tmp_path)                                     # v0
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)     # v1
+    _commit(spark, t, [(1, 11, False)], 200, epoch=1)     # v2
+    _commit(spark, t, [(2, 20, False)], 300, epoch=2)     # v3
+    _commit(spark, t, [(3, 30, False)], 400, epoch=3)     # v4
+    for v, ts in enumerate([500, 1000, 2000, 3000, 4000]):
+        _set_ts(t, v, ts)
+    t.create_tag("audit", 1)
+
+    assert t.snapshot_as_of(1000).version == 1
+    # keep_last=1 expires v0/v2/v3 (v1 is tagged, v4 is head)
+    assert t.expire_snapshots(keep_last=1)["snapshots_removed"] == 3
+    # the tagged survivor answers at ITS instant, exactly as before …
+    assert t.snapshot_as_of(1000).version == 1
+    assert t.snapshot_as_of(1500).version == 1
+    old = t.read(spark, snap=t.snapshot_as_of(1000))
+    assert {r["k"]: r["v"] for r in old.collect()} == {1: 10}
+    # … instants inside the expired gap resolve to the newest RETAINED
+    # snapshot at-or-before them (the Iceberg snapshot-log rule) …
+    assert t.snapshot_as_of(3999).version == 1
+    assert t.snapshot_as_of(4000).version == 4
+    # … and pre-v1 history is genuinely gone
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_as_of(999)
+    # age retention still sees the pinned instants, not inflated ones:
+    # nothing to do (v1 tagged, v4 head), and the pins survive the rerun
+    assert t.expire_snapshots(older_than_ms=9999)["snapshots_removed"] == 0
+    assert t.snapshot_as_of(1000).version == 1
+
+
+def test_branch_doc_above_fork_never_takes_main_pins(spark, tmp_path):
+    """eff_overrides are keyed by MAIN version numbers; a branch doc above
+    the fork shares its number with a diverged main doc and must keep its
+    own clock, not main's pinned one."""
+    t = _mk(tmp_path)                                     # v0
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)     # v1 (fork)
+    br = t.create_branch("wap")
+    _commit(spark, t, [(2, 20, False)], 200, epoch=1)     # main v2 (diverged)
+    _commit(spark, br, [(3, 30, False)], 300, epoch=2)    # branch v2
+    _set_ts(t, 0, 500)
+    _set_ts(t, 1, 2000)
+    _set_ts(t, 2, 9000)                                   # main v2: far ahead
+    p = os.path.join(br.log_dir, "v000000000002.json")    # branch v2 → 3000
+    with open(p) as f:
+        d = json.load(f)
+    d["committed_at_ms"] = 3000
+    with open(p, "w") as f:
+        json.dump(d, f)
+
+    # expire v0 on main → pins {1: 2000, 2: 9000} land in the ledger
+    assert t.expire_snapshots(keep_last=2)["snapshots_removed"] == 1
+    # branch v2 keeps its own 3000 instant (main's v2 pin must not apply)
+    assert br.snapshot_as_of(3000).version == 2
+    assert br.snapshot_as_of(2999).version == 1
+    assert t.snapshot_as_of(8999).version == 1            # main unchanged
+
+
 def test_as_of_on_branch_crosses_the_fork(spark, tmp_path):
     t = _mk(tmp_path)
     _commit(spark, t, [(1, 10, False)], 100, epoch=0)     # main v1
