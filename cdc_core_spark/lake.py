@@ -1667,8 +1667,17 @@ class SnapshotTable:
                 f"cherry_pick: v{version} is a rollback commit — its delta "
                 "is the undo of earlier commits, not an append; roll this "
                 "ref back directly instead")
-        src_parent = (src_tab.snapshot(src.parent)
-                      if src.parent is not None else None)
+        src_parent = None
+        if src.parent is not None:
+            try:
+                src_parent = src_tab.snapshot(src.parent)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"cherry_pick: v{version}'s parent v{src.parent} was "
+                    "expired by retention, so the commit's file delta "
+                    "(added-vs-parent) is no longer computable — only "
+                    "commits whose parent snapshot is retained can be "
+                    "picked") from None
         if src_parent is not None and (src.fields != src_parent.fields
                                        or src.aliases != src_parent.aliases
                                        or src.props != src_parent.props):

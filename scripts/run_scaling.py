@@ -117,8 +117,25 @@ def main() -> None:
            "speedup": round(ratio, 3),
            "scaling_efficiency": round(eff, 3),
            "result_invariant_under_parallelism": True}
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    # BENCH_SCALING.json is a CUMULATIVE disclosure doc (every pair and
+    # isolation-probe window of the round, referenced from BASELINE.md) —
+    # append this pair to it; only start a fresh doc when none exists
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        doc = None
+    if isinstance(doc, dict) and isinstance(doc.get("pairs"), list):
+        doc["pairs"].append(out)
+        if (n_lo, n_hi) == (1, 4):      # the summary list is 1-vs-4 only
+            doc.setdefault("summary", {}).setdefault(
+                "raw_1v4_efficiency_runs", []).append(out["scaling_efficiency"])
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+    else:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
 

@@ -205,3 +205,17 @@ def test_metadata_commit_is_not_pickable(spark, tmp_path):
     _commit(spark, t, [(3, 30, False)], 400, epoch=3)
     with pytest.raises(ValueError, match="changes table metadata"):
         t.cherry_pick(tb.latest().version, from_branch="props")
+
+
+def test_pick_with_expired_parent_names_retention(spark, tmp_path):
+    """When retention expired the pick target's parent, the file delta is
+    uncomputable — the refusal must say so, not leak a FileNotFoundError
+    about a version the caller never passed."""
+    t = _mk(tmp_path)
+    _commit(spark, t, [(1, 10, False)], 100, epoch=0)     # v1
+    _commit(spark, t, [(2, 20, False)], 200, epoch=1)     # v2
+    _commit(spark, t, [(3, 30, False)], 300, epoch=2)     # v3
+    t.create_tag("keep", 2)
+    t.expire_snapshots(keep_last=1)                       # v0, v1 expire
+    with pytest.raises(ValueError, match="expired by retention"):
+        t.cherry_pick(2)

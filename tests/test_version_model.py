@@ -139,8 +139,11 @@ def test_randomized_version_control_interleaving(spark, tmp_path, seed):
         epoch += 1
         sync_new_versions()
 
+    tag_seq = [0]
+
     def op_tag():
-        name = f"tag{len(tags)}_{rng.randint(0, 9)}"
+        tag_seq[0] += 1                  # names never reused after drop_tag
+        name = f"tag{tag_seq[0]}"
         v = rng.choice(sorted(retained))
         t.create_tag(name, v)
         tags[name] = v
