@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cdc_core_spark.operators import (chunking, dedup, multimodal,  # noqa: E402
-                                      sampling, similarity, text)
+                                      sampling, similarity, temporal, text)
 from cdc_core_spark.functions import transforms as T  # noqa: E402
 from cdc_core_spark.sources import readers  # noqa: E402
 
@@ -245,6 +245,83 @@ def q_session_window(spark, sf_dir):
             .agg(F.min("ts").alias("sess_start"), F.max("ts").alias("sess_end"),
                  F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sess_value")))
+
+
+def q_windows(spark, sf_dir):
+    """Gate consolidation of the window family (one oracle entry, three
+    operator shapes independently value-hashed behind a discriminator):
+    per-key running aggregation, event-time tumbling window, and gap-based
+    sessionization — formerly the cdc_running_window / tumbling_window /
+    session_window gates, merged to free check-window slots for the
+    temporal-join gates. bench.py still times each pure operator alone."""
+    ts_t = dict(_t(spark, sf_dir, "events").dtypes)["ts"]
+    nul_ts = F.lit(None).cast(ts_t)
+    run = q_cdc_running_window(spark, sf_dir).select(
+        F.lit("running").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").alias("seq"),
+        nul_ts.alias("win_start"), nul_ts.alias("win_end"),
+        F.col("seq_in_key").cast("bigint").alias("n"),
+        F.col("running_value").alias("val"))
+    tum = q_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"), F.col("event_type").alias("key"),
+        F.lit(None).cast("bigint").alias("seq"),
+        F.col("win_start"), nul_ts.alias("win_end"),
+        F.col("n_events").alias("n"), F.col("sum_value").alias("val"))
+    ses = q_session_window(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_id").alias("seq"),
+        F.col("sess_start").alias("win_start"),
+        F.col("sess_end").alias("win_end"),
+        F.col("n_events").alias("n"), F.col("sess_value").alias("val"))
+    return run.unionByName(tum).unionByName(ses)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of (temporal) join — the CDC dimension-enrichment shape: every
+    event picks up the most recent "quote" state for its key at event time
+    (`operators/temporal.py`; the reference resolves the same question
+    row-at-a-time with per-message DataStore lookups,
+    `persistence/.../AbstractDataStore.java:146-183`). One gate exercises
+    all three operator modes against DuckDB's native ASOF JOIN: backward
+    (inclusive bound), backward with a 1-day tolerance, and forward.
+    Quotes are pre-reduced per (user_id, ts) so tie-break order cannot
+    differ between engines."""
+    ev = _t(spark, sf_dir, "events")
+    quotes = (ev.filter(F.col("event_id") % 17 == 0)
+              .groupBy("user_id", "ts").agg(F.max("value").alias("quote")))
+    left = ev.select("event_id", "user_id", "ts")
+    back = temporal.asof_join(left, quotes, ["user_id"], "ts") \
+        .select("event_id", F.col("ts_asof").alias("back_ts"),
+                F.round("quote", 4).alias("back_quote"))
+    tol = temporal.asof_join(left, quotes, ["user_id"], "ts",
+                             tolerance=86400.0) \
+        .select("event_id", F.round("quote", 4).alias("back_quote_1d"))
+    fwd = temporal.asof_join(left, quotes, ["user_id"], "ts",
+                             direction="forward") \
+        .select("event_id", F.col("ts_asof").alias("fwd_ts"),
+                F.round("quote", 4).alias("fwd_quote"))
+    return back.join(tol, "event_id").join(fwd, "event_id")
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval) join via bin-and-equi-join (`operators/temporal.py`):
+    every event paired with each open 3-day "window" interval of its user —
+    planned as a shuffled EQUI-join on (key, day-bin), never the
+    BroadcastNestedLoopJoin a raw inequality join would cost at 10^10 rows.
+    Oracle is the plain inequality join DuckDB can afford at gate scale."""
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.filter(F.col("event_id") % 29 == 0)
+          .select(F.col("event_id").alias("iv_id"), "user_id",
+                  F.col("ts").alias("start_ts"),
+                  (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts")))
+    pts = ev.select("event_id", "user_id", "ts")
+    return temporal.range_join(
+        pts, iv, ["user_id"], "ts", "start_ts", "end_ts",
+        bin_width=86400.0, closed="left",
+        point_cols=["event_id"],
+        interval_cols=["iv_id", "start_ts", "end_ts"])
 
 
 def q_json_extract(spark, sf_dir):
@@ -1593,7 +1670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROLLUP and CUBE; scalar_transformers includes the roundtrip identities;
     reader_csv_json unions both format roundtrips; sampling_splits joins
     the consistent split with the stratified sample; text_stats folds in
-    the fingerprint, PII scrub/count and repetition-ratio columns."""
+    the fingerprint, PII scrub/count and repetition-ratio columns; windows
+    unions the running / tumbling / session window shapes (formerly three
+    entries — freed two slots for the temporal-join gates); asof_join
+    unions the backward / tolerance / forward as-of modes."""
     return {
         # CDC core + sinks
         "cdc_lww_latest": q_cdc_lww_checked,
@@ -1611,9 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_envelope_roundtrip": q_avro_envelope_roundtrip,
         "journal_roundtrip": q_journal_roundtrip,
         "schema_from_jdbc": q_schema_from_jdbc,
-        "cdc_running_window": q_cdc_running_window,
-        "tumbling_window": q_tumbling_window,
-        "session_window": q_session_window,
+        "windows": q_windows,
         "json_extract": q_json_extract,
         # relational + search
         "pricing_summary": q_pricing_summary,
@@ -1621,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_q": q_query_surface,
         "anti_semi_setops": q_join_kinds,
         "grouping_sets": q_grouping_sets,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "text_search": q_text_search,
         # transforms
         "map_transform": q_map_transform,
@@ -1777,19 +1857,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY user_id
         """,
-        "cdc_running_window": """
-            SELECT user_id, event_id,
-                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING), 2) AS running_value,
-                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_key
-            FROM events
-        """,
-        "tumbling_window": """
-            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, event_type,
-                   count(*) AS n_events, round(sum(value), 2) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
-        "session_window": """
+        "windows": """
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
                      CASE WHEN lag(ts) OVER w IS NULL
@@ -1806,10 +1874,45 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) AS session_id
               FROM flagged
             )
-            SELECT user_id, session_id, min(ts) AS sess_start,
-                   max(ts) AS sess_end, count(*) AS n_events,
-                   round(sum(value), 2) AS sess_value
+            SELECT 'running' AS kind, CAST(user_id AS VARCHAR) AS key,
+                   event_id AS seq, CAST(NULL AS TIMESTAMP) AS win_start,
+                   CAST(NULL AS TIMESTAMP) AS win_end,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT) AS n,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2) AS val
+            FROM events
+            UNION ALL
+            SELECT 'tumbling', event_type, CAST(NULL AS BIGINT),
+                   CAST(date_trunc('day', ts) AS TIMESTAMP),
+                   CAST(NULL AS TIMESTAMP), count(*), round(sum(value), 2)
+            FROM events GROUP BY 2, 4
+            UNION ALL
+            SELECT 'session', CAST(user_id AS VARCHAR), session_id,
+                   min(ts), max(ts), count(*), round(sum(value), 2)
             FROM sess GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH q AS (SELECT user_id, ts, max(value) AS quote FROM events
+                       WHERE event_id % 17 = 0 GROUP BY 1, 2)
+            SELECT l.event_id,
+                   b.ts AS back_ts, round(b.quote, 4) AS back_quote,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(b.ts) <= 86400000000
+                        THEN round(b.quote, 4) END AS back_quote_1d,
+                   f.ts AS fwd_ts, round(f.quote, 4) AS fwd_quote
+            FROM events l
+            ASOF LEFT JOIN q b ON l.user_id = b.user_id AND l.ts >= b.ts
+            ASOF LEFT JOIN q f ON l.user_id = f.user_id AND l.ts <= f.ts
+        """,
+        "range_join": """
+            WITH iv AS (SELECT event_id AS iv_id, user_id, ts AS start_ts,
+                               ts + INTERVAL 3 DAY AS end_ts
+                        FROM events WHERE event_id % 29 = 0)
+            SELECT l.event_id, r.iv_id, r.start_ts, r.end_ts
+            FROM events l JOIN iv r
+              ON l.user_id = r.user_id
+             AND r.start_ts <= l.ts AND l.ts < r.end_ts
         """,
         "json_extract": """
             SELECT event_type, count(*) AS n,

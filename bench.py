@@ -52,6 +52,8 @@ HEADLINE_QUERIES = [
     ("tumbling_window", "q_tumbling_window"),
     ("session_window", "q_session_window"),
     ("json_extract", "q_json_extract"),
+    ("asof_join", "q_asof_join"),
+    ("range_join", "q_range_join"),
     ("pricing_summary", "q_pricing_summary"),
     ("revenue_by_nation", "q_revenue_by_nation"),
     ("anti_semi_setops", "q_anti_semi_setops"),

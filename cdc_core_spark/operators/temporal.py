@@ -1,0 +1,227 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range (interval)
+join, expressed as shuffle-bounded compositions of DataFrame ops.
+
+Why these exist in a CDC engine: the canonical enrichment problem for a
+change stream is "attach the dimension state that was current WHEN the event
+happened" — the reference does it row-at-a-time with live lookups against
+the target store per message (`DataStore.find` from inside processor loops,
+`persistence/src/main/java/io/zyient/core/persistence/AbstractDataStore.java:146-183`);
+Flink calls the set-based form a temporal/versioned join, kdb calls it `aj`.
+Spark has no ASOF JOIN operator (SPARK-22947 is open), and the naive SQL
+formulation — an inequality theta-join plus an argmax — plans as
+BroadcastNestedLoopJoin or a cartesian at scale. Both operators here avoid
+range-explosion entirely:
+
+* ``asof_join`` — union-and-scan: tag both inputs, union them, and take a
+  per-key ordered window's ``last(match, ignorenulls=True)``. ONE shuffle on
+  the join keys (the window sort), no theta-join, no per-row Python. This is
+  the classic distributed as-of formulation (a merge of two sorted streams,
+  done by Spark's window machinery). Cost model at 10^10 rows: identical to
+  any per-key window — the hot-key caveat is the same as the engine's LWW
+  (one key = one task's sort), so key design carries the skew story; when a
+  finite ``tolerance`` is acceptable, ``range_join`` over
+  tolerance-width validity intervals is the binned, skew-spreading
+  alternative.
+* ``range_join`` — bin-and-equi-join: points land in exactly one
+  fixed-width time bin; intervals explode to the bins they overlap
+  (`explode(sequence(...))`); the join becomes an EQUI-join on
+  ``(keys…, bin)`` that Catalyst plans as a shuffled sort-merge/hash join —
+  never a nested-loop — and the boundary predicate is re-checked exactly.
+  A point matches a qualifying interval exactly once (its own bin), so no
+  dedup pass is needed. Replication is bounded and LOUD: an interval wider
+  than ``max_bins_per_interval`` bins fails with a clear message instead of
+  silently exploding the build side (pick ``bin_width`` near the median
+  interval length; replication factor ≈ avg(interval_len)/bin_width + 1).
+  Binning also spreads a hot key across its time range — the skew defense
+  the pure as-of shape cannot have.
+
+Both return results identical to the textbook SQL semantics and are gated
+against DuckDB oracles (native ``ASOF JOIN`` / inequality join) in
+`__spark_entry__.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _seconds(df: DataFrame, name: str):
+    """Column as epoch seconds (double): timestamps (tz or ntz) go through
+    a TZ cast first (session tz is UTC everywhere in this engine); numerics
+    cast directly."""
+    dt = dict(df.dtypes)[name]
+    c = F.col(name)
+    if dt.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str | None = None, *,
+              direction: str = "backward", tolerance: float | None = None,
+              right_cols: Sequence[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """For every left row, attach the single right row with the greatest
+    ``right_ts <= left_ts`` (``direction="backward"``, inclusive) or the
+    least ``right_ts >= left_ts`` (``"forward"``) within the same ``on``
+    keys — pandas ``merge_asof`` semantics, left-outer: unmatched left rows
+    keep NULL match columns, as do rows whose match misses ``tolerance``
+    (max |right_ts - left_ts| in seconds).
+
+    Mechanics: both sides are tagged and unioned; a window partitioned by
+    the keys and ordered by ``(ts, side)`` — right rows sorting BEFORE left
+    rows at equal ts, which is what makes the bound inclusive — carries the
+    last non-null right payload forward (or backward for ``"forward"``).
+    One shuffle total; the plan is Exchange → Sort → Window → Filter.
+
+    Ties inside the right side (two right rows with identical keys+ts) are
+    resolved by which sorts last — nondeterministic, exactly as in pandas;
+    pre-reduce the right side (e.g. ``max_by``) when that matters. NULL
+    keys group together (window-partition semantics) rather than matching
+    nothing as a SQL join would — filter them out if SQL semantics matter.
+
+    ``right_cols`` limits the attached payload (default: every right column
+    that is neither a key nor the timestamp). Attached columns keep their
+    names unless they collide with a left column, in which case ``suffix``
+    is appended. The matched timestamp is always attached as
+    ``{right_ts}{suffix}``.
+    """
+    if not on:
+        raise ValueError("asof_join requires at least one key column; a "
+                         "global as-of would sort the world in one task — "
+                         "add a coarse bucket key or use range_join")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    keys = list(on)
+    rts = right_ts or left_ts
+    payload = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != rts]
+
+    r2 = (right.filter(F.col(rts).isNotNull())
+          .select(*keys, F.col(rts).alias("_ts"), F.lit(0).alias("_side"),
+                  F.struct(F.col(rts).alias("_mts"),
+                           *[F.col(c) for c in payload]).alias("_match")))
+    match_t = r2.schema["_match"].dataType
+    l2 = left.select(*keys, F.col(left_ts).alias("_ts"),
+                     F.lit(1).alias("_side"),
+                     F.lit(None).cast(match_t).alias("_match"),
+                     F.struct(*left.columns).alias("_row"))
+    r2 = r2.withColumn("_row", F.lit(None).cast(l2.schema["_row"].dataType))
+    u = l2.unionByName(r2)
+
+    ts_order = F.col("_ts").asc() if direction == "backward" \
+        else F.col("_ts").desc()
+    w = (Window.partitionBy(*keys).orderBy(ts_order, F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last("_match", ignorenulls=True).over(w)
+    # a NULL left ts has no position on the axis → no match (asc sorts it
+    # first, which is already matchless; desc would sort it last and grab one)
+    matched = F.when(F.col("_ts").isNull(), F.lit(None).cast(match_t)) \
+        .otherwise(matched)
+
+    out = (u.withColumn("_m", matched)
+           .filter(F.col("_side") == 1)
+           .select("_row", "_m"))
+    if tolerance is not None:
+        lsec = F.col("_row").getField(left_ts).cast("timestamp").cast("double") \
+            if dict(left.dtypes)[left_ts].startswith("timestamp") \
+            else F.col("_row").getField(left_ts).cast("double")
+        msec = F.col("_m").getField("_mts")
+        msec = msec.cast("timestamp").cast("double") \
+            if dict(right.dtypes)[rts].startswith("timestamp") \
+            else msec.cast("double")
+        out = out.withColumn(
+            "_m", F.when(F.abs(lsec - msec) <= F.lit(float(tolerance)),
+                         F.col("_m")))
+
+    def _out_name(c: str) -> str:
+        return c + suffix if c in left.columns else c
+
+    cols = [F.col("_row").getField(c).alias(c) for c in left.columns]
+    cols.append(F.col("_m").getField("_mts").alias(rts + suffix))
+    cols += [F.col("_m").getField(c).alias(_out_name(c)) for c in payload]
+    return out.select(*cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: Sequence[str],
+               point_ts: str, start_ts: str, end_ts: str, *,
+               bin_width: float, closed: str = "left",
+               max_bins_per_interval: int = 4096,
+               point_cols: Sequence[str] | None = None,
+               interval_cols: Sequence[str] | None = None) -> DataFrame:
+    """Inner interval join: every (point, interval) pair sharing the ``on``
+    keys where the point's timestamp falls inside ``[start_ts, end_ts)``
+    (``closed="left"``; also ``"both"``/``"right"``/``"neither"``).
+
+    Plan shape: points get ONE bin column (``floor(ts / bin_width)``),
+    intervals explode to the bins they overlap, and the join is a pure
+    equi-join on ``(keys…, bin)`` — sort-merge/shuffled-hash, never
+    BroadcastNestedLoopJoin — with the exact boundary predicate applied
+    after. Each qualifying pair appears exactly once (a point has one bin).
+
+    ``bin_width`` is in seconds for timestamp columns, column units
+    otherwise. Choose it near the typical interval length: the build-side
+    replication factor is ``len/bin_width + 1``. An interval wider than
+    ``max_bins_per_interval`` bins raises at execution (assert, not a
+    silent explosion); reversed intervals (end < start) match nothing and
+    are dropped early.
+
+    Output columns: the point side's (``point_cols`` or all), then the
+    interval side's (``interval_cols`` or all non-key), suffixed ``_iv`` on
+    collision.
+    """
+    if closed not in ("left", "right", "both", "neither"):
+        raise ValueError(f"closed must be left|right|both|neither: {closed!r}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive: {bin_width}")
+    keys = list(on)
+    pcols = list(point_cols) if point_cols is not None else points.columns
+    ivcols = list(interval_cols) if interval_cols is not None else [
+        c for c in intervals.columns if c not in keys]
+
+    bw = F.lit(float(bin_width))
+    p = (points.filter(F.col(point_ts).isNotNull())
+         .withColumn("_psec", _seconds(points, point_ts))
+         .withColumn("_bin", F.floor(F.col("_psec") / bw)))
+    iv = (intervals
+          .withColumn("_ssec", _seconds(intervals, start_ts))
+          .withColumn("_esec", _seconds(intervals, end_ts))
+          .filter(F.col("_ssec").isNotNull() & F.col("_esec").isNotNull()
+                  & (F.col("_ssec") <= F.col("_esec"))))
+    sbin, ebin = F.floor(F.col("_ssec") / bw), F.floor(F.col("_esec") / bw)
+    # the assert rides inside the sequence start (null + 0 when it passes,
+    # throws when it doesn't) so the guard cannot be pruned as a dead column
+    guard = F.coalesce(
+        F.assert_true(
+            ebin - sbin < max_bins_per_interval,
+            F.concat(F.lit("range_join: interval spans "),
+                     (ebin - sbin + 1).cast("string"),
+                     F.lit(f" bins (> {max_bins_per_interval}); raise "
+                           "bin_width or max_bins_per_interval"))
+        ).cast("long"), F.lit(0))
+    iv = iv.withColumn("_bin", F.explode(F.sequence(sbin + guard, ebin)))
+
+    # explicit side aliases: points and intervals routinely derive from the
+    # SAME parent frame (e.g. an event stream joined to windows cut from
+    # it), where bare p[k] == iv[k] hits Spark's self-join attribute
+    # ambiguity; qualified names are unambiguous by construction
+    p, iv = p.alias("_rj_p"), iv.alias("_rj_iv")
+    pc = lambda c: F.col(f"_rj_p.{c}")   # noqa: E731
+    ic = lambda c: F.col(f"_rj_iv.{c}")  # noqa: E731
+    # plain (not null-safe) key equality — SQL inequality-join semantics:
+    # NULL keys match nothing
+    cond = [pc(k) == ic(k) for k in keys] + [pc("_bin") == ic("_bin")]
+    lo = (pc("_psec") >= ic("_ssec")) if closed in ("left", "both") \
+        else (pc("_psec") > ic("_ssec"))
+    hi = (pc("_psec") <= ic("_esec")) if closed in ("right", "both") \
+        else (pc("_psec") < ic("_esec"))
+    joined = p.join(iv, cond, "inner").where(lo & hi)
+
+    def _ivname(c: str) -> str:
+        return c + "_iv" if c in pcols else c
+
+    return joined.select(*[pc(c).alias(c) for c in pcols],
+                         *[ic(c).alias(_ivname(c)) for c in ivcols])

@@ -29,28 +29,32 @@ def _duck():
 
 
 def _canon_cell(v):
+    """Type-TAGGED strings (like the driver's canon, tests/driver_sim.py):
+    every cell canons to str so mixed NULL/float/int columns sort without
+    cross-type '<' errors, while int 2 still never equals float 2.0."""
     if v is None:
-        return None
+        return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
+        return "NULL" if math.isnan(v) else f"f:{round(v, 6)}"
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (int,)):
-        return int(v)
+        return "t:" + v.isoformat()
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     try:  # Decimal and numpy scalars
         import decimal
         import numpy as np
         if isinstance(v, decimal.Decimal):
-            return round(float(v), 6)
+            return f"f:{round(float(v), 6)}"
         if isinstance(v, np.integer):
-            return int(v)
+            return f"i:{int(v)}"
         if isinstance(v, np.floating):
-            return round(float(v), 6)
+            f = float(v)
+            return "NULL" if math.isnan(f) else f"f:{round(f, 6)}"
     except ImportError:
         pass
-    return v
+    return "s:" + str(v)
 
 
 def _canon(rows, cols):

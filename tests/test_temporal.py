@@ -1,0 +1,194 @@
+"""Temporal join operators: semantics vs independent oracles + plan shape.
+
+asof_join is cross-checked against pandas.merge_asof (an independent
+implementation of the identical contract) on randomized fixtures covering
+both directions, tolerance, ties, unmatched keys and NULL timestamps.
+range_join is checked against a naive cartesian-filter oracle. Plan audits
+pin the scale story: asof = ONE exchange (no join operator at all);
+range_join = an equi-join (sort-merge/hash), never BroadcastNestedLoop or
+cartesian.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_core_spark.operators.temporal import asof_join, range_join
+
+
+def _rand_frames(seed: int, n_left=200, n_right=60, n_keys=7):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": rng.integers(0, 10_000, n_left).astype("float64"),
+        "lv": rng.normal(size=n_left).round(3),
+        "lid": np.arange(n_left, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right),
+        "ts": rng.integers(0, 10_000, n_right).astype("float64"),
+        "rv": rng.normal(size=n_right).round(3),
+    })
+    # force some exact-tie timestamps across sides (inclusive-bound probes)
+    right.loc[: n_right // 4, "ts"] = left.loc[: n_right // 4, "ts"].values
+    # dedupe right on (k, ts): merge_asof tie-break inside equal keys+ts is
+    # unspecified in BOTH implementations — remove the ambiguity, not hide it
+    right = right.sort_values("rv").drop_duplicates(["k", "ts"]).reset_index(
+        drop=True)
+    return left, right
+
+
+def _expected_asof(left, right, direction, tolerance=None):
+    e = pd.merge_asof(
+        left.sort_values(["ts", "lid"]), right.sort_values("ts"),
+        on="ts", by="k", direction=direction, suffixes=("", "_r"),
+        tolerance=tolerance)
+    m = e["rv"].notna()
+    e["ts_asof"] = np.where(m, e["ts"], np.nan)  # matched at exact ts only
+    return e
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("seed", [1, 2])
+def test_asof_matches_pandas(spark, direction, seed):
+    left, right = _rand_frames(seed)
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), ["k"], "ts",
+                     direction=direction)
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    exp = (_expected_asof(left, right, direction)
+           .sort_values("lid").reset_index(drop=True))
+    pd.testing.assert_series_equal(got["rv"], exp["rv"], check_names=False)
+    # the attached match timestamp equals the matched right row's ts
+    mm = got["rv"].notna()
+    assert got.loc[~mm, "ts_asof"].isna().all()
+    merged = got[mm].merge(right, left_on=["k", "ts_asof"],
+                           right_on=["k", "ts"], how="left",
+                           suffixes=("", "_chk"))
+    assert (merged["rv"] == merged["rv_chk"]).all()
+
+
+def test_asof_tolerance_and_ties(spark):
+    left = pd.DataFrame({"k": [1, 1, 1, 2], "ts": [10.0, 20.0, 99.0, 10.0],
+                         "lid": [0, 1, 2, 3]})
+    right = pd.DataFrame({"k": [1, 1, 2], "ts": [10.0, 15.0, 50.0],
+                          "rv": [1.0, 2.0, 3.0]})
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), ["k"], "ts",
+                     tolerance=10.0)
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    # lid0: exact tie matched inclusively; lid1: ts15 within 10s; lid2: ts15
+    # is 84s stale -> nulled by tolerance; lid3: right ts50 is in the future
+    assert got["rv"].tolist()[:2] == [1.0, 2.0]
+    assert np.isnan(got["rv"][2]) and np.isnan(got["rv"][3])
+
+
+def test_asof_null_ts_and_collision_suffix(spark):
+    left = pd.DataFrame({"k": [1, 1], "ts": [10.0, np.nan], "rv": [7.0, 8.0],
+                         "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1], "ts": [5.0], "rv": [1.5]})
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), ["k"], "ts")
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    assert "rv_asof" in got.columns and "ts_asof" in got.columns
+    assert got["rv"].tolist() == [7.0, 8.0]          # left col untouched
+    assert got["rv_asof"][0] == 1.5                   # matched
+    assert np.isnan(got["rv_asof"][1])                # NULL ts -> no match
+    with pytest.raises(ValueError, match="at least one key"):
+        asof_join(spark.createDataFrame(left),
+                  spark.createDataFrame(right), [], "ts")
+
+
+def _naive_range(points, intervals, closed="left"):
+    x = points.merge(intervals, on="k", suffixes=("", "_iv"))
+    lo = x["ts"] >= x["s"] if closed in ("left", "both") else x["ts"] > x["s"]
+    hi = x["ts"] <= x["e"] if closed in ("right", "both") else x["ts"] < x["e"]
+    return x[lo & hi]
+
+
+@pytest.mark.parametrize("closed", ["left", "both"])
+@pytest.mark.parametrize("bin_width", [7.0, 100.0, 5000.0])
+def test_range_join_matches_naive(spark, closed, bin_width):
+    rng = np.random.default_rng(5)
+    points = pd.DataFrame({"k": rng.integers(0, 5, 300),
+                           "ts": rng.integers(0, 5_000, 300).astype("float64"),
+                           "pid": np.arange(300, dtype="int64")})
+    s = rng.integers(0, 5_000, 40).astype("float64")
+    intervals = pd.DataFrame({
+        "k": rng.integers(0, 5, 40), "s": s,
+        "e": s + rng.integers(0, 600, 40).astype("float64"),
+        "ivid": np.arange(40, dtype="int64")})
+    # boundary probes: one interval starting exactly on a point, one reversed
+    intervals.loc[0, ["s", "e"]] = [points.loc[0, "ts"], points.loc[0, "ts"]]
+    intervals.loc[1, ["s", "e"]] = [100.0, 50.0]
+    got = (range_join(spark.createDataFrame(points),
+                      spark.createDataFrame(intervals), ["k"], "ts", "s", "e",
+                      bin_width=bin_width, closed=closed)
+           .toPandas().sort_values(["pid", "ivid"]).reset_index(drop=True))
+    exp = (_naive_range(points, intervals, closed)
+           .sort_values(["pid", "ivid"])[got.columns].reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_range_join_oversized_interval_raises(spark):
+    points = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [5.0], "pid": [0]}))
+    intervals = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "s": [0.0], "e": [1000.0], "ivid": [0]}))
+    with pytest.raises(Exception, match="range_join: interval spans"):
+        range_join(points, intervals, ["k"], "ts", "s", "e",
+                   bin_width=1.0, max_bins_per_interval=16).collect()
+
+
+def test_asof_plan_single_exchange_no_join(spark):
+    """The as-of plan is union -> ONE exchange -> sort -> window: no join
+    operator of any kind, no second shuffle. This is the property that
+    survives a 100x scale-up."""
+    left, right = _rand_frames(3)
+    plan = (asof_join(spark.createDataFrame(left),
+                      spark.createDataFrame(right), ["k"], "ts")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """Binning turns the inequality join into an equi-join: the physical
+    plan must contain a sort-merge/shuffled-hash join and NEVER the
+    nested-loop shapes Catalyst picks for raw theta-joins."""
+    rng = np.random.default_rng(7)
+    points = spark.createDataFrame(pd.DataFrame(
+        {"k": rng.integers(0, 5, 100),
+         "ts": rng.integers(0, 500, 100).astype("float64"),
+         "pid": np.arange(100, dtype="int64")}))
+    intervals = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "s": [0.0, 50.0], "e": [60.0, 99.0], "ivid": [0, 1]}))
+    plan = (range_join(points, intervals, ["k"], "ts", "s", "e",
+                       bin_width=50.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_timestamp_columns(spark):
+    """Timestamp (not numeric) axis: engine events enriched with the state
+    current at event time — the CDC dimension-enrichment shape."""
+    ev = spark.range(6).select(
+        F.col("id").alias("lid"), (F.col("id") % 2).alias("k"),
+        F.timestamp_seconds(F.col("id") * 100 + 1_700_000_000).alias("ts"))
+    dim = spark.range(2).select(
+        (F.col("id") % 2).alias("k"),
+        F.timestamp_seconds(F.col("id") * 250 + 1_700_000_000).alias("ts"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("state"))
+    got = asof_join(ev, dim, ["k"], "ts").orderBy("lid").toPandas()
+    assert got["state"].tolist() == ["v0", None, "v0", "v1", "v0", "v1"]
+    # tolerance on the timestamp axis (seconds)
+    tol = asof_join(ev, dim, ["k"], "ts", tolerance=120.0) \
+        .orderBy("lid").toPandas()
+    assert tol["state"].tolist() == ["v0", None, None, "v1", None, None]
