@@ -1,0 +1,105 @@
+"""Incremental table statistics (table_stats.py): accuracy, churn-
+proportional refresh, delete correctness, type handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_core_spark import table_stats
+from cdc_core_spark.engine import CdcEngine
+
+
+def _replayed(spark, t1, registry, tmp_path, **kw):
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src, **kw)
+    return eng
+
+
+def _exact(df, cols):
+    aggs = []
+    for c in cols:
+        aggs += [F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"nl_{c}")]
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def test_analyze_accuracy_vs_exact(spark, t1, registry, tmp_path):
+    eng = _replayed(spark, t1, registry, tmp_path)
+    doc = table_stats.analyze(spark, eng.table)
+    st = table_stats.stats(spark, eng.table, doc)
+    vis = eng.table.read(spark)
+    assert st["row_count"] == vis.count()
+    exact = _exact(vis, ["repo", "path", "language", "rev"])
+    for c in ("repo", "path", "language", "rev"):
+        est, true = st["columns"][c]["ndv"], exact[f"ndv_{c}"]
+        # lg_k=12 HLL: ±~2.5% standard error; allow 5% (and exact smalls)
+        assert abs(est - true) <= max(3, 0.05 * true), (c, est, true)
+        assert st["columns"][c]["null_count"] == exact[f"nl_{c}"]
+    # min/max exact on a string key column
+    mm = vis.agg(F.min("repo"), F.max("repo")).collect()[0]
+    assert st["columns"]["repo"]["min"] == mm[0]
+    assert st["columns"]["repo"]["max"] == mm[1]
+
+
+def test_refresh_is_churn_proportional_and_correct(spark, t1, registry,
+                                                   tmp_path):
+    """Analyze after 6 epochs, replay the rest, refresh: only buckets whose
+    files changed recompute, and the merged numbers equal a from-scratch
+    analyze of the final state."""
+    eng = _replayed(spark, t1, registry, tmp_path, epochs=[0, 1, 2, 3, 4, 5])
+    table_stats.analyze(spark, eng.table)
+    eng.replay(f'{t1["dir"]}/change_events',
+               source_df=spark.read.parquet(
+                   f'{t1["dir"]}/source_repos.parquet'))
+    doc = table_stats.refresh(spark, eng.table)
+    assert doc["table_version"] == eng.table.latest().version
+    n_changed = len(doc["refreshed_buckets"])
+    assert 0 < n_changed <= 8
+    got = table_stats.stats(spark, eng.table, doc)
+    full = table_stats.stats(
+        spark, eng.table, table_stats.analyze(spark, eng.table))
+    assert got["row_count"] == full["row_count"]
+    for c in got["columns"]:
+        assert got["columns"][c]["null_count"] == full["columns"][c]["null_count"]
+        assert got["columns"][c]["min"] == full["columns"][c]["min"]
+        assert got["columns"][c]["max"] == full["columns"][c]["max"]
+        # identical per-bucket inputs → identical HLL estimates
+        assert got["columns"][c]["ndv"] == full["columns"][c]["ndv"], c
+
+
+def test_refresh_noop_when_version_unchanged(spark, t1, registry, tmp_path):
+    eng = _replayed(spark, t1, registry, tmp_path)
+    table_stats.analyze(spark, eng.table)
+    doc = table_stats.refresh(spark, eng.table)
+    assert doc["refreshed_buckets"] == []
+
+
+def test_deletes_reflected_after_refresh(spark, t1, registry, tmp_path):
+    """Tombstone expiry rewrites touched buckets; a refresh must pick up the
+    shrunken row count exactly (bucket recompute, not sketch subtraction)."""
+    eng = _replayed(spark, t1, registry, tmp_path)
+    table_stats.analyze(spark, eng.table)
+    internal = eng.table.read(spark, with_internal_cols=True)
+    max_ts = internal.agg(F.max("_op_ts")).collect()[0][0]
+    eng.expire_tombstones(watermark_op_ts=max_ts + 1)
+    eng.compact()
+    doc = table_stats.refresh(spark, eng.table)
+    st = table_stats.stats(spark, eng.table, doc)
+    assert st["row_count"] == eng.table.read(spark).count()
+
+
+def test_unknown_and_unsupported_columns_raise(spark, t1, registry, tmp_path):
+    eng = _replayed(spark, t1, registry, tmp_path, epochs=[0])
+    with pytest.raises(ValueError, match="unknown columns"):
+        table_stats.analyze(spark, eng.table, columns=["nope"])
+    # every t1 column is a supported scalar; the skipped list is empty here
+    doc = table_stats.analyze(spark, eng.table)
+    assert doc["skipped_columns"] == []
+
+
+def test_stats_without_analyze_raises(spark, t1, registry, tmp_path):
+    eng = _replayed(spark, t1, registry, tmp_path, epochs=[0])
+    with pytest.raises(FileNotFoundError, match="no statistics"):
+        table_stats.stats(spark, eng.table)
