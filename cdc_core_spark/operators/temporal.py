@@ -63,7 +63,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str | None = None, *,
               direction: str = "backward", tolerance: float | None = None,
               right_cols: Sequence[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof", broadcast: bool = False) -> DataFrame:
     """For every left row, attach the single right row with the greatest
     ``right_ts <= left_ts`` (``direction="backward"``, inclusive) or the
     least ``right_ts >= left_ts`` (``"forward"``) within the same ``on``
@@ -88,7 +88,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     names unless they collide with a left column, in which case ``suffix``
     is appended. The matched timestamp is always attached as
     ``{right_ts}{suffix}``.
+
+    ``broadcast=True`` switches to the dimension-enrichment plan: the right
+    side collapses to one sorted per-key history array
+    (``sort_array(collect_list(...))``), is broadcast, and each left row
+    picks its match with JVM array expressions (``filter`` +
+    ``element_at``) — the LEFT side never shuffles or sorts, which at
+    10^10 probe rows against a broadcastable dimension is the only plan
+    that survives. Constraints: each key's full history must fit in one
+    row (arrays are per-key), match cost is O(history) per probe row
+    (JVM-side), and (key, ts) ties resolve deterministically by payload
+    order rather than arbitrarily. Results are otherwise identical —
+    equivalence is property-tested.
     """
+    if broadcast:
+        return _asof_join_broadcast(left, right, on, left_ts, right_ts,
+                                    direction=direction, tolerance=tolerance,
+                                    right_cols=right_cols, suffix=suffix)
     if not on:
         raise ValueError("asof_join requires at least one key column; a "
                          "global as-of would sort the world in one task — "
@@ -141,6 +157,63 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         return c + suffix if c in left.columns else c
 
     cols = [F.col("_row").getField(c).alias(c) for c in left.columns]
+    cols.append(F.col("_m").getField("_mts").alias(rts + suffix))
+    cols += [F.col("_m").getField(c).alias(_out_name(c)) for c in payload]
+    return out.select(*cols)
+
+
+def _asof_join_broadcast(left: DataFrame, right: DataFrame,
+                         on: Sequence[str], left_ts: str,
+                         right_ts: str | None = None, *,
+                         direction: str = "backward",
+                         tolerance: float | None = None,
+                         right_cols: Sequence[str] | None = None,
+                         suffix: str = "_asof") -> DataFrame:
+    """Broadcast as-of: see ``asof_join(broadcast=True)``. Unlike the sort
+    path this also accepts ``on=[]`` — a GLOBAL as-of against one broadcast
+    history array (e.g. a market-wide rate curve), which the window path
+    refuses because it would sort everything in one task."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    keys = list(on)
+    rts = right_ts or left_ts
+    payload = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != rts]
+
+    hist = (right.filter(F.col(rts).isNotNull())
+            .groupBy(*keys)
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col(rts).alias("_mts"),
+                *[F.col(c) for c in payload]))).alias("_arr")))
+    # qualified sides: left and right routinely share a parent frame
+    l2, h2 = left.alias("_aj_l"), F.broadcast(hist.alias("_aj_h"))
+    cond = None
+    for k in keys:
+        eq = F.col(f"_aj_l.{k}") == F.col(f"_aj_h.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = l2.crossJoin(h2) if cond is None else l2.join(h2, cond, "left")
+
+    lts = F.col(f"_aj_l.{left_ts}")
+    if direction == "backward":
+        cands = F.filter(F.col("_arr"), lambda x: x["_mts"] <= lts)
+        pick = F.element_at(cands, -1)
+    else:
+        cands = F.filter(F.col("_arr"), lambda x: x["_mts"] >= lts)
+        pick = F.element_at(cands, 1)
+    m = F.when(F.size(cands) > 0, pick)
+    if tolerance is not None:
+        def _sec(col, src_dt):
+            return col.cast("timestamp").cast("double") \
+                if src_dt.startswith("timestamp") else col.cast("double")
+        diff = F.abs(_sec(lts, dict(left.dtypes)[left_ts])
+                     - _sec(m.getField("_mts"), dict(right.dtypes)[rts]))
+        m = F.when(diff <= F.lit(float(tolerance)), m)
+
+    def _out_name(c: str) -> str:
+        return c + suffix if c in left.columns else c
+
+    out = joined.withColumn("_m", m)
+    cols = [F.col(f"_aj_l.{c}").alias(c) for c in left.columns]
     cols.append(F.col("_m").getField("_mts").alias(rts + suffix))
     cols += [F.col("_m").getField(c).alias(_out_name(c)) for c in payload]
     return out.select(*cols)

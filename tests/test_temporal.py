@@ -102,6 +102,50 @@ def test_asof_null_ts_and_collision_suffix(spark):
                   spark.createDataFrame(right), [], "ts")
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_broadcast_equivalent_to_sort_path(spark, direction):
+    """broadcast=True must produce identical results to the window path on
+    tie-free fixtures, for both directions and with tolerance."""
+    left, right = _rand_frames(11)
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    for tol in (None, 500.0):
+        a = (asof_join(l, r, ["k"], "ts", direction=direction, tolerance=tol)
+             .toPandas().sort_values("lid").reset_index(drop=True))
+        b = (asof_join(l, r, ["k"], "ts", direction=direction, tolerance=tol,
+                       broadcast=True)
+             .toPandas().sort_values("lid").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_broadcast_global_key(spark):
+    """on=[] is legal ONLY on the broadcast path: one global history array
+    (e.g. a market-wide rate curve) matched without any shuffle or sort of
+    the probe side."""
+    left = pd.DataFrame({"ts": [5.0, 25.0, np.nan], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"ts": [10.0, 20.0], "rate": [1.1, 2.2]})
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), [], "ts", broadcast=True)
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    assert np.isnan(got["rate"][0])        # nothing at or before ts=5
+    assert got["rate"][1] == 2.2
+    assert np.isnan(got["rate"][2])        # NULL ts never matches
+
+
+def test_asof_broadcast_plan_no_probe_shuffle(spark):
+    """The probe (left) side must reach the join without an exchange: the
+    only hash exchange in the plan is the tiny dimension-side groupBy, the
+    join is BroadcastHashJoin, and no Window/Sort touches the probe rows.
+    At 10^10 probe rows this IS the feature."""
+    left, right = _rand_frames(13)
+    plan = (asof_join(spark.createDataFrame(left),
+                      spark.createDataFrame(right), ["k"], "ts",
+                      broadcast=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # dim agg only
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+
+
 def _naive_range(points, intervals, closed="left"):
     x = points.merge(intervals, on="k", suffixes=("", "_iv"))
     lo = x["ts"] >= x["s"] if closed in ("left", "both") else x["ts"] > x["s"]
