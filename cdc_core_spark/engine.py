@@ -650,7 +650,8 @@ class CdcEngine:
                compact_every: int | None = None,
                group_commit: bool = True, lease: bool = True,
                transform=None,
-               background_compact: int | None = None) -> None:
+               background_compact: int | None = None,
+               refresh_stats: bool = False) -> None:
         """Resume-from-checkpoint replay loop. Skips epochs whose manifests are
         already committed (the ReceiverOffset committed-split analog).
 
@@ -694,7 +695,10 @@ class CdcEngine:
         background rewrites keep the merge-on-read fold shallow), and the
         converged read is ~1.8× faster on the compacted end state. A
         maintainer failure is re-raised AFTER the replay completes —
-        ingest is never sacrificed to a maintenance error."""
+        ingest is never sacrificed to a maintenance error.
+
+        ``refresh_stats=True`` runs ``refresh_stats()`` (churn-proportional
+        column statistics) after the replay's commits land."""
         import threading
 
         if background_compact is not None:
@@ -714,6 +718,8 @@ class CdcEngine:
                 raise RuntimeError(
                     "background compaction failed (replay itself completed "
                     "and committed)") from errs[0]
+            if refresh_stats:
+                self.refresh_stats()
             return
 
         from cdc_core_spark import coordination as coord
@@ -739,6 +745,20 @@ class CdcEngine:
                                 epochs, compact_every, group_commit,
                                 transform=transform,
                                 beat=lambda st, ep=None, err=None: None)
+        if refresh_stats:
+            self.refresh_stats()
+
+    def refresh_stats(self) -> dict:
+        """Churn-proportional column-statistics maintenance
+        (``table_stats.refresh``: per-bucket HLL NDV sketches + null/min/
+        max, recomputing only buckets whose files changed since the last
+        analyze — the Iceberg post-write ANALYZE step). Opt-in via
+        ``replay(refresh_stats=True)`` — it runs strictly AFTER the
+        replay's commits (reads table state + writes only ``_stats/``
+        sidecars, so it needs no lease and cannot perturb exactly-once
+        bookkeeping)."""
+        from cdc_core_spark import table_stats
+        return table_stats.refresh(self.spark, self.table)
 
     def wap_replay(self, events_path: str, branch: str = "wap-audit",
                    audit=None, source_df: DataFrame | None = None,

@@ -99,6 +99,15 @@ def test_unknown_and_unsupported_columns_raise(spark, t1, registry, tmp_path):
     assert doc["skipped_columns"] == []
 
 
+def test_engine_replay_refresh_stats_flag(spark, t1, registry, tmp_path):
+    """replay(refresh_stats=True) leaves stats current with the final
+    table version (first run = full analyze; reruns are churn-priced)."""
+    eng = _replayed(spark, t1, registry, tmp_path, refresh_stats=True)
+    st = table_stats.stats(spark, eng.table)
+    assert st["table_version"] == eng.table.latest().version
+    assert st["row_count"] == eng.table.read(spark).count()
+
+
 def test_stats_without_analyze_raises(spark, t1, registry, tmp_path):
     eng = _replayed(spark, t1, registry, tmp_path, epochs=[0])
     with pytest.raises(FileNotFoundError, match="no statistics"):
