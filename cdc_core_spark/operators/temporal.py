@@ -48,15 +48,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sec_col(col, dtype: str):
+    """THE epoch-seconds rule (one definition — tolerance paths and binning
+    share it): timestamps (tz or ntz) go through a TZ cast first (session
+    tz is UTC everywhere in this engine); numerics cast directly."""
+    if dtype.startswith("timestamp"):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 def _seconds(df: DataFrame, name: str):
-    """Column as epoch seconds (double): timestamps (tz or ntz) go through
-    a TZ cast first (session tz is UTC everywhere in this engine); numerics
-    cast directly."""
-    dt = dict(df.dtypes)[name]
-    c = F.col(name)
-    if dt.startswith("timestamp"):
-        return c.cast("timestamp").cast("double")
-    return c.cast("double")
+    return _sec_col(F.col(name), dict(df.dtypes)[name])
+
+
+def _no_position(col, dtype: str):
+    """True when a ts value has no position on the axis: NULL always; NaN
+    for float axes (Spark's total order sorts NaN above every double and
+    compares NaN >= everything, so an unguarded NaN left ts would grab the
+    LAST right row backward and none forward — direction-dependent garbage
+    instead of 'no match')."""
+    if dtype in ("float", "double"):
+        return col.isNull() | F.isnan(col)
+    return col.isNull()
+
+
+def _check_out_names(left_cols, out_names, suffix: str) -> None:
+    dups = {n for n in out_names if out_names.count(n) > 1} | \
+           (set(out_names) & set(left_cols))
+    if dups:
+        raise ValueError(
+            f"asof_join: output column collision on {sorted(dups)} — pass "
+            f"a different suffix than {suffix!r} (e.g. when re-enriching "
+            "an already-enriched frame against the same right table)")
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
@@ -116,7 +139,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     payload = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys and c != rts]
 
-    r2 = (right.filter(F.col(rts).isNotNull())
+    r_dt = dict(right.dtypes)[rts]
+    r2 = (right.filter(~_no_position(F.col(rts), r_dt))
           .select(*keys, F.col(rts).alias("_ts"), F.lit(0).alias("_side"),
                   F.struct(F.col(rts).alias("_mts"),
                            *[F.col(c) for c in payload]).alias("_match")))
@@ -133,22 +157,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     w = (Window.partitionBy(*keys).orderBy(ts_order, F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last("_match", ignorenulls=True).over(w)
-    # a NULL left ts has no position on the axis → no match (asc sorts it
-    # first, which is already matchless; desc would sort it last and grab one)
-    matched = F.when(F.col("_ts").isNull(), F.lit(None).cast(match_t)) \
-        .otherwise(matched)
+    # a NULL (or float-NaN) left ts has no position on the axis → no match
+    matched = F.when(_no_position(F.col("_ts"), dict(left.dtypes)[left_ts]),
+                     F.lit(None).cast(match_t)).otherwise(matched)
 
     out = (u.withColumn("_m", matched)
            .filter(F.col("_side") == 1)
            .select("_row", "_m"))
     if tolerance is not None:
-        lsec = F.col("_row").getField(left_ts).cast("timestamp").cast("double") \
-            if dict(left.dtypes)[left_ts].startswith("timestamp") \
-            else F.col("_row").getField(left_ts).cast("double")
-        msec = F.col("_m").getField("_mts")
-        msec = msec.cast("timestamp").cast("double") \
-            if dict(right.dtypes)[rts].startswith("timestamp") \
-            else msec.cast("double")
+        lsec = _sec_col(F.col("_row").getField(left_ts),
+                        dict(left.dtypes)[left_ts])
+        msec = _sec_col(F.col("_m").getField("_mts"), r_dt)
         out = out.withColumn(
             "_m", F.when(F.abs(lsec - msec) <= F.lit(float(tolerance)),
                          F.col("_m")))
@@ -156,6 +175,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     def _out_name(c: str) -> str:
         return c + suffix if c in left.columns else c
 
+    out_names = [rts + suffix] + [_out_name(c) for c in payload]
+    _check_out_names(left.columns, out_names, suffix)
     cols = [F.col("_row").getField(c).alias(c) for c in left.columns]
     cols.append(F.col("_m").getField("_mts").alias(rts + suffix))
     cols += [F.col("_m").getField(c).alias(_out_name(c)) for c in payload]
@@ -180,16 +201,20 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     payload = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys and c != rts]
 
-    hist = (right.filter(F.col(rts).isNotNull())
+    r_dt, l_dt = dict(right.dtypes)[rts], dict(left.dtypes)[left_ts]
+    hist = (right.filter(~_no_position(F.col(rts), r_dt))
             .groupBy(*keys)
             .agg(F.sort_array(F.collect_list(F.struct(
                 F.col(rts).alias("_mts"),
                 *[F.col(c) for c in payload]))).alias("_arr")))
-    # qualified sides: left and right routinely share a parent frame
+    # qualified sides: left and right routinely share a parent frame.
+    # eqNullSafe, not == : the window path partitions by key, so NULL keys
+    # group together there — the broadcast plan must match that semantic
+    # (the paths are property-tested equivalent)
     l2, h2 = left.alias("_aj_l"), F.broadcast(hist.alias("_aj_h"))
     cond = None
     for k in keys:
-        eq = F.col(f"_aj_l.{k}") == F.col(f"_aj_h.{k}")
+        eq = F.col(f"_aj_l.{k}").eqNullSafe(F.col(f"_aj_h.{k}"))
         cond = eq if cond is None else (cond & eq)
     joined = l2.crossJoin(h2) if cond is None else l2.join(h2, cond, "left")
 
@@ -200,18 +225,18 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     else:
         cands = F.filter(F.col("_arr"), lambda x: x["_mts"] >= lts)
         pick = F.element_at(cands, 1)
-    m = F.when(F.size(cands) > 0, pick)
+    # NULL left ts yields no candidates by itself; float NaN would compare
+    # greater-than-everything and match — same guard as the window path
+    m = F.when((F.size(cands) > 0) & ~_no_position(lts, l_dt), pick)
     if tolerance is not None:
-        def _sec(col, src_dt):
-            return col.cast("timestamp").cast("double") \
-                if src_dt.startswith("timestamp") else col.cast("double")
-        diff = F.abs(_sec(lts, dict(left.dtypes)[left_ts])
-                     - _sec(m.getField("_mts"), dict(right.dtypes)[rts]))
+        diff = F.abs(_sec_col(lts, l_dt) - _sec_col(m.getField("_mts"), r_dt))
         m = F.when(diff <= F.lit(float(tolerance)), m)
 
     def _out_name(c: str) -> str:
         return c + suffix if c in left.columns else c
 
+    out_names = [rts + suffix] + [_out_name(c) for c in payload]
+    _check_out_names(left.columns, out_names, suffix)
     out = joined.withColumn("_m", m)
     cols = [F.col(f"_aj_l.{c}").alias(c) for c in left.columns]
     cols.append(F.col("_m").getField("_mts").alias(rts + suffix))

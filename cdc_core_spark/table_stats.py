@@ -74,6 +74,30 @@ def _json_val(v):
     return v
 
 
+#: stored string bounds are truncated Iceberg-style (write.metadata.metrics
+#: truncate(N)): min/max of e.g. a 100-TB content column must not dump
+#: whole documents into the stats doc. A truncated MIN is a valid lower
+#: bound as-is; a truncated MAX must round its last character UP to stay
+#: an upper bound (Iceberg's truncateStringMax rule).
+_BOUND_CHARS = 64
+
+
+def _trunc_min(s):
+    if not isinstance(s, str) or len(s) <= _BOUND_CHARS:
+        return s
+    return s[:_BOUND_CHARS]
+
+
+def _trunc_max(s):
+    if not isinstance(s, str) or len(s) <= _BOUND_CHARS:
+        return s
+    p = s[:_BOUND_CHARS]
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return s  # pathological all-U+10FFFF prefix: keep the exact value
+
+
 def latest_stats_doc(table: SnapshotTable) -> dict | None:
     d = _stats_dir(table)
     if not os.path.isdir(d):
@@ -100,7 +124,11 @@ def _compute_buckets(spark: SparkSession, table: SnapshotTable, snap,
     {bucket: {rows, sketch{col: b64}, nulls{col}, min{col}, max{col}}}."""
     if not buckets:
         return {}
-    df = table.read(spark, buckets=buckets, snap=snap)
+    # columns= prunes the projection INTO the parquet scan (a bare .select
+    # cannot — the MOR fold's max_by struct blocks Catalyst pruning through
+    # it, lake.py read() docstring); keys ride along for bucket_expr
+    df = table.read(spark, buckets=buckets, snap=snap,
+                    columns=sorted(set(columns) | set(snap.key_cols)))
     cast_types = {f["name"]: f["type"] for f in snap.fields
                   if f["name"] in snap.key_cols}
     df = df.withColumn("_b", bucket_expr(snap.key_cols, snap.n_buckets,
@@ -131,8 +159,8 @@ def _compute_buckets(spark: SparkSession, table: SnapshotTable, snap,
             "sketch": {c: base64.b64encode(bytes(d[f"_sk_{c}"])).decode()
                        for c in columns if d[f"_sk_{c}"] is not None},
             "nulls": {c: d[f"_nl_{c}"] for c in columns},
-            "min": {c: _json_val(d[f"_mn_{c}"]) for c in columns},
-            "max": {c: _json_val(d[f"_mx_{c}"]) for c in columns},
+            "min": {c: _trunc_min(_json_val(d[f"_mn_{c}"])) for c in columns},
+            "max": {c: _trunc_max(_json_val(d[f"_mx_{c}"])) for c in columns},
         }
     # buckets whose visible state is empty still need an entry (marks them
     # as analyzed at this version — else refresh would re-read them forever)
@@ -172,9 +200,22 @@ def analyze(spark: SparkSession, table: SnapshotTable,
     doc = {
         "table_version": snap.version, "lg_k": lg_k, "columns": cols,
         "skipped_columns": skipped,
+        # refresh() needs to know whether the column set was a caller
+        # choice (track exactly those through renames) or the default
+        # (track whatever the evolving schema supports)
+        "explicit_columns": columns is not None,
         "buckets": _compute_buckets(spark, table, snap, cols, buckets, lg_k),
     }
     return _publish(table, doc)
+
+
+def _remap_name(name: str, aliases: dict) -> str:
+    """Follow the cumulative old→new alias map to the current name."""
+    seen = set()
+    while name in aliases and name not in seen:
+        seen.add(name)
+        name = aliases[name]
+    return name
 
 
 def refresh(spark: SparkSession, table: SnapshotTable) -> dict:
@@ -193,30 +234,74 @@ def refresh(spark: SparkSession, table: SnapshotTable) -> dict:
     if prev["table_version"] == snap.version:
         prev["refreshed_buckets"] = []
         return prev
+
+    # --- schema evolution between the analyzed and current snapshots ---
+    # Renames are metadata-only commits (no file changes → no bucket would
+    # recompute), so stored per-column stats must remap through the alias
+    # map; dropped columns soft-drop (the registry's ignoreDroppedColumn
+    # semantic); default-column docs additionally pick up columns ADDed
+    # since the analyze.
+    cur_types = {f["name"]: f["type"] for f in snap.fields}
+    aliases = snap.aliases or {}
+    dropped: list[str] = []
+    if prev.get("explicit_columns"):
+        cols = []
+        for c in prev["columns"]:
+            n = _remap_name(c, aliases)
+            if n in cur_types and cur_types[n] in _SUPPORTED:
+                cols.append(n)
+            else:
+                dropped.append(c)
+    else:
+        cols = [n for n, t in cur_types.items() if t in _SUPPORTED]
+
+    def _remap_bucket(s: dict) -> dict:
+        out = {"rows": s["rows"], "sketch": {}, "nulls": {}, "min": {},
+               "max": {}}
+        for fld in ("sketch", "nulls", "min", "max"):
+            for k, v in s[fld].items():
+                n = _remap_name(k, aliases)
+                if n in cols:
+                    out[fld][n] = v
+        # columns ADDed after the analyze: an unchanged bucket holds only
+        # rows that predate the ADD commit (later rows would have changed
+        # the bucket's files), which read back as NULL — so the synthetic
+        # entry (all-null, no sketch) is EXACT, not an approximation
+        for c in cols:
+            if c not in out["nulls"]:
+                out["nulls"][c] = s["rows"]
+                out["min"][c] = None
+                out["max"][c] = None
+        return out
+
     try:
         old_snap = table.snapshot(prev["table_version"])
-    except Exception:  # analyzed snapshot expired — diff base is gone
-        doc = analyze(spark, table, columns=prev["columns"],
+    except FileNotFoundError:  # analyzed snapshot expired — no diff base
+        doc = analyze(spark, table,
+                      columns=(cols if prev.get("explicit_columns") else None),
                       lg_k=prev["lg_k"])
-        doc["refreshed_buckets"] = sorted(
-            int(b) for b in doc["buckets"])
+        doc["refreshed_buckets"] = sorted(int(b) for b in doc["buckets"])
         return doc
     old_files, new_files = _bucket_files(old_snap), _bucket_files(snap)
     # buckets only in the OLD snapshot (e.g. a re-bucket compact changed the
     # numbering) simply drop out; recompute only changed buckets that exist now
     changed = sorted(b for b in new_files
                      if old_files.get(b) != new_files.get(b))
-    fresh = _compute_buckets(spark, table, snap, prev["columns"], changed,
+    changed_set = set(changed)
+    fresh = _compute_buckets(spark, table, snap, cols, changed,
                              prev["lg_k"])
-    buckets = {b: s for b, s in prev["buckets"].items()
-               if int(b) in new_files and int(b) not in set(changed)}
+    buckets = {b: _remap_bucket(s) for b, s in prev["buckets"].items()
+               if int(b) in new_files and int(b) not in changed_set}
     buckets.update(fresh)
     doc = {
         "table_version": snap.version, "lg_k": prev["lg_k"],
-        "columns": prev["columns"],
-        "skipped_columns": prev.get("skipped_columns", []),
+        "columns": cols,
+        "skipped_columns": sorted(set(cur_types) - set(cols)),
+        "explicit_columns": prev.get("explicit_columns", False),
         "buckets": buckets, "refreshed_buckets": changed,
     }
+    if dropped:
+        doc["dropped_columns"] = dropped
     return _publish(table, doc)
 
 
@@ -226,7 +311,10 @@ def stats(spark: SparkSession, table: SnapshotTable,
     ``{"row_count": n, "table_version": v, "columns": {col: {"ndv": e,
     "null_count": n, "min": m, "max": M}}}``. NDV comes from one
     metadata-scale ``hll_union_agg`` job over the stored sketch blobs
-    (order-insensitive merge); everything else folds driver-side."""
+    (order-insensitive merge); everything else folds driver-side.
+    ``min``/``max`` are BOUNDS, not necessarily attained values: string
+    bounds longer than 64 chars are truncated Iceberg-style (max rounds
+    its last char up)."""
     doc = doc or latest_stats_doc(table)
     if doc is None:
         raise FileNotFoundError(
@@ -242,8 +330,8 @@ def stats(spark: SparkSession, table: SnapshotTable,
                .collect())
         ndv = {r["col"]: int(r["ndv"]) for r in est}
     out_cols = {}
+    per = list(doc["buckets"].values())
     for c in doc["columns"]:
-        per = [s for s in doc["buckets"].values()]
         mins = [s["min"][c] for s in per if s["min"].get(c) is not None]
         maxs = [s["max"][c] for s in per if s["max"].get(c) is not None]
         out_cols[c] = {

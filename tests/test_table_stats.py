@@ -99,6 +99,39 @@ def test_unknown_and_unsupported_columns_raise(spark, t1, registry, tmp_path):
     assert doc["skipped_columns"] == []
 
 
+def test_refresh_across_schema_evolution(spark, t1, registry, tmp_path):
+    """Analyze in the schema-1.0 era, replay through ADD + RENAME + WIDEN
+    (epochs 3/5/6), refresh: stored stats remap lang→language (rename is a
+    metadata-only commit — NO bucket recomputes for it), size_bytes appears
+    with exact synthetic all-null entries for unchanged buckets, and every
+    merged number equals a from-scratch analyze of the final state."""
+    eng = _replayed(spark, t1, registry, tmp_path, epochs=[0, 1, 2])
+    doc0 = table_stats.analyze(spark, eng.table)
+    assert "lang" in doc0["columns"] and "size_bytes" not in doc0["columns"]
+    eng.replay(f'{t1["dir"]}/change_events',
+               source_df=spark.read.parquet(
+                   f'{t1["dir"]}/source_repos.parquet'))
+    doc = table_stats.refresh(spark, eng.table)
+    assert "language" in doc["columns"] and "lang" not in doc["columns"]
+    assert "size_bytes" in doc["columns"]
+    got = table_stats.stats(spark, eng.table, doc)
+    full = table_stats.stats(
+        spark, eng.table, table_stats.analyze(spark, eng.table))
+    assert got["row_count"] == full["row_count"]
+    for c in full["columns"]:
+        for k in ("ndv", "null_count", "min", "max"):
+            assert got["columns"][c][k] == full["columns"][c][k], (c, k)
+
+
+def test_string_bounds_truncated_iceberg_style(spark, t1, registry, tmp_path):
+    from cdc_core_spark.table_stats import _trunc_max, _trunc_min
+    long = "x" * 100 + "zzz"
+    assert _trunc_min(long) == "x" * 64
+    tm = _trunc_max(long)
+    assert len(tm) == 64 and tm > long and tm == "x" * 63 + "y"
+    assert _trunc_min("short") == "short" and _trunc_max("short") == "short"
+
+
 def test_engine_replay_refresh_stats_flag(spark, t1, registry, tmp_path):
     """replay(refresh_stats=True) leaves stats current with the final
     table version (first run = full analyze; reruns are churn-priced)."""

@@ -146,6 +146,57 @@ def test_asof_broadcast_plan_no_probe_shuffle(spark):
     assert "Window" not in plan and "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.parametrize("broadcast", [False, True])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_nan_ts_has_no_position(spark, broadcast, direction):
+    """Float-NaN timestamps match nothing on EITHER side in EITHER
+    direction (Spark's total order sorts NaN above every double — an
+    unguarded NaN left row would grab the latest right row backward)."""
+    left = pd.DataFrame({"k": [1, 1], "ts": [float("nan"), 10.0],
+                         "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1, 1], "ts": [5.0, float("nan")],
+                          "rv": [1.0, 99.0]})
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), ["k"], "ts",
+                     direction=direction, broadcast=broadcast)
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    assert np.isnan(got["rv"][0])          # NaN left ts: no match
+    if direction == "backward":
+        assert got["rv"][1] == 1.0         # NaN right row never matches
+    else:
+        assert np.isnan(got["rv"][1])
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_asof_null_keys_group_like_window(spark, broadcast):
+    """Documented semantic: NULL keys group together (window-partition
+    rule) on BOTH paths — the broadcast join uses eqNullSafe to match."""
+    left = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"),
+                         "ts": [10.0, 10.0], "lid": [0, 1]})
+    right = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"),
+                          "ts": [5.0, 6.0], "rv": [7.0, 8.0]})
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), ["k"], "ts",
+                     broadcast=broadcast)
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    assert got["rv"].tolist() == [7.0, 8.0]
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_asof_output_collision_raises(spark, broadcast):
+    """Re-enriching an already-enriched frame with the same suffix must
+    fail loudly instead of emitting duplicate column names."""
+    left, right = _rand_frames(17)
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    once = asof_join(l, r, ["k"], "ts", broadcast=broadcast)
+    with pytest.raises(ValueError, match="output column collision"):
+        asof_join(once, r, ["k"], "ts", broadcast=broadcast)
+    # a fresh suffix resolves it
+    twice = asof_join(once, r, ["k"], "ts", suffix="_asof2",
+                      broadcast=broadcast)
+    assert "ts_asof2" in twice.columns
+
+
 def _naive_range(points, intervals, closed="left"):
     x = points.merge(intervals, on="k", suffixes=("", "_iv"))
     lo = x["ts"] >= x["s"] if closed in ("left", "both") else x["ts"] > x["s"]
