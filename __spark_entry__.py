@@ -250,10 +250,13 @@ def q_session_window(spark, sf_dir):
 def q_windows(spark, sf_dir):
     """Gate consolidation of the window family (one oracle entry, three
     operator shapes independently value-hashed behind a discriminator):
-    per-key running aggregation, event-time tumbling window, and gap-based
+    per-key running aggregation, event-time tumbling window, gap-based
     sessionization — formerly the cdc_running_window / tumbling_window /
     session_window gates, merged to free check-window slots for the
-    temporal-join gates. bench.py still times each pure operator alone."""
+    temporal-join gates — plus an overlapping SLIDING window (2-day window,
+    1-day slide: every event lands in exactly two windows; the oracle
+    reproduces Spark's epoch-aligned window starts with a 2-row explode).
+    bench.py still times each pure operator alone."""
     ts_t = dict(_t(spark, sf_dir, "events").dtypes)["ts"]
     nul_ts = F.lit(None).cast(ts_t)
     run = q_cdc_running_window(spark, sf_dir).select(
@@ -275,7 +278,17 @@ def q_windows(spark, sf_dir):
         F.col("sess_start").alias("win_start"),
         F.col("sess_end").alias("win_end"),
         F.col("n_events").alias("n"), F.col("sess_value").alias("val"))
-    return run.unionByName(tum).unionByName(ses)
+    ev = _t(spark, sf_dir, "events")
+    sld = (ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"),
+                      "event_type")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("val"))
+           .select(F.lit("sliding").alias("kind"),
+                   F.col("event_type").alias("key"),
+                   F.lit(None).cast("bigint").alias("seq"),
+                   F.col("w.start").alias("win_start"),
+                   F.col("w.end").alias("win_end"), "n", "val"))
+    return run.unionByName(tum).unionByName(ses).unionByName(sld)
 
 
 def q_asof_join(spark, sf_dir):
@@ -1892,6 +1905,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'session', CAST(user_id AS VARCHAR), session_id,
                    min(ts), max(ts), count(*), round(sum(value), 2)
             FROM sess GROUP BY user_id, session_id
+            UNION ALL
+            -- sliding 2-day/1-day: each event belongs to the windows
+            -- starting at day(ts) and day(ts)-1 (Spark aligns window
+            -- starts to the 1970 epoch, i.e. UTC day boundaries)
+            SELECT 'sliding', event_type, CAST(NULL AS BIGINT),
+                   CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY
+                        AS TIMESTAMP),
+                   CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY
+                        + INTERVAL 2 DAY AS TIMESTAMP),
+                   count(*), round(sum(value), 2)
+            FROM events CROSS JOIN (VALUES (0), (1)) AS g(k)
+            GROUP BY 2, 4, 5
         """,
         "asof_join": """
             WITH q AS (SELECT user_id, ts, max(value) AS quote FROM events
