@@ -485,6 +485,96 @@ class SnapshotTable:
                     row["removed_version"] = s.version
         return list(seen.values())
 
+    def key_history(self, spark: SparkSession, key: dict,
+                    include_rewrites: bool = False) -> DataFrame:
+        """Row-level audit trail for ONE key: every committed version of
+        the row across the retained snapshot chain, with the epoch and
+        table version that applied it — "who changed this row, when"
+        (the per-row view of the reference's transaction lineage,
+        entity/.../model/BlockTransactionDelta.java; Iceberg has no
+        built-in row-history — this is the changelog filtered to a key,
+        without paying a changelog scan).
+
+        Scale shape: the key hashes to ONE bucket (same typed probe as the
+        doc-store point read), candidate files are that bucket's
+        non-maintenance additions across the snapshot walk (driver-side
+        metadata, O(snapshots)), and the key equality predicate pushes
+        into every file scan — sort-order/bloom row-group skipping applies.
+        All file groups union into ONE lazy plan. History depth equals
+        retention depth: files swept from disk (expired/orphaned) are
+        skipped silently, mirroring Iceberg history-after-expire.
+
+        Maintenance rewrites (compaction/re-bucket/expiry) re-materialize
+        the same logical row, so they are excluded unless
+        ``include_rewrites=True``.
+
+        Returns the payload columns plus ``op`` ('D' for a tombstone
+        version, 'U' otherwise), ``epoch``, ``version``, ``op_ts`` and
+        ``event_seq`` (NULL op_ts/event_seq = the initial snapshot load),
+        ordered by COMMIT order (version, then epoch) — not by op_ts: a
+        later epoch can deliver an earlier-timestamped out-of-order event,
+        and the audit question is "what was committed when"; compare op_ts
+        across rows to see which commits actually moved the LWW winner."""
+        snap = self.latest()
+        if any(key.get(k) is None for k in snap.key_cols):
+            raise ValueError(f"key must bind every key column non-null: "
+                             f"{snap.key_cols} got {key}")
+        tmap = {f["name"]: sql_type(f["type"]) for f in snap.fields}
+        ddl = ", ".join(f"{k} {tmap[k]}" for k in snap.key_cols)
+        probe = spark.createDataFrame(
+            [tuple(key[k] for k in snap.key_cols)], ddl)
+        b = int(probe.select(bucket_expr(
+            snap.key_cols, snap.n_buckets).alias("b")).first()["b"])
+
+        # first-seen walk: attribute each candidate file to the commit
+        # that created it (rollbacks re-add old files — first-seen keeps
+        # the original attribution, matching block_deltas)
+        seen: set[str] = set()
+        groups: dict[tuple, list[str]] = {}
+        for p in self._snapshot_paths():
+            s = self._load_snapshot(p)
+            for f in s.files:
+                if f["path"] in seen:
+                    continue
+                seen.add(f["path"])
+                if f["bucket"] != b or (s.maintenance
+                                        and not include_rewrites):
+                    continue
+                abs_path = os.path.join(self.root, f["path"])
+                if not os.path.exists(abs_path):
+                    continue  # swept from disk — beyond retention
+                groups.setdefault(
+                    (f["schema_id"], f.get("epoch", s.epoch), s.version),
+                    []).append(abs_path)
+
+        out_names = [f["name"] for f in snap.fields]
+        parts = []
+        for (sid, epoch, version), paths in sorted(groups.items(),
+                                                   key=lambda kv: kv[0][2]):
+            df = spark.read.parquet(*paths)
+            df = _normalize(df, snap.fields, snap.aliases)
+            for k in snap.key_cols:
+                df = df.filter(F.col(k) == F.lit(key[k]))
+            parts.append(df.select(
+                *out_names,
+                F.when(F.col("_deleted"), F.lit("D")).otherwise(
+                    F.lit("U")).alias("op"),
+                F.lit(epoch).cast("bigint").alias("epoch"),
+                F.lit(version).cast("bigint").alias("version"),
+                F.col("_op_ts").alias("op_ts"),
+                F.col("_event_seq").alias("event_seq")))
+        if not parts:
+            ddl_out = ", ".join(
+                [f"{n} {sql_type(tmap[n])}" for n in out_names]
+                + ["op string", "epoch bigint", "version bigint",
+                   "op_ts bigint", "event_seq bigint"])
+            return spark.createDataFrame([], schema=ddl_out)
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out.orderBy("version", F.col("epoch").asc_nulls_first(),
+                           "op_ts", "event_seq")
+
     def inspect(self, spark: SparkSession, kind: str = "history") -> DataFrame:
         """Metadata tables as DataFrames — the Iceberg inspection surface
         (``SELECT * FROM tbl.history / .files / .refs``; reference keeps
