@@ -244,6 +244,74 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     return out.select(*cols)
 
 
+def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
+                        payload: Sequence[str] | None = None,
+                        suffix: str = "_dim", broadcast: bool = False,
+                        from_version: int = 0) -> DataFrame:
+    """Versioned temporal join over a ``SnapshotTable`` — Flink's
+    ``FOR SYSTEM_TIME AS OF e.ts`` against a changelog-defined versioned
+    table, composed from two existing primitives: ``read_changes`` (the
+    committed changelog) and ``asof_join``.
+
+    Each event is enriched with the dimension-row version that was valid
+    at the event's time, where the version set is exactly the versions the
+    table ever CONTAINED: committed changelog rows keyed by their LWW
+    position (``_op_ts``; redelivered/equal-ts versions collapse to the
+    ``(_event_seq, _change_version)``-max — deterministic). An event whose
+    as-of version is a tombstone gets NULL enrichment (the key did not
+    exist at that time), as do events before the key first appeared.
+    Initial-load rows keep the engine's initial-load LWW position (op_ts
+    −1 — below every real epoch-ms event); changelog rows with a truly
+    NULL ``_op_ts`` (tables fed by non-engine writers) are valid from the
+    beginning of time.
+    Events that within-epoch LWW discarded never became table state,
+    so they are — correctly — not versions here; this is the "versioned
+    table from a changelog" semantic, not a per-delivered-event replay.
+
+    ``event_ts`` must be in the same unit as the engine's ``_op_ts``
+    (epoch ms in this engine). ``payload`` defaults to every non-key
+    table column. ``broadcast=True`` uses the no-probe-shuffle as-of plan
+    (right choice when the dimension table broadcastable). Requires the
+    changelog to be incrementally readable from ``from_version``
+    (``read_changes`` raises on CoW rewrites in range — commit dimension
+    changes in MOR mode for this, and keep version ``from_version``
+    retained)."""
+    snap = table.latest()
+    keys = snap.key_cols
+    pay = list(payload) if payload is not None else [
+        f["name"] for f in snap.fields if f["name"] not in keys]
+    hist = table.read_changes(spark, from_version)
+    floor = F.lit(-(1 << 62)).cast("bigint")
+    h = hist.withColumn(
+        "_valid_from", F.coalesce(F.col("_op_ts").cast("bigint"), floor))
+    h = (h.groupBy(*keys, "_valid_from")
+         .agg(F.max_by(
+             F.struct(*[F.col(c) for c in pay], F.col("_deleted")),
+             F.struct(F.col("_event_seq"),
+                      F.col("_change_version"))).alias("_v"))
+         .select(*keys, "_valid_from",
+                 *[F.col(f"_v.{c}").alias(c) for c in pay],
+                 F.col("_v._deleted").alias("_dim_deleted")))
+    out = asof_join(events, h, keys, event_ts, right_ts="_valid_from",
+                    right_cols=pay + ["_dim_deleted"], suffix=suffix,
+                    broadcast=broadcast)
+
+    def _name(c: str) -> str:
+        return c + suffix if c in events.columns else c
+
+    tomb = F.col(_name("_dim_deleted"))
+    for c in pay:
+        n = _name(c)
+        out = out.withColumn(
+            n, F.when(tomb, F.lit(None).cast(dict(out.dtypes)[n]))
+               .otherwise(F.col(n)))
+    out = out.withColumn(
+        "_valid_from" + suffix,
+        F.when(tomb, F.lit(None).cast("bigint"))
+         .otherwise(F.col("_valid_from" + suffix)))
+    return out.drop(_name("_dim_deleted"))
+
+
 def range_join(points: DataFrame, intervals: DataFrame, on: Sequence[str],
                point_ts: str, start_ts: str, end_ts: str, *,
                bin_width: float, closed: str = "left",
