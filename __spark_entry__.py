@@ -337,6 +337,35 @@ def q_range_join(spark, sf_dir):
         interval_cols=["iv_id", "start_ts", "end_ts"])
 
 
+def q_temporal_enrich(spark, sf_dir):
+    """Rows-only gate (kept PAST the 50-entry oracle window by design):
+    the full versioned-temporal-join pipeline — engine replay → committed
+    changelog (`read_changes`) → as-of match (`temporal_table_join`,
+    operators/temporal.py) — enriching every valid event with the table
+    state that was current at ITS OWN timestamp. Row count (one per valid
+    event) and schema are what the driver checks here; the value
+    semantics are pytest-gated against an independent pandas
+    point-in-time model (tests/test_temporal_table.py)."""
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.operators import temporal
+
+    root = _scratch("temporal", sf_dir)
+    eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+    _run_replay_epochs(eng, _adapt_events(spark, sf_dir))
+    probes = (_adapt_events(spark, sf_dir)
+              .filter(F.col("op").isin(3, 4, 5))
+              .select("repo", "path", F.col("event_seq"),
+                      F.col("op_ts").cast("bigint").alias("ts")))
+    out = temporal.temporal_table_join(spark, probes, eng.table, "ts",
+                                       payload=["language", "content"])
+    return out.select(
+        "repo", "path", "ts", "event_seq",
+        F.col("_valid_from_dim").alias("valid_from"), "language",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+        .alias("content_sha"))
+
+
 def q_json_extract(spark, sf_dir):
     """JSON property shred (SchemaHelper JSON-inference / PropertyBag
     wildcard-capture analog): typed extraction from the props JSON column."""
@@ -1748,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
+        # rows-only by design (value semantics pytest-gated; see q_ docstring)
+        "temporal_enrich": q_temporal_enrich,
     }
 
 
