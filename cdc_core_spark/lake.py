@@ -502,16 +502,25 @@ class SnapshotTable:
         into every file scan — sort-order/bloom row-group skipping applies.
         All file groups union into ONE lazy plan. History depth equals
         retention depth: files swept from disk (expired/orphaned) are
-        skipped silently, mirroring Iceberg history-after-expire.
+        skipped silently, and — as in ``block_deltas`` after
+        ``expire_snapshots`` — a still-live file committed BEFORE the
+        oldest retained snapshot is attributed to that snapshot (its true
+        transaction id was expired with the metadata; per-file ``epoch``
+        entries, where present, keep the epoch exact).
 
         Maintenance rewrites (compaction/re-bucket/expiry) re-materialize
         the same logical row, so they are excluded unless
-        ``include_rewrites=True``.
+        ``include_rewrites=True``. The bucket prune follows each
+        snapshot's OWN ``n_buckets`` — a re-bucketing ``compact`` changes
+        the key's bucket id going forward without losing the pre-rebucket
+        trail.
 
         Returns the payload columns plus ``op`` ('D' for a tombstone
         version, 'U' otherwise), ``epoch``, ``version``, ``op_ts`` and
-        ``event_seq`` (NULL op_ts/event_seq = the initial snapshot load),
-        ordered by COMMIT order (version, then epoch) — not by op_ts: a
+        ``event_seq`` (op_ts −1/event_seq −1 = the initial snapshot load,
+        the engine's initial-load LWW floor; NULL only for rows written by
+        non-engine writers), ordered by COMMIT order (version, then
+        epoch) — not by op_ts: a
         later epoch can deliver an earlier-timestamped out-of-order event,
         and the audit question is "what was committed when"; compare op_ts
         across rows to see which commits actually moved the LWW winner."""
@@ -523,8 +532,18 @@ class SnapshotTable:
         ddl = ", ".join(f"{k} {tmap[k]}" for k in snap.key_cols)
         probe = spark.createDataFrame(
             [tuple(key[k] for k in snap.key_cols)], ddl)
-        b = int(probe.select(bucket_expr(
-            snap.key_cols, snap.n_buckets).alias("b")).first()["b"])
+
+        # the key's bucket id depends on the bucket COUNT, which a
+        # re-bucketing compact can change mid-history: resolve it per
+        # distinct n_buckets seen in the walk (one tiny probe job each;
+        # almost always exactly one)
+        bucket_of: dict[int, int] = {}
+
+        def _bucket_for(n: int) -> int:
+            if n not in bucket_of:
+                bucket_of[n] = int(probe.select(bucket_expr(
+                    snap.key_cols, n).alias("b")).first()["b"])
+            return bucket_of[n]
 
         # first-seen walk: attribute each candidate file to the commit
         # that created it (rollbacks re-add old files — first-seen keeps
@@ -533,6 +552,7 @@ class SnapshotTable:
         groups: dict[tuple, list[str]] = {}
         for p in self._snapshot_paths():
             s = self._load_snapshot(p)
+            b = _bucket_for(s.n_buckets)
             for f in s.files:
                 if f["path"] in seen:
                     continue
@@ -564,8 +584,9 @@ class SnapshotTable:
                 F.col("_op_ts").alias("op_ts"),
                 F.col("_event_seq").alias("event_seq")))
         if not parts:
+            # tmap already holds SQL types (probe DDL above)
             ddl_out = ", ".join(
-                [f"{n} {sql_type(tmap[n])}" for n in out_names]
+                [f"{n} {tmap[n]}" for n in out_names]
                 + ["op string", "epoch bigint", "version bigint",
                    "op_ts bigint", "event_seq bigint"])
             return spark.createDataFrame([], schema=ddl_out)

@@ -41,8 +41,10 @@ def test_key_history_matches_per_epoch_winner_model(spark, t1, registry,
 
     hist = (eng.table.key_history(spark, {"repo": repo, "path": path})
             .toPandas())
-    init_rows = hist[hist["op_ts"].isna()]
-    applied = hist[hist["op_ts"].notna()]
+    # the engine stamps initial-load rows at the (-1, -1) LWW floor, NOT
+    # NULL (NULL would mean a non-engine writer)
+    init_rows = hist[hist["op_ts"] == -1]
+    applied = hist[hist["op_ts"].notna() & (hist["op_ts"] != -1)]
 
     # initial snapshot load contributes exactly one 'U' row iff the key
     # was in the source table
@@ -51,6 +53,14 @@ def test_key_history_matches_per_epoch_winner_model(spark, t1, registry,
     assert len(init_rows) == (1 if in_src else 0)
     if in_src:
         assert init_rows.iloc[0]["op"] == "U"
+
+    # non-vacuous init coverage: a key that IS in the source table
+    src0 = t1["fx"].source_repos.iloc[0]
+    h0 = (eng.table.key_history(
+        spark, {"repo": src0["repo"], "path": src0["path"]}).toPandas())
+    first = h0.iloc[0]
+    assert first["op_ts"] == -1 and first["event_seq"] == -1
+    assert first["op"] == "U" and first["content"] == src0["content"]
 
     assert applied["epoch"].tolist() == exp["checkpoint_epoch"].tolist()
     assert applied["op_ts"].tolist() == exp["op_ts"].astype("int64").tolist()
@@ -87,6 +97,40 @@ def test_key_history_excludes_maintenance_rewrites(spark, t1, registry,
     with_rw = eng.table.key_history(spark, key,
                                     include_rewrites=True).toPandas()
     assert len(with_rw) > len(after)
+
+
+def test_key_history_survives_rebucketing(spark, t1, registry, tmp_path):
+    """compact(n_buckets=N) changes the key's bucket id going forward; the
+    walk must prune with each snapshot's OWN bucket count or the whole
+    pre-rebucket trail silently vanishes (regression)."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    ev = _valid_events(t1["fx"])
+    busiest = (ev.groupby(["repo", "path"])["checkpoint_epoch"].nunique()
+               .idxmax())
+    key = {"repo": busiest[0], "path": busiest[1]}
+    before = eng.table.key_history(spark, key).toPandas()
+    assert len(before) > 0
+    eng.compact(n_buckets=13)
+    after = eng.table.key_history(spark, key).toPandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True))
+
+
+def test_key_history_empty_result_with_long_field(spark, tmp_path):
+    """The empty-history branch must build its DDL from the already-SQL
+    tmap — a table carrying long fields used to crash there on the
+    double-converted type name (regression)."""
+    from cdc_core_spark.lake import SnapshotTable
+    t = SnapshotTable.create(
+        str(tmp_path / "t"),
+        fields=[{"name": "k", "type": "string"},
+                {"name": "v", "type": "long"}],
+        key_cols=["k"], n_buckets=4)
+    got = t.key_history(spark, {"k": "x"})
+    assert got.count() == 0
+    assert "op_ts" in got.columns and "version" in got.columns
 
 
 def test_key_history_missing_key_and_null_key(spark, t1, registry, tmp_path):
