@@ -608,7 +608,10 @@ class SnapshotTable:
         kinds — ``history``: one row per retained snapshot;
         ``files``: the newest snapshot's live data files;
         ``block_deltas``: per-file add/remove lifecycle (block_deltas());
-        ``refs``: current head + branches (at fork version) + tags."""
+        ``refs``: current head + branches (at fork version) + tags;
+        ``stats``: per-column merged table statistics from the latest
+        ``table_stats`` doc (one ``hll_union_agg`` metadata job for NDV;
+        raises FileNotFoundError until ``analyze``/``refresh`` has run)."""
         if kind == "history":
             rows = [(h["version"], h["epoch"], h["parent"], h["n_buckets"],
                      h["n_files"], h["n_manifests"], h["committed_at_ms"],
@@ -638,9 +641,20 @@ class SnapshotTable:
                        for n, v in self.branches().items()]
                     + [(n, "tag", v) for n, v in self.tags().items()])
             ddl = "name string, type string, version bigint"
+        elif kind == "stats":
+            from cdc_core_spark import table_stats
+            st = table_stats.stats(spark, self)
+            txt = lambda v: None if v is None else str(v)  # noqa: E731
+            rows = [(c, st["table_version"], st["stats_version"],
+                     st["row_count"], v["ndv"], v["null_count"],
+                     txt(v["min"]), txt(v["max"]))
+                    for c, v in st["columns"].items()]
+            ddl = ("column string, table_version bigint, "
+                   "stats_version bigint, row_count bigint, ndv bigint, "
+                   "null_count bigint, min string, max string")
         else:
             raise ValueError(f"unknown inspect kind {kind!r} — one of: "
-                             "history, files, block_deltas, refs")
+                             "history, files, block_deltas, refs, stats")
         return spark.createDataFrame(rows, schema=ddl)
 
     def _publish(self, snap: Snapshot) -> None:

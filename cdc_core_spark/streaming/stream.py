@@ -264,21 +264,27 @@ def keyed_read_state_stream(spark: SparkSession, events_path: str,
 def windowed_op_counts_stream(spark: SparkSession, events_path: str,
                               checkpoint_dir: str, sink_table: str,
                               window: str = "1 hour",
-                              watermark: str = "2 hours") -> None:
-    """Event-time tumbling-window op counters over the change stream with a
+                              watermark: str = "2 hours",
+                              slide: str | None = None) -> None:
+    """Event-time windowed op counters over the change stream with a
     watermark bounding late-data state (the streaming form of the
     EventProcessorMetrics counters; late events beyond the watermark are
     dropped from the window state — replay correctness does NOT depend on
     this path, the LWW merge is order-insensitive, SURVEY §2.6).
+    ``slide`` < ``window`` turns the tumbling windows into overlapping
+    sliding ones (each event lands in window/slide windows; state grows by
+    the same factor, still watermark-bounded).
 
     Drains the backlog with availableNow and leaves results in the in-memory
     ``sink_table``; with a real deployment the sink becomes a metrics store
     and the trigger a continuous interval.
     """
+    win = (F.window("event_time", window) if slide is None
+           else F.window("event_time", window, slide))
     agg = (_read_event_stream(spark, events_path)
            .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
            .withWatermark("event_time", watermark)
-           .groupBy(F.window("event_time", window).alias("w"), "op")
+           .groupBy(win.alias("w"), "op")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.max("event_seq").alias("max_event_seq"))
            .select(F.col("w.start").alias("win_start"), "op",

@@ -51,6 +51,38 @@ def test_windowed_op_counts_with_watermark(spark, t1, tmp_path):
     assert (merged["max_event_seq_s"] == merged["max_event_seq_b"]).all()
 
 
+def test_windowed_op_counts_sliding(spark, t1, tmp_path):
+    """slide < window: overlapping windows; every emitted (closed) window
+    equals the batch computation, and each event contributes to
+    window/slide = 2 windows (total stream counts reflect that)."""
+    events_path = f'{t1["dir"]}/change_events'
+    windowed_op_counts_stream(spark, events_path, str(tmp_path / "ckpt"),
+                              sink_table="win_counts_slide",
+                              window="2 hours", watermark="4 hours",
+                              slide="1 hour")
+    emitted = spark.table("win_counts_slide").toPandas()
+    assert len(emitted) > 0, "no closed windows emitted"
+    batch = (spark.read.parquet(events_path)
+             .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
+             .groupBy(F.window("event_time", "2 hours", "1 hour").alias("w"),
+                      "op")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.max("event_seq").alias("max_event_seq"))
+             .select(F.col("w.start").alias("win_start"), "op",
+                     "n_events", "max_event_seq")).toPandas()
+    merged = emitted.merge(batch, on=["win_start", "op"],
+                           suffixes=("_s", "_b"), how="left")
+    assert merged["n_events_b"].notna().all(), "stream emitted unknown window"
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    # overlap factor: distinct window starts ≈ 2x the tumbling count
+    tumb = (spark.read.parquet(events_path)
+            .withColumn("event_time", F.timestamp_millis(F.col("op_ts")))
+            .select(F.window("event_time", "2 hours").alias("w"))
+            .distinct().count())
+    slid = len(batch.drop_duplicates(["win_start"]))
+    assert slid > tumb
+
+
 def test_keyed_read_state_stream(spark, t1, tmp_path):
     """applyInPandasWithState per-key lineage: after draining the backlog,
     the latest emitted state per key equals the batch per-key aggregate."""

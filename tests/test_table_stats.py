@@ -141,6 +141,19 @@ def test_engine_replay_refresh_stats_flag(spark, t1, registry, tmp_path):
     assert st["row_count"] == eng.table.read(spark).count()
 
 
+def test_inspect_stats_table(spark, t1, registry, tmp_path):
+    """inspect(spark, 'stats') — the Iceberg-inspection-table face of the
+    stats doc: one row per analyzed column, numbers matching stats()."""
+    eng = _replayed(spark, t1, registry, tmp_path, refresh_stats=True)
+    df = eng.table.inspect(spark, "stats").toPandas().set_index("column")
+    st = table_stats.stats(spark, eng.table)
+    assert set(df.index) == set(st["columns"])
+    for c, v in st["columns"].items():
+        assert df.loc[c, "ndv"] == v["ndv"]
+        assert df.loc[c, "null_count"] == v["null_count"]
+    assert (df["row_count"] == st["row_count"]).all()
+
+
 def test_stats_without_analyze_raises(spark, t1, registry, tmp_path):
     eng = _replayed(spark, t1, registry, tmp_path, epochs=[0])
     with pytest.raises(FileNotFoundError, match="no statistics"):
