@@ -37,14 +37,25 @@ def warm_page_cache(d: str) -> None:
 
 
 def submit_argv(cores: int, fixture: str, pyz: str, state: str,
-                driver_memory: str = "48g") -> list[str]:
+                driver_memory: str = "48g",
+                cluster: bool = False) -> list[str]:
     """The one spark-submit argv for every scaling/probe run — shared so
     the isolation probe's concurrent runs can never drift from the solo
     baseline they are divided by (only heap size and state dir vary, and
-    both are explicit parameters)."""
+    both are explicit parameters).
+
+    ``cluster=True`` swaps ``local[N]`` (N threads, ONE JVM) for
+    ``local-cluster[N,1,24576]`` — N real EXECUTOR PROCESSES of 1 core /
+    24 GB each, shuffles over the block-transfer service, results over
+    RPC: the faithful miniature of the north rule's N-vs-4N executor
+    cluster (a real 4N cluster adds executors as processes, never as
+    threads inside one JVM), and immune to host regimes that co-schedule
+    one multi-threaded JVM badly (observed in the session-7 windows)."""
+    master = (f"local-cluster[{cores},1,24576]" if cluster
+              else f"local[{cores}]")
     return [
-        "spark-submit", "--master", f"local[{cores}]",
-        "--driver-memory", driver_memory,
+        "spark-submit", "--master", master,
+        "--driver-memory", driver_memory if not cluster else "8g",
         # shuffle parallelism is sized to the DATA (8m-ish partitions), held
         # constant across cluster sizes — exactly like the fixed bucket count
         # of the target table. Scaling N→4N must not change the logical work.
@@ -65,9 +76,9 @@ def submit_argv(cores: int, fixture: str, pyz: str, state: str,
 
 
 def run_at(cores: int, fixture: str, pyz: str, state: str | None = None,
-           driver_memory: str = "48g") -> dict:
+           driver_memory: str = "48g", cluster: bool = False) -> dict:
     state = state or f"/tmp/cdc_scaling_run_{cores}"
-    cmd = submit_argv(cores, fixture, pyz, state, driver_memory)
+    cmd = submit_argv(cores, fixture, pyz, state, driver_memory, cluster)
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -80,6 +91,9 @@ def main() -> None:
     scale = sys.argv[1] if len(sys.argv) > 1 else "bench"
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # "cluster" as a 4th arg: N real 1-core/24g EXECUTOR PROCESSES
+    # (local-cluster) instead of N threads in one JVM — see submit_argv
+    cluster = len(sys.argv) > 4 and sys.argv[4] == "cluster"
 
     fixture = ensure_fixture(scale)
     pyz = "/tmp/cdc_core_spark_pkg.zip"
@@ -97,14 +111,18 @@ def main() -> None:
     # the recorded heap_protocol string says so explicitly.
     heap = {n: f"{min(24 * n, 96)}g" for n in (n_lo, n_hi)}
     capped = min(24 * n_lo, 96) == 96 and min(24 * n_hi, 96) == 96
-    lo = run_at(n_lo, fixture, pyz, driver_memory=heap[n_lo])
-    hi = run_at(n_hi, fixture, pyz, driver_memory=heap[n_hi])
+    lo = run_at(n_lo, fixture, pyz, driver_memory=heap[n_lo],
+                cluster=cluster)
+    hi = run_at(n_hi, fixture, pyz, driver_memory=heap[n_hi],
+                cluster=cluster)
     assert lo["state_crc"] == hi["state_crc"], "parallelism changed the result!"
     assert lo["final_rows"] == hi["final_rows"]
 
     ratio = hi["events_per_sec"] / lo["events_per_sec"]
     eff = ratio / (n_hi / n_lo)
-    out = {"scale": scale, "fixture_dir": fixture,
+    mode = "local-cluster[N,1,24g] executor processes" if cluster \
+        else "local[N] threads"
+    out = {"scale": scale, "fixture_dir": fixture, "master_mode": mode,
            "heap_protocol": (
                f"target 24g/core capped at 96g/JVM; actual: "
                + ", ".join(f"local[{n}]={heap[n]} "
@@ -113,7 +131,7 @@ def main() -> None:
                + ("; BOTH sides cap-bound - effectively a fixed 96g heap "
                   "for this pair, per-core memory is NOT constant" if capped
                   else "")),
-           "runs": {f"local[{n_lo}]": lo, f"local[{n_hi}]": hi},
+           "runs": {f"n={n_lo}": lo, f"n={n_hi}": hi},
            "speedup": round(ratio, 3),
            "scaling_efficiency": round(eff, 3),
            "result_invariant_under_parallelism": True}
