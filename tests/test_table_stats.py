@@ -154,6 +154,55 @@ def test_inspect_stats_table(spark, t1, registry, tmp_path):
     assert (df["row_count"] == st["row_count"]).all()
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_refresh_model_random_schedules(spark, t1, registry, tmp_path, seed):
+    """Randomized model check: interleave replay epochs with compaction,
+    re-bucketing, tombstone expiry and refreshes in a seeded random order —
+    after every refresh, the merged numbers must equal a from-scratch
+    analyze of the same state (the refresh==full invariant under arbitrary
+    maintenance schedules, incl. across the ADD/RENAME/WIDEN DDL epochs)."""
+    import os
+    import random
+    rng = random.Random(seed)
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    events = f'{t1["dir"]}/change_events'
+
+    applied = 0
+    actions = 0
+    while applied < 8:
+        step = ("epochs" if applied == 0 else  # table must exist first
+                rng.choice(["epochs", "epochs", "compact", "rebucket",
+                            "refresh"]))
+        if step == "epochs":
+            upto = min(8, applied + rng.randint(1, 3))
+            eng.replay(events, source_df=src, epochs=list(range(upto)))
+            applied = upto
+        elif step == "compact":
+            eng.compact()
+        elif step == "rebucket":
+            eng.compact(n_buckets=rng.choice([5, 8, 11]))
+        else:
+            table_stats.refresh(spark, eng.table)
+        actions += 1
+        if actions % 2 == 0 or applied >= 8:
+            got = table_stats.stats(
+                spark, eng.table, table_stats.refresh(spark, eng.table))
+            full_doc = table_stats.analyze(spark, eng.table, lg_k=12)
+            full = table_stats.stats(spark, eng.table, full_doc)
+            assert got["row_count"] == full["row_count"], (seed, actions)
+            assert set(got["columns"]) == set(full["columns"])
+            for c in full["columns"]:
+                for k in ("ndv", "null_count", "min", "max"):
+                    assert got["columns"][c][k] == full["columns"][c][k], (
+                        seed, actions, c, k)
+            # drop the analyze's published doc so the NEXT refresh keeps
+            # extending the incremental chain instead of diffing against
+            # a fresh full analyze (that chain is what's under test)
+            os.remove(table_stats._doc_path(
+                eng.table, full_doc["stats_version"]))
+
+
 def test_stats_without_analyze_raises(spark, t1, registry, tmp_path):
     eng = _replayed(spark, t1, registry, tmp_path, epochs=[0])
     with pytest.raises(FileNotFoundError, match="no statistics"):
