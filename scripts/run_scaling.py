@@ -45,17 +45,21 @@ def submit_argv(cores: int, fixture: str, pyz: str, state: str,
     both are explicit parameters).
 
     ``cluster=True`` swaps ``local[N]`` (N threads, ONE JVM) for
-    ``local-cluster[N,1,24576]`` — N real EXECUTOR PROCESSES of 1 core /
-    24 GB each, shuffles over the block-transfer service, results over
-    RPC: the faithful miniature of the north rule's N-vs-4N executor
-    cluster (a real 4N cluster adds executors as processes, never as
-    threads inside one JVM), and immune to host regimes that co-schedule
-    one multi-threaded JVM badly (observed in the session-7 windows)."""
-    master = (f"local-cluster[{cores},1,24576]" if cluster
+    ``local-cluster[N,1,M]`` — N real EXECUTOR PROCESSES of 1 core each,
+    shuffles over the block-transfer service, results over RPC: the
+    faithful miniature of the north rule's N-vs-4N executor cluster (a
+    real 4N cluster adds executors as processes, never as threads inside
+    one JVM), and immune to host regimes that co-schedule one
+    multi-threaded JVM badly (observed in the session-7 windows).
+    Per-executor memory is 24 GB capped so the EXECUTOR TOTAL never
+    exceeds 96 GB (the same box cap thread mode applies to its one JVM);
+    ``driver_memory`` is used as passed — main() sizes it per mode."""
+    mem_mb = min(24576, (96 * 1024) // max(cores, 1))
+    master = (f"local-cluster[{cores},1,{mem_mb}]" if cluster
               else f"local[{cores}]")
     return [
         "spark-submit", "--master", master,
-        "--driver-memory", driver_memory if not cluster else "8g",
+        "--driver-memory", driver_memory,
         # shuffle parallelism is sized to the DATA (8m-ish partitions), held
         # constant across cluster sizes — exactly like the fixed bucket count
         # of the target table. Scaling N→4N must not change the logical work.
@@ -109,8 +113,23 @@ def main() -> None:
     # per-core memory constant up to 4 cores — for pairs where BOTH sides
     # hit the cap (e.g. 8 vs 32) this degenerates to a fixed 96g heap, and
     # the recorded heap_protocol string says so explicitly.
-    heap = {n: f"{min(24 * n, 96)}g" for n in (n_lo, n_hi)}
-    capped = min(24 * n_lo, 96) == 96 and min(24 * n_hi, 96) == 96
+    if cluster:
+        # executors carry the worker memory (24g/core capped at 96g total,
+        # sized in submit_argv's master string); the driver only collects
+        # metadata/CRCs — a fixed small heap on both sides
+        heap = {n: "8g" for n in (n_lo, n_hi)}
+        capped = False
+        heap_note = (
+            "cluster mode: driver 8g both sides; per-executor memory "
+            + ", ".join(
+                f"n={n}: {min(24576, (96 * 1024) // max(n, 1))}m/executor"
+                for n in (n_lo, n_hi))
+            + " (24g/core capped at 96g executor-total, mirroring thread "
+              "mode's single-JVM cap)")
+    else:
+        heap = {n: f"{min(24 * n, 96)}g" for n in (n_lo, n_hi)}
+        capped = min(24 * n_lo, 96) == 96 and min(24 * n_hi, 96) == 96
+        heap_note = None
     lo = run_at(n_lo, fixture, pyz, driver_memory=heap[n_lo],
                 cluster=cluster)
     hi = run_at(n_hi, fixture, pyz, driver_memory=heap[n_hi],
@@ -122,8 +141,12 @@ def main() -> None:
     eff = ratio / (n_hi / n_lo)
     mode = "local-cluster[N,1,24g] executor processes" if cluster \
         else "local[N] threads"
+    # runs keys: 'local[N]' matches every pre-cluster-mode pair in the
+    # cumulative doc; cluster pairs get their own 'local-cluster[N]' keys
+    kfmt = (lambda n: f"local-cluster[{n}]") if cluster \
+        else (lambda n: f"local[{n}]")
     out = {"scale": scale, "fixture_dir": fixture, "master_mode": mode,
-           "heap_protocol": (
+           "heap_protocol": heap_note or (
                f"target 24g/core capped at 96g/JVM; actual: "
                + ", ".join(f"local[{n}]={heap[n]} "
                            f"({min(24 * n, 96) / n:g}g/core)"
@@ -131,7 +154,7 @@ def main() -> None:
                + ("; BOTH sides cap-bound - effectively a fixed 96g heap "
                   "for this pair, per-core memory is NOT constant" if capped
                   else "")),
-           "runs": {f"n={n_lo}": lo, f"n={n_hi}": hi},
+           "runs": {kfmt(n_lo): lo, kfmt(n_hi): hi},
            "speedup": round(ratio, 3),
            "scaling_efficiency": round(eff, 3),
            "result_invariant_under_parallelism": True}
