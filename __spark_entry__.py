@@ -319,22 +319,42 @@ def q_asof_join(spark, sf_dir):
 
 
 def q_range_join(spark, sf_dir):
-    """Range (interval) join via bin-and-equi-join (`operators/temporal.py`):
-    every event paired with each open 3-day "window" interval of its user —
-    planned as a shuffled EQUI-join on (key, day-bin), never the
-    BroadcastNestedLoopJoin a raw inequality join would cost at 10^10 rows.
-    Oracle is the plain inequality join DuckDB can afford at gate scale."""
+    """Range-join family via bin-and-equi-join (`operators/temporal.py`),
+    one gate, two shapes behind a discriminator: 'point' = every event
+    paired with each open 3-day "window" interval of its user
+    (`range_join`); 'overlap' = those 3-day intervals overlap-joined with
+    a second family of 2-day intervals per user (`overlap_join` — the
+    canonical-bin rule keeps each pair exactly once with no distinct).
+    Both plan as shuffled EQUI-joins on (key, day-bin), never the
+    BroadcastNestedLoopJoin a raw inequality join would cost at 10^10
+    rows. Oracle: the plain inequality joins DuckDB can afford at gate
+    scale."""
     ev = _t(spark, sf_dir, "events")
     iv = (ev.filter(F.col("event_id") % 29 == 0)
           .select(F.col("event_id").alias("iv_id"), "user_id",
                   F.col("ts").alias("start_ts"),
                   (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts")))
     pts = ev.select("event_id", "user_id", "ts")
-    return temporal.range_join(
+    point = temporal.range_join(
         pts, iv, ["user_id"], "ts", "start_ts", "end_ts",
         bin_width=86400.0, closed="left",
         point_cols=["event_id"],
-        interval_cols=["iv_id", "start_ts", "end_ts"])
+        interval_cols=["iv_id", "start_ts", "end_ts"]) \
+        .select(F.lit("point").alias("kind"),
+                F.col("event_id").alias("id1"), F.col("iv_id").alias("id2"),
+                F.col("start_ts").alias("ts1"), F.col("end_ts").alias("ts2"))
+    jv = (ev.filter(F.col("event_id") % 41 == 0)
+          .select(F.col("event_id").alias("jv_id"), "user_id",
+                  F.col("ts").alias("start_ts"),
+                  (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("end_ts")))
+    overlap = temporal.overlap_join(
+        iv, jv, ["user_id"], "start_ts", "end_ts", "start_ts", "end_ts",
+        bin_width=86400.0, left_cols=["iv_id"],
+        right_cols=["jv_id", "start_ts", "end_ts"]) \
+        .select(F.lit("overlap").alias("kind"),
+                F.col("iv_id").alias("id1"), F.col("jv_id").alias("id2"),
+                F.col("start_ts").alias("ts1"), F.col("end_ts").alias("ts2"))
+    return point.unionByName(overlap)
 
 
 def q_temporal_enrich(spark, sf_dir):
@@ -1964,11 +1984,20 @@ def oracle_sql() -> dict[str, str]:
         "range_join": """
             WITH iv AS (SELECT event_id AS iv_id, user_id, ts AS start_ts,
                                ts + INTERVAL 3 DAY AS end_ts
-                        FROM events WHERE event_id % 29 = 0)
-            SELECT l.event_id, r.iv_id, r.start_ts, r.end_ts
+                        FROM events WHERE event_id % 29 = 0),
+                 jv AS (SELECT event_id AS jv_id, user_id, ts AS start_ts,
+                               ts + INTERVAL 2 DAY AS end_ts
+                        FROM events WHERE event_id % 41 = 0)
+            SELECT 'point' AS kind, l.event_id AS id1, r.iv_id AS id2,
+                   r.start_ts AS ts1, r.end_ts AS ts2
             FROM events l JOIN iv r
               ON l.user_id = r.user_id
              AND r.start_ts <= l.ts AND l.ts < r.end_ts
+            UNION ALL
+            SELECT 'overlap', a.iv_id, b.jv_id, b.start_ts, b.end_ts
+            FROM iv a JOIN jv b
+              ON a.user_id = b.user_id
+             AND a.start_ts < b.end_ts AND b.start_ts < a.end_ts
         """,
         "json_extract": """
             SELECT event_type, count(*) AS n,

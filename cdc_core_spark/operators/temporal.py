@@ -391,3 +391,81 @@ def range_join(points: DataFrame, intervals: DataFrame, on: Sequence[str],
 
     return joined.select(*[pc(c).alias(c) for c in pcols],
                          *[ic(c).alias(_ivname(c)) for c in ivcols])
+
+
+def _explode_bins(df: DataFrame, start: str, end: str, bw,
+                  max_bins: int, side: str) -> DataFrame:
+    """Shared bin-explosion for interval sides: adds ``_ssec/_esec/_bin``
+    (prefixed with ``side``), drops reversed/null intervals, and rides the
+    oversized-interval assert inside the sequence start so it cannot be
+    pruned."""
+    out = (df.withColumn(f"{side}ssec", _seconds(df, start))
+           .withColumn(f"{side}esec", _seconds(df, end))
+           .filter(F.col(f"{side}ssec").isNotNull()
+                   & F.col(f"{side}esec").isNotNull()
+                   & (F.col(f"{side}ssec") <= F.col(f"{side}esec"))))
+    sbin = F.floor(F.col(f"{side}ssec") / bw)
+    ebin = F.floor(F.col(f"{side}esec") / bw)
+    guard = F.coalesce(
+        F.assert_true(
+            ebin - sbin < max_bins,
+            F.concat(F.lit("overlap_join: interval spans "),
+                     (ebin - sbin + 1).cast("string"),
+                     F.lit(f" bins (> {max_bins}); raise bin_width or "
+                           "max_bins_per_interval"))).cast("long"),
+        F.lit(0))
+    return out.withColumn("_bin", F.explode(F.sequence(sbin + guard, ebin)))
+
+
+def overlap_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                 left_start: str, left_end: str,
+                 right_start: str, right_end: str, *,
+                 bin_width: float, inclusive: bool = False,
+                 max_bins_per_interval: int = 4096,
+                 left_cols: Sequence[str] | None = None,
+                 right_cols: Sequence[str] | None = None) -> DataFrame:
+    """Interval-OVERLAP inner join: every (left, right) interval pair
+    sharing the ``on`` keys whose spans intersect — the session-merge /
+    meeting-conflict / genomic-region shape. Half-open semantics by
+    default (``l_start < r_end AND r_start < l_end``); ``inclusive=True``
+    also matches intervals that merely touch at an endpoint.
+
+    Same plan family as ``range_join``: both sides explode to the
+    fixed-width bins they cover and the join is an EQUI-join on
+    ``(keys…, bin)`` — but an overlapping pair shares up to
+    ``len/bin_width`` bins, so each pair is kept exactly once via the
+    canonical-bin rule: only the bin containing ``max(l_start, r_start)``
+    (the first shared instant) reports the pair. No post-hoc distinct —
+    the dedup is a filter, not a shuffle. Replication and the loud
+    oversized-interval guard follow ``range_join``.
+
+    Output: the left side's columns (``left_cols`` or all), then the
+    right side's (``right_cols`` or all non-key), suffixed ``_r`` on
+    collision."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive: {bin_width}")
+    keys = list(on)
+    lcols = list(left_cols) if left_cols is not None else left.columns
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in keys]
+    bw = F.lit(float(bin_width))
+    l2 = _explode_bins(left, left_start, left_end, bw,
+                       max_bins_per_interval, "_l").alias("_ov_l")
+    r2 = _explode_bins(right, right_start, right_end, bw,
+                       max_bins_per_interval, "_r").alias("_ov_r")
+    lc = lambda c: F.col(f"_ov_l.{c}")   # noqa: E731
+    rc = lambda c: F.col(f"_ov_r.{c}")   # noqa: E731
+    cond = [lc(k) == rc(k) for k in keys] + [lc("_bin") == rc("_bin")]
+    if inclusive:
+        ov = (lc("_lssec") <= rc("_resec")) & (rc("_rssec") <= lc("_lesec"))
+    else:
+        ov = (lc("_lssec") < rc("_resec")) & (rc("_rssec") < lc("_lesec"))
+    canonical = F.floor(F.greatest(lc("_lssec"), rc("_rssec")) / bw) \
+        == lc("_bin")
+    joined = l2.join(r2, cond, "inner").where(ov & canonical)
+
+    def _rname(c: str) -> str:
+        return c + "_r" if c in lcols else c
+
+    return joined.select(*[lc(c).alias(c) for c in lcols],
+                         *[rc(c).alias(_rname(c)) for c in rcols])

@@ -228,6 +228,60 @@ def test_range_join_matches_naive(spark, closed, bin_width):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def _naive_overlap(left, right, inclusive=False):
+    x = left.merge(right, on="k", suffixes=("", "_r"))
+    if inclusive:
+        m = (x["s"] <= x["e_r"]) & (x["s_r"] <= x["e"])
+    else:
+        m = (x["s"] < x["e_r"]) & (x["s_r"] < x["e"])
+    return x[m]
+
+
+@pytest.mark.parametrize("inclusive", [False, True])
+@pytest.mark.parametrize("bin_width", [3.0, 50.0, 2000.0])
+def test_overlap_join_matches_naive(spark, inclusive, bin_width):
+    """Interval x interval overlap vs a cartesian-filter oracle — small
+    bin_width forces pairs to share MANY bins, so this also proves the
+    canonical-bin dedup emits each pair exactly once."""
+    from cdc_core_spark.operators.temporal import overlap_join
+    rng = np.random.default_rng(23)
+    mk = lambda n, tag: pd.DataFrame({  # noqa: E731
+        "k": rng.integers(0, 4, n),
+        "s": (s := rng.integers(0, 2_000, n).astype("float64")),
+        "e": s + rng.integers(0, 300, n).astype("float64"),
+        tag: np.arange(n, dtype="int64")})
+    left, right = mk(80, "lid"), mk(60, "rid")
+    # touching pair probe: right starts exactly where a left ends
+    right.loc[0, ["k", "s", "e"]] = [left.loc[0, "k"], left.loc[0, "e"],
+                                     left.loc[0, "e"] + 10]
+    got = (overlap_join(spark.createDataFrame(left),
+                        spark.createDataFrame(right), ["k"],
+                        "s", "e", "s", "e", bin_width=bin_width,
+                        inclusive=inclusive)
+           .toPandas().sort_values(["lid", "rid"]).reset_index(drop=True))
+    exp = (_naive_overlap(left, right, inclusive)
+           .sort_values(["lid", "rid"])[got.columns].reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert not got.duplicated(["lid", "rid"]).any()
+
+
+def test_overlap_join_plan_is_equi_join(spark):
+    from cdc_core_spark.operators.temporal import overlap_join
+    rng = np.random.default_rng(29)
+    iv = pd.DataFrame({"k": rng.integers(0, 3, 50),
+                       "s": (s := rng.integers(0, 500, 50).astype("float64")),
+                       "e": s + 40.0, "iid": np.arange(50, dtype="int64")})
+    plan = (overlap_join(spark.createDataFrame(iv),
+                         spark.createDataFrame(iv.rename(
+                             columns={"iid": "jid"})), ["k"],
+                         "s", "e", "s", "e", bin_width=50.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_range_join_oversized_interval_raises(spark):
     points = spark.createDataFrame(pd.DataFrame(
         {"k": [1], "ts": [5.0], "pid": [0]}))
