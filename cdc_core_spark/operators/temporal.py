@@ -86,13 +86,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str | None = None, *,
               direction: str = "backward", tolerance: float | None = None,
               right_cols: Sequence[str] | None = None,
-              suffix: str = "_asof", broadcast: bool = False) -> DataFrame:
+              suffix: str = "_asof", broadcast: bool = False,
+              allow_exact_matches: bool = True) -> DataFrame:
     """For every left row, attach the single right row with the greatest
-    ``right_ts <= left_ts`` (``direction="backward"``, inclusive) or the
-    least ``right_ts >= left_ts`` (``"forward"``) within the same ``on``
-    keys — pandas ``merge_asof`` semantics, left-outer: unmatched left rows
-    keep NULL match columns, as do rows whose match misses ``tolerance``
-    (max |right_ts - left_ts| in seconds).
+    ``right_ts <= left_ts`` (``direction="backward"``, inclusive), the
+    least ``right_ts >= left_ts`` (``"forward"``), or the smallest
+    ``|right_ts - left_ts|`` (``"nearest"``; distance ties prefer the
+    backward match, the pandas rule) within the same ``on`` keys — pandas
+    ``merge_asof`` semantics, left-outer: unmatched left rows keep NULL
+    match columns, as do rows whose match misses ``tolerance`` (max
+    |right_ts - left_ts| in seconds). ``allow_exact_matches=False`` makes
+    the bounds strict (``<`` / ``>``): "the state strictly before the
+    event", never the event's own version.
 
     Mechanics: both sides are tagged and unioned; a window partitioned by
     the keys and ordered by ``(ts, side)`` — right rows sorting BEFORE left
@@ -127,19 +132,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     if broadcast:
         return _asof_join_broadcast(left, right, on, left_ts, right_ts,
                                     direction=direction, tolerance=tolerance,
-                                    right_cols=right_cols, suffix=suffix)
+                                    right_cols=right_cols, suffix=suffix,
+                                    allow_exact_matches=allow_exact_matches)
     if not on:
         raise ValueError("asof_join requires at least one key column; a "
                          "global as-of would sort the world in one task — "
                          "add a coarse bucket key or use range_join")
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}")
     keys = list(on)
     rts = right_ts or left_ts
     payload = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys and c != rts]
 
     r_dt = dict(right.dtypes)[rts]
+    l_dt = dict(left.dtypes)[left_ts]
     r2 = (right.filter(~_no_position(F.col(rts), r_dt))
           .select(*keys, F.col(rts).alias("_ts"), F.lit(0).alias("_side"),
                   F.struct(F.col(rts).alias("_mts"),
@@ -152,14 +160,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     r2 = r2.withColumn("_row", F.lit(None).cast(l2.schema["_row"].dataType))
     u = l2.unionByName(r2)
 
-    ts_order = F.col("_ts").asc() if direction == "backward" \
-        else F.col("_ts").desc()
-    w = (Window.partitionBy(*keys).orderBy(ts_order, F.col("_side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = F.last("_match", ignorenulls=True).over(w)
-    # a NULL (or float-NaN) left ts has no position on the axis → no match
-    matched = F.when(_no_position(F.col("_ts"), dict(left.dtypes)[left_ts]),
-                     F.lit(None).cast(match_t)).otherwise(matched)
+    # side order decides the equal-ts bound: right rows (side 0) sorting
+    # BEFORE left rows makes the bound inclusive; after = exclusive
+    side_order = (F.col("_side").asc() if allow_exact_matches
+                  else F.col("_side").desc())
+    nop = _no_position(F.col("_ts"), l_dt)
+
+    def _pick(asc: bool):
+        o = F.col("_ts").asc() if asc else F.col("_ts").desc()
+        w = (Window.partitionBy(*keys).orderBy(o, side_order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        m = F.last("_match", ignorenulls=True).over(w)
+        # a NULL (or float-NaN) left ts has no position → no match
+        return F.when(nop, F.lit(None).cast(match_t)).otherwise(m)
+
+    if direction == "backward":
+        matched = _pick(True)
+    elif direction == "forward":
+        matched = _pick(False)
+    else:  # nearest: both scans over the SAME exchange (two sorts, one
+        # shuffle), then the smaller |distance| wins; ties go backward
+        # (pandas merge_asof rule — property-tested)
+        mb, mf = _pick(True), _pick(False)
+        lsec = _sec_col(F.col("_ts"), l_dt)
+        db = F.abs(lsec - _sec_col(mb.getField("_mts"), r_dt))
+        df_ = F.abs(_sec_col(mf.getField("_mts"), r_dt) - lsec)
+        matched = (F.when(mb.isNull(), mf).when(mf.isNull(), mb)
+                   .when(db <= df_, mb).otherwise(mf))
 
     out = (u.withColumn("_m", matched)
            .filter(F.col("_side") == 1)
@@ -189,13 +216,15 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
                          direction: str = "backward",
                          tolerance: float | None = None,
                          right_cols: Sequence[str] | None = None,
-                         suffix: str = "_asof") -> DataFrame:
+                         suffix: str = "_asof",
+                         allow_exact_matches: bool = True) -> DataFrame:
     """Broadcast as-of: see ``asof_join(broadcast=True)``. Unlike the sort
     path this also accepts ``on=[]`` — a GLOBAL as-of against one broadcast
     history array (e.g. a market-wide rate curve), which the window path
     refuses because it would sort everything in one task."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}")
     keys = list(on)
     rts = right_ts or left_ts
     payload = list(right_cols) if right_cols is not None else [
@@ -219,12 +248,26 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     joined = l2.crossJoin(h2) if cond is None else l2.join(h2, cond, "left")
 
     lts = F.col(f"_aj_l.{left_ts}")
-    if direction == "backward":
-        cands = F.filter(F.col("_arr"), lambda x: x["_mts"] <= lts)
-        pick = F.element_at(cands, -1)
+    if allow_exact_matches:
+        back_c = F.filter(F.col("_arr"), lambda x: x["_mts"] <= lts)
+        fwd_c = F.filter(F.col("_arr"), lambda x: x["_mts"] >= lts)
     else:
-        cands = F.filter(F.col("_arr"), lambda x: x["_mts"] >= lts)
-        pick = F.element_at(cands, 1)
+        back_c = F.filter(F.col("_arr"), lambda x: x["_mts"] < lts)
+        fwd_c = F.filter(F.col("_arr"), lambda x: x["_mts"] > lts)
+    back_p, fwd_p = F.element_at(back_c, -1), F.element_at(fwd_c, 1)
+    if direction == "backward":
+        cands, pick = back_c, back_p
+    elif direction == "forward":
+        cands, pick = fwd_c, fwd_p
+    else:  # nearest: smaller |distance| wins, ties go backward
+        db = F.abs(_sec_col(lts, l_dt)
+                   - _sec_col(back_p.getField("_mts"), r_dt))
+        df_ = F.abs(_sec_col(fwd_p.getField("_mts"), r_dt)
+                    - _sec_col(lts, l_dt))
+        cands = F.concat(back_c, fwd_c)
+        pick = (F.when(F.size(back_c) == 0, fwd_p)
+                .when(F.size(fwd_c) == 0, back_p)
+                .when(db <= df_, back_p).otherwise(fwd_p))
     # NULL left ts yields no candidates by itself; float NaN would compare
     # greater-than-everything and match — same guard as the window path
     m = F.when((F.size(cands) > 0) & ~_no_position(lts, l_dt), pick)

@@ -37,24 +37,28 @@ def frames(draw):
     return l, r
 
 
-@settings(max_examples=30, deadline=None,
+@settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(fr=frames(),
-       direction=st.sampled_from(["backward", "forward"]),
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
        broadcast=st.booleans(),
+       exact=st.booleans(),
        tolerance=st.sampled_from([None, 0.0, 7.0]))
-def test_asof_matches_merge_asof(spark, fr, direction, broadcast, tolerance):
+def test_asof_matches_merge_asof(spark, fr, direction, broadcast, exact,
+                                 tolerance):
     left, right = fr
     # Spark cannot infer a schema for an empty frame — give it DDL
     l = spark.createDataFrame(left, "k long, ts double, lid long")
     r = spark.createDataFrame(right, "k long, ts double, rv double")
     got = (asof_join(l, r, ["k"], "ts", direction=direction,
-                     tolerance=tolerance, broadcast=broadcast)
+                     tolerance=tolerance, broadcast=broadcast,
+                     allow_exact_matches=exact)
            .toPandas().sort_values("lid").reset_index(drop=True))
     exp = pd.merge_asof(
         left.sort_values(["ts", "lid"]), right.sort_values("ts"),
         on="ts", by="k", direction=direction, suffixes=("", "_r"),
-        tolerance=tolerance).sort_values("lid").reset_index(drop=True)
+        tolerance=tolerance,
+        allow_exact_matches=exact).sort_values("lid").reset_index(drop=True)
     if len(left) == 0:
         assert len(got) == 0
         return
