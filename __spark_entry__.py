@@ -300,7 +300,10 @@ def q_asof_join(spark, sf_dir):
     all three operator modes against DuckDB's native ASOF JOIN: backward
     (inclusive bound), backward with a 1-day tolerance, and forward.
     Quotes are pre-reduced per (user_id, ts) so tie-break order cannot
-    differ between engines."""
+    differ between engines. Also folds in the 'nearest' direction (oracle:
+    CASE over the two chained ASOF arms with exact epoch_us distances,
+    ties backward) and the strict backward bound
+    (allow_exact_matches=False; oracle: ASOF on l.ts > b.ts)."""
     ev = _t(spark, sf_dir, "events")
     quotes = (ev.filter(F.col("event_id") % 17 == 0)
               .groupBy("user_id", "ts").agg(F.max("value").alias("quote")))
@@ -315,7 +318,15 @@ def q_asof_join(spark, sf_dir):
                              direction="forward") \
         .select("event_id", F.col("ts_asof").alias("fwd_ts"),
                 F.round("quote", 4).alias("fwd_quote"))
-    return back.join(tol, "event_id").join(fwd, "event_id")
+    near = temporal.asof_join(left, quotes, ["user_id"], "ts",
+                              direction="nearest") \
+        .select("event_id", F.col("ts_asof").alias("near_ts"),
+                F.round("quote", 4).alias("near_quote"))
+    strict = temporal.asof_join(left, quotes, ["user_id"], "ts",
+                                allow_exact_matches=False) \
+        .select("event_id", F.col("ts_asof").alias("strict_back_ts"))
+    return (back.join(tol, "event_id").join(fwd, "event_id")
+            .join(near, "event_id").join(strict, "event_id"))
 
 
 def q_range_join(spark, sf_dir):
@@ -1976,10 +1987,23 @@ def oracle_sql() -> dict[str, str]:
                    b.ts AS back_ts, round(b.quote, 4) AS back_quote,
                    CASE WHEN epoch_us(l.ts) - epoch_us(b.ts) <= 86400000000
                         THEN round(b.quote, 4) END AS back_quote_1d,
-                   f.ts AS fwd_ts, round(f.quote, 4) AS fwd_quote
+                   f.ts AS fwd_ts, round(f.quote, 4) AS fwd_quote,
+                   CASE WHEN b.ts IS NULL THEN f.ts
+                        WHEN f.ts IS NULL THEN b.ts
+                        WHEN epoch_us(l.ts) - epoch_us(b.ts)
+                             <= epoch_us(f.ts) - epoch_us(l.ts)
+                        THEN b.ts ELSE f.ts END AS near_ts,
+                   CASE WHEN b.ts IS NULL THEN round(f.quote, 4)
+                        WHEN f.ts IS NULL THEN round(b.quote, 4)
+                        WHEN epoch_us(l.ts) - epoch_us(b.ts)
+                             <= epoch_us(f.ts) - epoch_us(l.ts)
+                        THEN round(b.quote, 4)
+                        ELSE round(f.quote, 4) END AS near_quote,
+                   s.ts AS strict_back_ts
             FROM events l
             ASOF LEFT JOIN q b ON l.user_id = b.user_id AND l.ts >= b.ts
             ASOF LEFT JOIN q f ON l.user_id = f.user_id AND l.ts <= f.ts
+            ASOF LEFT JOIN q s ON l.user_id = s.user_id AND l.ts > s.ts
         """,
         "range_join": """
             WITH iv AS (SELECT event_id AS iv_id, user_id, ts AS start_ts,
