@@ -87,7 +87,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               direction: str = "backward", tolerance: float | None = None,
               right_cols: Sequence[str] | None = None,
               suffix: str = "_asof", broadcast: bool = False,
-              allow_exact_matches: bool = True) -> DataFrame:
+              allow_exact_matches: bool = True,
+              max_history: int = 64) -> DataFrame:
     """For every left row, attach the single right row with the greatest
     ``right_ts <= left_ts`` (``direction="backward"``, inclusive), the
     least ``right_ts >= left_ts`` (``"forward"``), or the smallest
@@ -123,17 +124,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     picks its match with JVM array expressions (``filter`` +
     ``element_at``) — the LEFT side never shuffles or sorts, which at
     10^10 probe rows against a broadcastable dimension is the only plan
-    that survives. Constraints: each key's full history must fit in one
-    row (arrays are per-key), match cost is O(history) per probe row
-    (JVM-side), and (key, ts) ties resolve deterministically by payload
-    order rather than arbitrarily. Results are otherwise identical —
-    equivalence is property-tested.
+    that survives a cluster's network. Constraints: each key's history
+    must fit one row AND stay SHALLOW — the match is a linear array scan
+    per probe row, measured ~50× slower than the window plan at 42
+    versions/key and at par at 1 version/key in local mode where the
+    removed exchange is only an in-JVM copy (``TEMPORAL_PROBE.json``);
+    histories deeper than ``max_history`` (default 64) fail loudly.
+    (key, ts) ties resolve deterministically by payload order rather than
+    arbitrarily. Results are otherwise identical — equivalence is
+    property-tested.
     """
     if broadcast:
         return _asof_join_broadcast(left, right, on, left_ts, right_ts,
                                     direction=direction, tolerance=tolerance,
                                     right_cols=right_cols, suffix=suffix,
-                                    allow_exact_matches=allow_exact_matches)
+                                    allow_exact_matches=allow_exact_matches,
+                                    max_history=max_history)
     if not on:
         raise ValueError("asof_join requires at least one key column; a "
                          "global as-of would sort the world in one task — "
@@ -217,7 +223,8 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
                          tolerance: float | None = None,
                          right_cols: Sequence[str] | None = None,
                          suffix: str = "_asof",
-                         allow_exact_matches: bool = True) -> DataFrame:
+                         allow_exact_matches: bool = True,
+                         max_history: int = 64) -> DataFrame:
     """Broadcast as-of: see ``asof_join(broadcast=True)``. Unlike the sort
     path this also accepts ``on=[]`` — a GLOBAL as-of against one broadcast
     history array (e.g. a market-wide rate curve), which the window path
@@ -236,6 +243,19 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
             .agg(F.sort_array(F.collect_list(F.struct(
                 F.col(rts).alias("_mts"),
                 *[F.col(c) for c in payload]))).alias("_arr")))
+    # the match is a linear array filter per probe row: fine for dimension
+    # shapes (a few versions per key), catastrophic for tick-store depths —
+    # measured 50x slower than the window plan at 42 versions/key
+    # (TEMPORAL_PROBE.json). Fail loudly instead of silently burning cores.
+    hist = hist.withColumn("_arr", F.when(F.coalesce(F.assert_true(
+        F.size("_arr") <= max_history,
+        F.concat(F.lit("asof_join(broadcast=True): key history has "),
+                 F.size("_arr").cast("string"),
+                 F.lit(f" versions (> max_history={max_history}) — deep "
+                       "histories belong on the window plan (broadcast "
+                       "match cost is O(history) per probe row); raise "
+                       "max_history only if you accept that"))
+    ).cast("int"), F.lit(0)) == 0, F.col("_arr")))
     # qualified sides: left and right routinely share a parent frame.
     # eqNullSafe, not == : the window path partitions by key, so NULL keys
     # group together there — the broadcast plan must match that semantic
@@ -290,7 +310,8 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
 def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
                         payload: Sequence[str] | None = None,
                         suffix: str = "_dim", broadcast: bool = False,
-                        from_version: int = 0) -> DataFrame:
+                        from_version: int = 0,
+                        allow_exact_matches: bool = True) -> DataFrame:
     """Versioned temporal join over a ``SnapshotTable`` — Flink's
     ``FOR SYSTEM_TIME AS OF e.ts`` against a changelog-defined versioned
     table, composed from two existing primitives: ``read_changes`` (the
@@ -314,11 +335,14 @@ def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
     ``event_ts`` must be in the same unit as the engine's ``_op_ts``
     (epoch ms in this engine). ``payload`` defaults to every non-key
     table column. ``broadcast=True`` uses the no-probe-shuffle as-of plan
-    (right choice when the dimension table broadcastable). Requires the
-    changelog to be incrementally readable from ``from_version``
-    (``read_changes`` raises on CoW rewrites in range — commit dimension
-    changes in MOR mode for this, and keep version ``from_version``
-    retained)."""
+    (right choice when the dimension table broadcastable).
+    ``allow_exact_matches=False`` returns the PRE-image: the version
+    strictly before the event's own position — enriching a change stream
+    with what each row looked like JUST BEFORE the change, the CDC
+    before/after shape. Requires the changelog to be incrementally
+    readable from ``from_version`` (``read_changes`` raises on CoW
+    rewrites in range — commit dimension changes in MOR mode for this,
+    and keep version ``from_version`` retained)."""
     snap = table.latest()
     keys = snap.key_cols
     pay = list(payload) if payload is not None else [
@@ -337,7 +361,8 @@ def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
                  F.col("_v._deleted").alias("_dim_deleted")))
     out = asof_join(events, h, keys, event_ts, right_ts="_valid_from",
                     right_cols=pay + ["_dim_deleted"], suffix=suffix,
-                    broadcast=broadcast)
+                    broadcast=broadcast,
+                    allow_exact_matches=allow_exact_matches)
 
     def _name(c: str) -> str:
         return c + suffix if c in events.columns else c

@@ -131,6 +131,22 @@ def test_asof_broadcast_global_key(spark):
     assert np.isnan(got["rate"][2])        # NULL ts never matches
 
 
+def test_asof_broadcast_deep_history_guard(spark):
+    """Broadcast match cost is O(history) per probe row — a key history
+    deeper than max_history must fail loudly (measured 50x slowdown at 42
+    versions/key, TEMPORAL_PROBE.json), not silently burn cores."""
+    left = pd.DataFrame({"k": [1], "ts": [50.0], "lid": [0]})
+    right = pd.DataFrame({"k": [1] * 80,
+                          "ts": np.arange(80, dtype="float64"),
+                          "rv": np.arange(80, dtype="float64")})
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    with pytest.raises(Exception, match="max_history"):
+        asof_join(l, r, ["k"], "ts", broadcast=True).collect()
+    got = asof_join(l, r, ["k"], "ts", broadcast=True,
+                    max_history=128).toPandas()
+    assert got["rv"][0] == 50.0
+
+
 def test_asof_broadcast_plan_no_probe_shuffle(spark):
     """The probe (left) side must reach the join without an exchange: the
     only hash exchange in the plan is the tiny dimension-side groupBy, the

@@ -104,6 +104,43 @@ def test_temporal_table_join_matches_point_in_time_model(
             assert _nz(row["rev"]) == _nz(exp["rev"]), (pid, row, exp)
 
 
+def test_temporal_table_join_preimage(spark, t1, registry, tmp_path):
+    """allow_exact_matches=False = the PRE-image: probing at a committed
+    version's own timestamp returns the version strictly before it —
+    equal to the inclusive join at ts-1 for every probe (the fixture's
+    timestamps are >1ms apart per key, so the shift crosses no other
+    version)."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    ev = t1["fx"].change_events
+    ev = ev[oracle.is_valid_event(ev)]
+    busiest = (ev.groupby(["repo", "path"])["checkpoint_epoch"].nunique()
+               .sort_values(ascending=False).head(2).index.tolist())
+    rows = []
+    pid = 0
+    for repo, path in busiest:
+        for v in _versions(t1["fx"], repo, path):
+            if v["valid_from"] == -float("inf"):
+                continue
+            rows.append((pid, repo, path, int(v["valid_from"])))
+            pid += 1
+    probe = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pid", "repo", "path", "ts"]),
+        "pid long, repo string, path string, ts long")
+    pre = (temporal_table_join(spark, probe, eng.table, "ts", payload=PAY,
+                               allow_exact_matches=False)
+           .toPandas().set_index("pid").sort_index())
+    shifted = probe.withColumn("ts", probe["ts"] - 1)
+    incl = (temporal_table_join(spark, shifted, eng.table, "ts",
+                                payload=PAY)
+            .toPandas().set_index("pid").sort_index())
+    for c in PAY:
+        a = [_nz(v) for v in pre[c]]
+        b = [_nz(v) for v in incl[c]]
+        assert a == b, c
+
+
 def test_temporal_table_join_initial_load_floor(spark, t1, registry,
                                                 tmp_path):
     """A probe before every change event (the engine stamps the initial
