@@ -61,6 +61,16 @@ def _seconds(df: DataFrame, name: str):
     return _sec_col(F.col(name), dict(df.dtypes)[name])
 
 
+def _exact_pos(col, dtype: str):
+    """Exact position on the axis for DISTANCE COMPARISONS: integer
+    microseconds for timestamps (double seconds at epoch magnitude carry
+    ~1e-7 s rounding per operand — enough to flip an exact-midpoint
+    'nearest' tie), the raw double otherwise."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp"))
+    return col.cast("double")
+
+
 def _no_position(col, dtype: str):
     """True when a ts value has no position on the axis: NULL always; NaN
     for float axes (Spark's total order sorts NaN above every double and
@@ -188,9 +198,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         # shuffle), then the smaller |distance| wins; ties go backward
         # (pandas merge_asof rule — property-tested)
         mb, mf = _pick(True), _pick(False)
-        lsec = _sec_col(F.col("_ts"), l_dt)
-        db = F.abs(lsec - _sec_col(mb.getField("_mts"), r_dt))
-        df_ = F.abs(_sec_col(mf.getField("_mts"), r_dt) - lsec)
+        lpos = _exact_pos(F.col("_ts"), l_dt)
+        db = F.abs(lpos - _exact_pos(mb.getField("_mts"), r_dt))
+        df_ = F.abs(_exact_pos(mf.getField("_mts"), r_dt) - lpos)
         matched = (F.when(mb.isNull(), mf).when(mf.isNull(), mb)
                    .when(db <= df_, mb).otherwise(mf))
 
@@ -265,7 +275,11 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     for k in keys:
         eq = F.col(f"_aj_l.{k}").eqNullSafe(F.col(f"_aj_h.{k}"))
         cond = eq if cond is None else (cond & eq)
-    joined = l2.crossJoin(h2) if cond is None else l2.join(h2, cond, "left")
+    # on=[]: a TRUE-conditioned LEFT join, not crossJoin — an empty global
+    # history must keep every left row with NULL matches (left-outer
+    # contract), not delete the probe stream
+    joined = (l2.join(h2, F.lit(True), "left") if cond is None
+              else l2.join(h2, cond, "left"))
 
     lts = F.col(f"_aj_l.{left_ts}")
     if allow_exact_matches:
@@ -280,10 +294,10 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     elif direction == "forward":
         cands, pick = fwd_c, fwd_p
     else:  # nearest: smaller |distance| wins, ties go backward
-        db = F.abs(_sec_col(lts, l_dt)
-                   - _sec_col(back_p.getField("_mts"), r_dt))
-        df_ = F.abs(_sec_col(fwd_p.getField("_mts"), r_dt)
-                    - _sec_col(lts, l_dt))
+        db = F.abs(_exact_pos(lts, l_dt)
+                   - _exact_pos(back_p.getField("_mts"), r_dt))
+        df_ = F.abs(_exact_pos(fwd_p.getField("_mts"), r_dt)
+                    - _exact_pos(lts, l_dt))
         cands = F.concat(back_c, fwd_c)
         pick = (F.when(F.size(back_c) == 0, fwd_p)
                 .when(F.size(fwd_c) == 0, back_p)
@@ -311,7 +325,8 @@ def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
                         payload: Sequence[str] | None = None,
                         suffix: str = "_dim", broadcast: bool = False,
                         from_version: int = 0,
-                        allow_exact_matches: bool = True) -> DataFrame:
+                        allow_exact_matches: bool = True,
+                        max_history: int = 64) -> DataFrame:
     """Versioned temporal join over a ``SnapshotTable`` — Flink's
     ``FOR SYSTEM_TIME AS OF e.ts`` against a changelog-defined versioned
     table, composed from two existing primitives: ``read_changes`` (the
@@ -335,7 +350,9 @@ def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
     ``event_ts`` must be in the same unit as the engine's ``_op_ts``
     (epoch ms in this engine). ``payload`` defaults to every non-key
     table column. ``broadcast=True`` uses the no-probe-shuffle as-of plan
-    (right choice when the dimension table broadcastable).
+    (right choice when the dimension table is broadcastable AND per-key
+    version counts stay shallow — ``max_history`` forwards to the
+    broadcast guard).
     ``allow_exact_matches=False`` returns the PRE-image: the version
     strictly before the event's own position — enriching a change stream
     with what each row looked like JUST BEFORE the change, the CDC
@@ -362,7 +379,8 @@ def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
     out = asof_join(events, h, keys, event_ts, right_ts="_valid_from",
                     right_cols=pay + ["_dim_deleted"], suffix=suffix,
                     broadcast=broadcast,
-                    allow_exact_matches=allow_exact_matches)
+                    allow_exact_matches=allow_exact_matches,
+                    max_history=max_history)
 
     def _name(c: str) -> str:
         return c + suffix if c in events.columns else c

@@ -131,6 +131,37 @@ def test_asof_broadcast_global_key(spark):
     assert np.isnan(got["rate"][2])        # NULL ts never matches
 
 
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_asof_nearest_exact_midpoint_tie_goes_backward(spark, broadcast):
+    """Timestamp axis, left exactly midway between two right versions:
+    the tie must go backward on BOTH plans — distances compare in exact
+    integer microseconds, not double seconds (whose ~1e-7 s rounding at
+    epoch magnitude can flip an exact tie)."""
+    base = 1_700_000_000
+    left = spark.createDataFrame(
+        [(0, 1)], "lid long, k long").withColumn(
+        "ts", F.timestamp_millis(F.lit(base * 1000 + 2000)))
+    right = spark.createDataFrame(
+        [(1, base * 1000 + 1000, 10.0), (1, base * 1000 + 3000, 30.0)],
+        "k long, ms long, rv double").select(
+        "k", F.timestamp_millis("ms").alias("ts"), "rv")
+    got = asof_join(left, right, ["k"], "ts", direction="nearest",
+                    broadcast=broadcast).toPandas()
+    assert got["rv"][0] == 10.0  # backward wins the exact tie
+
+
+def test_asof_broadcast_global_empty_right_keeps_left(spark):
+    """on=[] against an EMPTY global history: every probe row survives
+    with NULL matches (left-outer contract), never silently deleted."""
+    left = pd.DataFrame({"ts": [5.0, 9.0], "lid": [0, 1]})
+    right = pd.DataFrame({"ts": [float("nan")], "rv": [1.0]})  # filtered out
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), [], "ts", broadcast=True)
+           .toPandas().sort_values("lid"))
+    assert len(got) == 2
+    assert got["rv"].isna().all()
+
+
 def test_asof_broadcast_deep_history_guard(spark):
     """Broadcast match cost is O(history) per probe row — a key history
     deeper than max_history must fail loudly (measured 50x slowdown at 42

@@ -141,6 +141,26 @@ def test_temporal_table_join_preimage(spark, t1, registry, tmp_path):
         assert a == b, c
 
 
+def test_temporal_table_join_forwards_max_history(spark, t1, registry,
+                                                  tmp_path):
+    """The broadcast guard knob must be reachable from this API level —
+    max_history=1 trips on any multi-version fixture key, the default
+    does not (regression: the knob used to be unforwardable)."""
+    import pytest
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+    probe = spark.createDataFrame(
+        [(0, "r0", "p0", 10**15)], "pid long, repo string, path string, ts long")
+    with pytest.raises(Exception, match="max_history"):
+        temporal_table_join(spark, probe, eng.table, "ts",
+                            payload=["content"], broadcast=True,
+                            max_history=1).collect()
+    got = temporal_table_join(spark, probe, eng.table, "ts",
+                              payload=["content"], broadcast=True)
+    assert got.count() == 1
+
+
 def test_temporal_table_join_initial_load_floor(spark, t1, registry,
                                                 tmp_path):
     """A probe before every change event (the engine stamps the initial
