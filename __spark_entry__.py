@@ -369,14 +369,18 @@ def q_range_join(spark, sf_dir):
 
 
 def q_temporal_enrich(spark, sf_dir):
-    """Rows-only gate (kept PAST the 50-entry oracle window by design):
-    the full versioned-temporal-join pipeline — engine replay → committed
-    changelog (`read_changes`) → as-of match (`temporal_table_join`,
-    operators/temporal.py) — enriching every valid event with the table
-    state that was current at ITS OWN timestamp. Row count (one per valid
-    event) and schema are what the driver checks here; the value
-    semantics are pytest-gated against an independent pandas
-    point-in-time model (tests/test_temporal_table.py)."""
+    """Versioned-temporal-join gate (full value oracle since round 5): the
+    complete pipeline — engine replay → committed changelog
+    (`read_changes`) → as-of match (`temporal_table_join`,
+    operators/temporal.py; Flink FOR SYSTEM_TIME AS OF semantics) —
+    enriching every valid event with the table state that was current at
+    ITS OWN timestamp. Oracle: the version set DuckDB derives from the
+    same stream (per-epoch LWW winners per key = the committed changelog,
+    collapsed per (key, op_ts) to the max-event_seq version, plus the
+    initial snapshot at op_ts −1) ASOF-joined to the probes; tombstone
+    versions enrich as NULL. Value semantics additionally pytest-gated
+    against an independent pandas point-in-time model
+    (tests/test_temporal_table.py)."""
     from cdc_core_spark.engine import CdcEngine
     from cdc_core_spark.operators import temporal
 
@@ -395,6 +399,134 @@ def q_temporal_enrich(spark, sf_dir):
         F.col("_valid_from_dim").alias("valid_from"), "language",
         F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
         .alias("content_sha"))
+
+
+#: the user_ids whose (repo, path) keys the lineage gate audits — small ints
+#: inside every scale factor's user range; the oracle derives the same keys
+_LINEAGE_USERS = (3, 17, 42)
+
+
+def q_lineage_inspect(spark, sf_dir):
+    """Row/file lineage gate (SnapshotTable.key_history + block_deltas —
+    the per-row and per-file views of the reference's transaction lineage,
+    entity/.../model/BlockTransactionDelta.java:24-30): run the shared
+    engine replay, then
+
+    * ``key_history`` arm — the committed-version audit trail of three
+      fixed keys: one row per commit that touched the key (initial load at
+      op_ts −1/event_seq −1 with NULL epoch, then each epoch's LWW winner
+      — including tombstones, op='D'), payload normalized to the final
+      schema. ``commit_seq`` is the per-key dense rank of the commit
+      version (the raw version ordinal is engine-internal; its ORDER is
+      the oracle-checkable fact).
+    * ``block_deltas`` arm — the file-lifecycle view collapsed to its
+      table-derivable projection: exactly the transactions that committed
+      data appear (NULL for the initial load, else the epoch), and every
+      file is live (op='live' — nothing is marked deleted without a
+      rewrite; no compaction runs in this gate).
+
+    Oracle: the replay CTE restricted to the audited keys, per-epoch
+    winners (not global — the trail is one row per commit) + the initial
+    snapshot, and the distinct committing epochs."""
+    from cdc_core_spark.engine import CdcEngine
+
+    root = _scratch("lineage", sf_dir)
+    eng = CdcEngine(spark, root, _replay_registry(), n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+    _run_replay_epochs(eng, _adapt_events(spark, sf_dir))
+
+    hist = None
+    for u in _LINEAGE_USERS:
+        h = eng.table.key_history(
+            spark, {"repo": f"r{u % 7}", "path": f"p{u}"})
+        hist = h if hist is None else hist.unionByName(h)
+    from pyspark.sql import Window as W
+    hist = hist.select(
+        F.lit("key_history").alias("kind"), "repo", "path",
+        F.dense_rank().over(
+            W.partitionBy("repo", "path").orderBy("version")
+        ).cast("bigint").alias("commit_seq"),
+        "op", F.col("epoch").cast("bigint").alias("epoch"),
+        "op_ts", "event_seq", "language", "size_bytes", "rev",
+        F.sha2("content", 256).alias("content_sha"))
+
+    bd = eng.table.block_deltas()
+    bd_rows = sorted({(d["tnx_epoch"],
+                       "live" if not d["deleted"] else "dead")
+                      for d in bd},
+                     key=lambda t: (t[0] is not None, t[0] or 0, t[1]))
+    bd_df = spark.createDataFrame(
+        [(e, s) for e, s in bd_rows], "epoch bigint, op string").select(
+        F.lit("block_deltas").alias("kind"),
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("bigint").alias("commit_seq"),
+        "op", "epoch",
+        F.lit(None).cast("bigint").alias("op_ts"),
+        F.lit(None).cast("bigint").alias("event_seq"),
+        F.lit(None).cast("string").alias("language"),
+        F.lit(None).cast("bigint").alias("size_bytes"),
+        F.lit(None).cast("bigint").alias("rev"),
+        F.lit(None).cast("string").alias("content_sha"))
+    return hist.unionByName(bd_df)
+
+
+def q_s3_events(spark, sf_dir):
+    """Notification-driven ingest gate (sources/s3_events.py — the S3 sync
+    listener analog, filesystem/.../sync/s3/process/S3EventListener.java):
+    the adapted replay stream (DDL rows included) is laid down as four
+    parquet "objects"; a notification feed of standard AWS S3 event JSON
+    — URL-encoded keys with spaces, plus an s3:TestEvent, an
+    ObjectRemoved event and one corrupt line (dropped via
+    on_malformed='skip') — drives s3_event_ingest: the engine scans
+    EXACTLY the notified objects (no bucket LIST) and applies them as one
+    epoch. LWW replay is batch-insensitive, so the converged state equals
+    the two-epoch replay's and the gate shares _ENGINE_REPLAY_SQL."""
+    import json as _json
+    from cdc_core_spark.engine import CdcEngine
+    from cdc_core_spark.sources.s3_events import s3_event_ingest
+
+    root = _scratch("s3ev", sf_dir)
+    objroot = os.path.join(root, "objects")
+    adapted = _ddl_rows(spark).unionByName(_adapt_events(spark, sf_dir))
+    parts = adapted.withColumn(
+        "_part", F.pmod(F.coalesce(F.col("event_seq"), F.lit(0)), F.lit(4)))
+    keys = []
+    for i in range(4):
+        key = f"in/events part {i}.parquet"   # space → URL-encoding exercised
+        (parts.filter(F.col("_part") == i).drop("_part")
+         .write.mode("overwrite").parquet(os.path.join(objroot, key)))
+        keys.append(key)
+
+    def _note(key, size=0):
+        return _json.dumps({"Records": [{
+            "eventName": "ObjectCreated:Put",
+            "eventTime": "2024-01-01T00:00:00.000Z",
+            "s3": {"bucket": {"name": "gate-bucket"},
+                   "object": {"key": key.replace(" ", "+"),
+                              "size": size}}}]})
+
+    lines = [_note(k) for k in keys]
+    lines.append(_json.dumps({"Event": "s3:TestEvent"}))     # config ping
+    lines.append(_json.dumps({"Records": [{
+        "eventName": "ObjectRemoved:Delete",
+        "s3": {"bucket": {"name": "gate-bucket"},
+               "object": {"key": "in/gone.parquet", "size": 0}}}]}))
+    lines.append("{not json")                                 # corrupt line
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    with open(os.path.join(feed, "batch0.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    eng = CdcEngine(spark, os.path.join(root, "state"), _replay_registry(),
+                    n_buckets=8)
+    eng.initial_load(_replay_initial(spark, sf_dir), schema_version="1.0")
+    s3_event_ingest(eng, feed, os.path.join(root, "ckpt"),
+                    resolver=lambda b, k: os.path.join(objroot, k),
+                    schema=_ADAPTED_DDL, on_malformed="skip")
+    return eng.table.read(spark).select(
+        "repo", "path", "language", "size_bytes", "rev",
+        F.sha2("content", 256).alias("content_sha"))
 
 
 def q_json_extract(spark, sf_dir):
@@ -1387,6 +1519,52 @@ def q_reader_excel(spark, sf_dir):
     return readers.read_excel(spark, out, schema="r_regionkey bigint, r_name string")
 
 
+def q_reader_formats(spark, sf_dir):
+    """Gate consolidation of the three single-format reader-parity
+    roundtrips (fixed-width / XML / Excel — formerly three oracle entries;
+    freed two slots for the temporal_enrich and lineage_inspect gates)
+    under one discriminated union: each format's write + read path stays
+    fully value-checked — (fmt, key, name, num, val) carries every source
+    column of its arm, NULL where a format's table lacks the column."""
+    fw = q_reader_fixed_width(spark, sf_dir).select(
+        F.lit("fixed_width").alias("fmt"),
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("num"),
+        F.lit(None).cast("double").alias("val"))
+    xml = q_reader_xml(spark, sf_dir).select(
+        F.lit("xml").alias("fmt"),
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("num"), F.col("s_acctbal").alias("val"))
+    xl = q_reader_excel(spark, sf_dir).select(
+        F.lit("excel").alias("fmt"),
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name"),
+        F.lit(None).cast("bigint").alias("num"),
+        F.lit(None).cast("double").alias("val"))
+    return fw.unionByName(xml).unionByName(xl)
+
+
+def q_jdbc_roundtrip(spark, sf_dir):
+    """Gate consolidation of the two JDBC parity gates (data roundtrip +
+    schema generation — formerly two oracle entries; freed one slot for
+    the s3_events gate): 'data' rows are the partition-parallel Derby
+    read-back (q_reader_jdbc), 'schema' rows the registry SchemaDef
+    derived from the database's own metadata (q_schema_from_jdbc)."""
+    data = q_reader_jdbc(spark, sf_dir).select(
+        F.lit("data").alias("shape"),
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("n_regionkey").alias("num"),
+        F.lit(None).cast("boolean").alias("b1"),
+        F.lit(None).cast("boolean").alias("b2"))
+    schema = q_schema_from_jdbc(spark, sf_dir).select(
+        F.lit("schema").alias("shape"),
+        F.lit(None).cast("bigint").alias("key"),
+        F.col("col_name").alias("s1"), F.col("col_type").alias("s2"),
+        F.lit(None).cast("bigint").alias("num"),
+        F.col("nullable").alias("b1"), F.col("is_key").alias("b2"))
+    return data.unionByName(schema)
+
+
 def q_reader_jdbc(spark, sf_dir):
     """JDBC reader parity (DbInputReader + QueryBuilder paged cursor analog,
     DbInputReader.java:135): nation → embedded Derby DB → read_jdbc with a
@@ -1746,7 +1924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the fingerprint, PII scrub/count and repetition-ratio columns; windows
     unions the running / tumbling / session window shapes (formerly three
     entries — freed two slots for the temporal-join gates); asof_join
-    unions the backward / tolerance / forward as-of modes."""
+    unions the backward / tolerance / forward as-of modes; reader_formats
+    unions the fixed-width / XML / Excel roundtrips and jdbc_roundtrip the
+    JDBC data + schema-generation parity (freed three slots for the
+    temporal_enrich, lineage_inspect and s3_events gates)."""
     return {
         # CDC core + sinks
         "cdc_lww_latest": q_cdc_lww_checked,
@@ -1763,7 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docstore_upsert": q_docstore_upsert,
         "avro_envelope_roundtrip": q_avro_envelope_roundtrip,
         "journal_roundtrip": q_journal_roundtrip,
-        "schema_from_jdbc": q_schema_from_jdbc,
+        "lineage_inspect": q_lineage_inspect,
+        "s3_events": q_s3_events,
         "windows": q_windows,
         "json_extract": q_json_extract,
         # relational + search
@@ -1774,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "temporal_enrich": q_temporal_enrich,
         "text_search": q_text_search,
         # transforms
         "map_transform": q_map_transform,
@@ -1784,10 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum": q_checksum,
         # format readers + bundle/git sources
         "reader_csv_json": q_reader_csv_json,
-        "reader_fixed_width": q_reader_fixed_width,
-        "reader_xml": q_reader_xml,
-        "reader_jdbc": q_reader_jdbc,
-        "reader_excel": q_reader_excel,
+        "reader_formats": q_reader_formats,
+        "jdbc_roundtrip": q_jdbc_roundtrip,
         "archive_scan": q_archive_scan,
         "git_replay": q_git_replay,
         # training-data ops
@@ -1808,8 +1989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
-        # rows-only by design (value semantics pytest-gated; see q_ docstring)
-        "temporal_enrich": q_temporal_enrich,
     }
 
 
@@ -2126,6 +2305,93 @@ def oracle_sql() -> dict[str, str]:
         "cdc_engine_replay": _ENGINE_REPLAY_SQL,
         "stream_engine_replay": _ENGINE_REPLAY_SQL,
         "cdc_out_chain": _ENGINE_REPLAY_SQL,
+        # one-epoch notification-driven apply converges to the same LWW
+        # state as the two-epoch replay (batch-split insensitivity)
+        "s3_events": _ENGINE_REPLAY_SQL,
+        # per-key committed-version trail: per-EPOCH winners (the committed
+        # changelog) + the initial snapshot for the audited keys; the
+        # block_deltas arm is the lifecycle view's table-derivable
+        # projection (exactly the committing transactions, all files live)
+        "lineage_inspect": _REPLAY_CTE + """
+            , keysel AS (
+                SELECT 'r' || CAST(u % 7 AS VARCHAR) AS repo,
+                       'p' || CAST(u AS VARCHAR) AS path
+                FROM (VALUES (3), (17), (42)) AS ks(u)),
+            ew AS (
+                SELECT v.*, v.event_seq % 2 AS epoch,
+                       row_number() OVER (
+                           PARTITION BY v.repo, v.path, v.event_seq % 2
+                           ORDER BY v.op_ts DESC, v.event_seq DESC) AS ern
+                FROM ev v JOIN keysel USING (repo, path)
+                WHERE NOT v.malformed),
+            trail AS (
+                SELECT repo, path, CAST(epoch AS BIGINT) AS epoch,
+                       CASE WHEN op = 5 THEN 'D' ELSE 'U' END AS op,
+                       op_ts, event_seq, lang AS language,
+                       CAST(CASE WHEN op <> 5 AND event_seq % 2 = 1
+                                 THEN length(content) END AS BIGINT)
+                           AS size_bytes,
+                       rev, sha256(content) AS content_sha
+                FROM ew WHERE ern = 1
+                UNION ALL
+                SELECT i.repo, i.path, CAST(NULL AS BIGINT), 'U',
+                       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), i.lang,
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                       sha256(i.content)
+                FROM init i JOIN keysel USING (repo, path))
+            SELECT 'key_history' AS kind, repo, path,
+                   CAST(row_number() OVER (PARTITION BY repo, path
+                                           ORDER BY epoch NULLS FIRST)
+                        AS BIGINT) AS commit_seq,
+                   op, epoch, op_ts, event_seq, language, size_bytes, rev,
+                   content_sha
+            FROM trail
+            UNION ALL
+            SELECT 'block_deltas', NULL, NULL, CAST(NULL AS BIGINT), 'live',
+                   e, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+            FROM (SELECT DISTINCT CAST(event_seq % 2 AS BIGINT) AS e
+                  FROM ev WHERE NOT malformed
+                  UNION SELECT CAST(NULL AS BIGINT)) epochs
+        """,
+        # versioned join: version set = per-epoch winners collapsed per
+        # (key, op_ts) to the max-event_seq version + initial snapshot at
+        # op_ts -1; native ASOF join attaches the state current at each
+        # probe's own timestamp, tombstones enrich as NULL
+        "temporal_enrich": _REPLAY_CTE + """
+            , ew AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY repo, path, event_seq % 2
+                           ORDER BY op_ts DESC, event_seq DESC) AS ern
+                FROM ev WHERE NOT malformed),
+            chg AS (SELECT repo, path, op, lang, content, op_ts, event_seq
+                    FROM ew WHERE ern = 1),
+            vv AS (
+                SELECT repo, path, op_ts AS valid_from, lang, content,
+                       op = 5 AS tomb,
+                       row_number() OVER (PARTITION BY repo, path, op_ts
+                                          ORDER BY event_seq DESC) AS vrn
+                FROM chg),
+            vers AS (
+                SELECT repo, path, valid_from, lang, content, tomb
+                FROM vv WHERE vrn = 1
+                UNION ALL
+                SELECT repo, path, CAST(-1 AS BIGINT), lang, content, FALSE
+                FROM init),
+            probes AS (SELECT repo, path, op_ts AS ts, event_seq
+                       FROM ev WHERE NOT malformed)
+            SELECT p.repo, p.path, p.ts, p.event_seq,
+                   CASE WHEN v.tomb THEN NULL ELSE v.valid_from END
+                       AS valid_from,
+                   CASE WHEN v.tomb THEN NULL ELSE v.lang END AS language,
+                   sha256(coalesce(CASE WHEN v.tomb THEN NULL
+                                        ELSE v.content END, ''))
+                       AS content_sha
+            FROM probes p ASOF LEFT JOIN vers v
+              ON p.repo = v.repo AND p.path = v.path
+             AND p.ts >= v.valid_from
+        """,
         # direct GROUP BY over the replay winner set — the incremental
         # refreshes must land on exactly this state (DuckDB sum(bigint) is
         # hugeint; cast back so the schema row matches Spark's long)
@@ -2205,8 +2471,15 @@ def oracle_sql() -> dict[str, str]:
               AND strftime(ts, '%Y%m%d%H') BETWEEN '2024010300' AND '2024010523'
             GROUP BY 1
         """,
-        "schema_from_jdbc": """
-            SELECT * FROM (VALUES
+        "jdbc_roundtrip": """
+            SELECT 'data' AS shape, n_nationkey AS key, n_name AS s1,
+                   CAST(NULL AS VARCHAR) AS s2, n_regionkey AS num,
+                   CAST(NULL AS BOOLEAN) AS b1, CAST(NULL AS BOOLEAN) AS b2
+            FROM nation
+            UNION ALL
+            SELECT 'schema', CAST(NULL AS BIGINT), col_name, col_type,
+                   CAST(NULL AS BIGINT), "nullable", is_key
+            FROM (VALUES
                 ('n_nationkey', 'int',    false, true),
                 ('n_name',      'string', true,  false),
                 ('n_regionkey', 'int',    true,  false)
@@ -2344,18 +2617,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'json', p_partkey, p_name, p_brand, p_type, p_size,
                    round(p_retailprice, 2) FROM part
         """,
-        "reader_fixed_width": """
-            SELECT n_nationkey, n_name, n_regionkey FROM nation
-        """,
-        "reader_xml": """
-            SELECT s_suppkey, s_name, s_nationkey,
-                   round(s_acctbal, 2) AS s_acctbal FROM supplier
-        """,
-        "reader_jdbc": """
-            SELECT n_nationkey, n_name, n_regionkey FROM nation
-        """,
-        "reader_excel": """
-            SELECT r_regionkey, r_name FROM region
+        "reader_formats": """
+            SELECT 'fixed_width' AS fmt, n_nationkey AS key, n_name AS name,
+                   n_regionkey AS num, CAST(NULL AS DOUBLE) AS val FROM nation
+            UNION ALL
+            SELECT 'xml', s_suppkey, s_name, s_nationkey,
+                   round(s_acctbal, 2) FROM supplier
+            UNION ALL
+            SELECT 'excel', r_regionkey, r_name, CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE) FROM region
         """,
         "dedup_exact": f"""
             SELECT sha256({_NORM}) AS text_hash, min(doc_id) AS canonical_id,

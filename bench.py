@@ -103,6 +103,11 @@ def bench_replay(spark, fxdir: str, runs: int = 3,
     for i in range(-1 if warmup else 0, runs):
         root = os.path.join(CACHE, f"engine_run_{os.getpid()}_{i}")
         shutil.rmtree(root, ignore_errors=True)
+        # flush the PREVIOUS run's dirty pages (written state + rmtree
+        # metadata) before starting the clock: r4's first timed run paid
+        # 2-3x for the warmup's deferred writeback landing mid-replay
+        # (BENCH_r04 runs_sec [79.8, 37.0, 23.7] despite the warmup)
+        os.sync()
         eng = CdcEngine(spark, root, reg, n_buckets=32)
         t0 = time.monotonic()
         eng.replay(events_path, source_df=src)
@@ -164,7 +169,7 @@ def main() -> None:
     # 18.2–26.5s same-build) — round-over-round deltas drowned in noise —
     # while the scale fixture has been stable across rounds (502.9k→506.9k
     # ev/s r2→r3). Per-query walls keep the sf fixture for comparability.
-    scale_replay = bench_replay(spark, ensure_fixture("scale"), runs=3,
+    scale_replay = bench_replay(spark, ensure_fixture("scale"), runs=5,
                                 warmup=True)
 
     for name, fn_name in HEADLINE_QUERIES:
@@ -198,7 +203,9 @@ def main() -> None:
                       "(codegen/Arrow warmup excluded)"
                    for q in sorted(MEDIAN_OF_3)},
                 "scale_replay": "one untimed warmup replay (cold page "
-                                "cache), then median of 3",
+                                "cache), then median of 5; os.sync() "
+                                "between runs keeps deferred writeback "
+                                "out of the timed region",
                 "text_stats": "consolidated gate since r4 (adds "
                               "fingerprint + PII scrub/count + repetition "
                               "ratio columns) — not wall-comparable to "

@@ -979,9 +979,10 @@ class CdcEngine:
         self.table.commit_merge(df, todo, epoch=None, manifests=[],
                                 maintenance=True, base=snap)
 
-    def compact(self, n_buckets: int | None = None,
+    def compact(self, n_buckets: int | str | None = None,
                 min_delta_files: int | None = None,
-                min_delta_bytes: int | None = None) -> None:
+                min_delta_bytes: int | None = None,
+                target_rows_per_bucket: int = 1_000_000) -> None:
         """Rewrite buckets into one base file set under the current schema —
         bounds small-file count and delta-fold depth, and re-materializes
         alias/widen normalization (the Iceberg rewrite_data_files analog).
@@ -1005,8 +1006,32 @@ class CdcEngine:
         (old bucket ids are meaningless under the new hash), so it ignores
         ``min_delta_files``. Results are invariant: bucketing is pure key
         hashing, and subsequent engine instances pick the new count up from
-        the snapshot (_sync_buckets)."""
+        the snapshot (_sync_buckets).
+
+        ``n_buckets="auto"`` sizes the new count from the table's
+        STATISTICS instead of a scan (the stats earning their keep as a
+        planner input): live-key count = the stored stats doc's row count
+        (the merged state is keyed, so rows == keys), divided by
+        ``target_rows_per_bucket`` and snapped to a power of two (so
+        successive auto re-buckets halve/double instead of thrashing
+        between near-equal counts). Requires a prior
+        ``table_stats.analyze``/``refresh`` (raises FileNotFoundError
+        otherwise — run one, or pass an explicit count); a stats doc a few
+        epochs stale is fine, bucket sizing needs the magnitude, not the
+        exact count."""
         self._sync_buckets()
+        if n_buckets == "auto":
+            from cdc_core_spark import table_stats as _ts
+            doc = _ts.latest_stats_doc(self.table)
+            if doc is None:
+                raise FileNotFoundError(
+                    "compact(n_buckets='auto') needs a statistics doc — "
+                    "run table_stats.analyze()/refresh() first, or pass "
+                    "an explicit bucket count")
+            rows = sum(b["rows"] for b in doc["buckets"].values())
+            n_buckets = max(1, 1 << max(
+                0, (max(1, (rows + target_rows_per_bucket - 1)
+                       // target_rows_per_bucket) - 1).bit_length()))
         nb = n_buckets or self.n_buckets
         self.table.compact(self.spark, n_buckets=n_buckets,
                            min_delta_files=min_delta_files,

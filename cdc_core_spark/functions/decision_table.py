@@ -118,8 +118,16 @@ def apply_decision_table_fixpoint(df: DataFrame, rules: list[DecisionRule],
     shuffle the full table once per pass. Raises RuntimeError if
     ``max_passes`` passes don't converge — silent partial state is worse
     than failing loudly. ``fired_col`` reflects the LAST pass only (at
-    quiescence that is the stable activation set)."""
-    def _crc(d: DataFrame) -> int:
+    quiescence that is the stable activation set).
+
+    Cost per pass is ONE full-data job: the checksum rides the
+    checkpoint's materialization as an ``Observation`` aggregate instead
+    of a second scan (only the pass-0 baseline over the INPUT frame is a
+    standalone aggregate job — there is no materialization to ride
+    there)."""
+    from pyspark.sql import Observation
+
+    def _crc_expr(d: DataFrame):
         # hash the frame's CURRENT columns, not the input's: rules may write
         # rule-created columns, and a checksum blind to them would declare
         # quiescence while that state keeps changing (a pass that only adds
@@ -130,15 +138,17 @@ def apply_decision_table_fixpoint(df: DataFrame, rules: list[DecisionRule],
         # it would make the very first pass always register as a change,
         # failing max_passes=1 rulesets that are genuinely quiescent
         cols = sorted(c for c in d.columns if c != fired_col)
-        row = d.select(F.sum(F.xxhash64(*[F.col(c) for c in cols])
-                             .cast("decimal(20,0)")).alias("h")).collect()[0]
-        return int(row["h"]) if row["h"] is not None else 0
+        return F.sum(F.xxhash64(*[F.col(c) for c in cols])
+                     .cast("decimal(20,0)")).alias("h")
 
-    prev = _crc(df)
-    for _ in range(max_passes):
+    base = df.select(_crc_expr(df)).collect()[0]["h"]
+    prev = int(base) if base is not None else 0
+    for i in range(max_passes):
         df = apply_decision_table(df, rules, fired_col=fired_col)
-        df = df.localCheckpoint(eager=True)
-        cur = _crc(df)
+        obs = Observation(f"dt_fixpoint_{i}")
+        df = df.observe(obs, _crc_expr(df)).localCheckpoint(eager=True)
+        h = obs.get["h"]
+        cur = int(h) if h is not None else 0
         if cur == prev:
             return df
         prev = cur

@@ -550,15 +550,22 @@ class SnapshotTable:
         # the original attribution, matching block_deltas)
         seen: set[str] = set()
         groups: dict[tuple, list[str]] = {}
-        for p in self._snapshot_paths():
+        snap_paths = self._snapshot_paths()
+        for i, p in enumerate(snap_paths):
             s = self._load_snapshot(p)
             b = _bucket_for(s.n_buckets)
+            # the OLDEST retained snapshot's first-seen files are originals
+            # even when that snapshot is a maintenance commit (expire can
+            # leave a compaction as the chain head): they are the only
+            # carrier of the key's surviving pre-expiry versions — skipping
+            # them as "rewrites" would silently drop history, violating the
+            # documented attribute-to-oldest rule (same as block_deltas)
+            skip_maint = s.maintenance and not include_rewrites and i > 0
             for f in s.files:
                 if f["path"] in seen:
                     continue
                 seen.add(f["path"])
-                if f["bucket"] != b or (s.maintenance
-                                        and not include_rewrites):
+                if f["bucket"] != b or skip_maint:
                     continue
                 abs_path = os.path.join(self.root, f["path"])
                 if not os.path.exists(abs_path):

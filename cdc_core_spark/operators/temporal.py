@@ -71,6 +71,20 @@ def _exact_pos(col, dtype: str):
     return col.cast("double")
 
 
+def _tol_pred(lcol, l_dt: str, mcol, r_dt: str, tolerance):
+    """Tolerance test at the SAME precision as nearest-direction distances:
+    exact integer microseconds when both axes are timestamps (double
+    epoch-seconds carry ~1e-7 s rounding per operand — enough to flip a
+    match sitting exactly AT the tolerance boundary vs an exact oracle),
+    double column units otherwise (mixed ts/numeric axes keep the
+    seconds rule, the only unit both sides share)."""
+    if l_dt.startswith("timestamp") and r_dt.startswith("timestamp"):
+        dist = F.abs(_exact_pos(lcol, l_dt) - _exact_pos(mcol, r_dt))
+        return dist <= F.lit(int(round(float(tolerance) * 1e6)))
+    dist = F.abs(_sec_col(lcol, l_dt) - _sec_col(mcol, r_dt))
+    return dist <= F.lit(float(tolerance))
+
+
 def _no_position(col, dtype: str):
     """True when a ts value has no position on the axis: NULL always; NaN
     for float axes (Spark's total order sorts NaN above every double and
@@ -92,11 +106,42 @@ def _check_out_names(left_cols, out_names, suffix: str) -> None:
             "an already-enriched frame against the same right table)")
 
 
+#: auto-plan thresholds (asof_join(broadcast="auto")): the broadcast plan
+#: is chosen only for a right side that is both SMALL (fits a broadcast
+#: comfortably) and SHALLOW (the per-probe-row linear array scan stays
+#: cheap — TEMPORAL_PROBE.json measured ~50x slower than the window plan
+#: at 42 versions/key, at par at 1/key); anything else gets the
+#: one-shuffle window plan, which is never catastrophically wrong
+_AUTO_BROADCAST_MAX_ROWS = 1_000_000
+_AUTO_BROADCAST_MAX_DEPTH = 16
+
+
+def choose_asof_plan(right: DataFrame, keys: Sequence[str]) -> bool:
+    """Probe-based plan pick for ``asof_join(broadcast="auto")`` — the same
+    pattern as ``lww.choose_lww_salt``: measure the cheap thing, decide,
+    let the caller override. Returns True for the broadcast plan.
+
+    Cost: the size gate is a ``limit(N+1).count()`` — Spark stops scanning
+    at N+1 rows, so a 10^10-row right side pays O(threshold), not a full
+    scan; only a right side that passed the size gate (≤1M rows) pays the
+    per-key depth aggregation."""
+    n = right.limit(_AUTO_BROADCAST_MAX_ROWS + 1).count()
+    if n > _AUTO_BROADCAST_MAX_ROWS:
+        return False
+    if not keys:
+        # global as-of: the window plan cannot run it (one-task sort);
+        # small histories broadcast, oversized ones must be refused loudly
+        return True
+    depth = (right.groupBy(*keys).count()
+             .agg(F.max("count").alias("d")).first()["d"])
+    return depth is not None and int(depth) <= _AUTO_BROADCAST_MAX_DEPTH
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str | None = None, *,
               direction: str = "backward", tolerance: float | None = None,
               right_cols: Sequence[str] | None = None,
-              suffix: str = "_asof", broadcast: bool = False,
+              suffix: str = "_asof", broadcast: bool | str = "auto",
               allow_exact_matches: bool = True,
               max_history: int = 64) -> DataFrame:
     """For every left row, attach the single right row with the greatest
@@ -143,7 +188,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     (key, ts) ties resolve deterministically by payload order rather than
     arbitrarily. Results are otherwise identical — equivalence is
     property-tested.
+
+    The default ``broadcast="auto"`` picks the plan from a cheap probe
+    (``choose_asof_plan``: limit-bounded size gate, then per-key depth) —
+    the 50x-misuse broadcast shape (deep histories) is unreachable
+    without an explicit ``broadcast=True`` opt-in, and small shallow
+    dimensions get the no-probe-shuffle plan without the caller having to
+    know. Pass ``broadcast=False``/``True`` to skip the probe jobs and
+    force a plan (e.g. inside loops where the dimension shape is known).
     """
+    if broadcast == "auto":
+        broadcast = choose_asof_plan(right, list(on))
     if broadcast:
         return _asof_join_broadcast(left, right, on, left_ts, right_ts,
                                     direction=direction, tolerance=tolerance,
@@ -208,11 +263,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
            .filter(F.col("_side") == 1)
            .select("_row", "_m"))
     if tolerance is not None:
-        lsec = _sec_col(F.col("_row").getField(left_ts),
-                        dict(left.dtypes)[left_ts])
-        msec = _sec_col(F.col("_m").getField("_mts"), r_dt)
         out = out.withColumn(
-            "_m", F.when(F.abs(lsec - msec) <= F.lit(float(tolerance)),
+            "_m", F.when(_tol_pred(F.col("_row").getField(left_ts), l_dt,
+                                   F.col("_m").getField("_mts"), r_dt,
+                                   tolerance),
                          F.col("_m")))
 
     def _out_name(c: str) -> str:
@@ -281,13 +335,16 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     joined = (l2.join(h2, F.lit(True), "left") if cond is None
               else l2.join(h2, cond, "left"))
 
+    # qualified _arr: a left frame legitimately carrying its own _arr
+    # column must not make these references ambiguous
+    arr = F.col("_aj_h._arr")
     lts = F.col(f"_aj_l.{left_ts}")
     if allow_exact_matches:
-        back_c = F.filter(F.col("_arr"), lambda x: x["_mts"] <= lts)
-        fwd_c = F.filter(F.col("_arr"), lambda x: x["_mts"] >= lts)
+        back_c = F.filter(arr, lambda x: x["_mts"] <= lts)
+        fwd_c = F.filter(arr, lambda x: x["_mts"] >= lts)
     else:
-        back_c = F.filter(F.col("_arr"), lambda x: x["_mts"] < lts)
-        fwd_c = F.filter(F.col("_arr"), lambda x: x["_mts"] > lts)
+        back_c = F.filter(arr, lambda x: x["_mts"] < lts)
+        fwd_c = F.filter(arr, lambda x: x["_mts"] > lts)
     back_p, fwd_p = F.element_at(back_c, -1), F.element_at(fwd_c, 1)
     if direction == "backward":
         cands, pick = back_c, back_p
@@ -306,24 +363,31 @@ def _asof_join_broadcast(left: DataFrame, right: DataFrame,
     # greater-than-everything and match — same guard as the window path
     m = F.when((F.size(cands) > 0) & ~_no_position(lts, l_dt), pick)
     if tolerance is not None:
-        diff = F.abs(_sec_col(lts, l_dt) - _sec_col(m.getField("_mts"), r_dt))
-        m = F.when(diff <= F.lit(float(tolerance)), m)
+        m = F.when(_tol_pred(lts, l_dt, m.getField("_mts"), r_dt,
+                             tolerance), m)
 
     def _out_name(c: str) -> str:
         return c + suffix if c in left.columns else c
 
     out_names = [rts + suffix] + [_out_name(c) for c in payload]
     _check_out_names(left.columns, out_names, suffix)
-    out = joined.withColumn("_m", m)
+    # collision-checked working column: withColumn("_m") on a left frame
+    # that already has _m would silently REPLACE it (unlike output-name
+    # collisions, which _check_out_names rejects loudly)
+    mcol = "_m"
+    while mcol in left.columns:
+        mcol += "_"
+    out = joined.withColumn(mcol, m)
     cols = [F.col(f"_aj_l.{c}").alias(c) for c in left.columns]
-    cols.append(F.col("_m").getField("_mts").alias(rts + suffix))
-    cols += [F.col("_m").getField(c).alias(_out_name(c)) for c in payload]
+    cols.append(F.col(mcol).getField("_mts").alias(rts + suffix))
+    cols += [F.col(mcol).getField(c).alias(_out_name(c)) for c in payload]
     return out.select(*cols)
 
 
 def temporal_table_join(spark, events: DataFrame, table, event_ts: str, *,
                         payload: Sequence[str] | None = None,
-                        suffix: str = "_dim", broadcast: bool = False,
+                        suffix: str = "_dim",
+                        broadcast: bool | str = False,
                         from_version: int = 0,
                         allow_exact_matches: bool = True,
                         max_history: int = 64) -> DataFrame:

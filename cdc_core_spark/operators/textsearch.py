@@ -137,12 +137,16 @@ def search_documents(df: DataFrame, id_col: str, text_col: str,
                      terms: list[str], mode: str = "any",
                      limit: int | None = None,
                      scoring: str = "tf") -> DataFrame:
-    """One-shot convenience: build the index in-plan and query it (for ad-hoc
-    search; repeated queries should persist ``build_text_index`` output).
-    For ``scoring="tfidf"`` this is the ONE place a corpus
-    ``countDistinct(doc)`` job is implied — acceptable for ad-hoc use
-    because the caller is already paying a full index build in the same
-    query; every other tfidf path must supply ``n_docs`` from metadata."""
+    """AD-HOC one-shot search ONLY — bulk / repeated querying belongs on
+    the stored-index path (``write_text_index`` + ``read_text_index`` +
+    ``search_text``), which tokenizes the corpus once and carries
+    ``n_docs`` in its sidecar so no query ever re-counts the corpus.
+
+    This convenience builds the index in-plan and queries it. For
+    ``scoring="tfidf"`` it is the ONE place a corpus
+    ``countDistinct(doc)`` job is implied — acceptable here because the
+    caller is already paying a full index build in the same query; every
+    other tfidf path must supply ``n_docs`` from metadata."""
     index = build_text_index(df, id_col, text_col)
     n_docs = None
     if scoring == "tfidf":

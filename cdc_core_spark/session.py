@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.hadoop.parquet.compression.codec.zstd.level",
                 os.environ.get("CDC_PARQUET_ZSTD_LEVEL", "1"))
         .config("spark.driver.memory", os.environ.get("CDC_DRIVER_MEM", "24g"))
+        # MOR fold reads open many explicit file paths per snapshot; above
+        # this threshold Spark launches a whole JOB just to LIST them —
+        # measured 0.16-0.35s + scheduling per listing on the replay path
+        # (round-5 event-log decomposition), pure serial overhead on a
+        # local/posix store where driver-side threaded listing is
+        # microseconds. 4096 matches the manifest-list sidecar cutoff; on
+        # an object store tune back down if driver listing ever dominates.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "4096")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -182,6 +182,16 @@ def analyze(spark: SparkSession, table: SnapshotTable,
             columns: Sequence[str] | None = None, lg_k: int = 12) -> dict:
     """Full statistics pass: per-bucket HLL/null/min/max/rows over every
     bucket of the current snapshot. Returns the published stats doc."""
+    return _publish(table, _analyze_doc(spark, table, columns, lg_k))
+
+
+def _analyze_doc(spark: SparkSession, table: SnapshotTable,
+                 columns: Sequence[str] | None = None,
+                 lg_k: int = 12) -> dict:
+    """Build (but do not publish) a full-analyze doc — split out so
+    refresh()'s expired-snapshot fallback can annotate the doc
+    (refreshed_buckets / dropped_columns) BEFORE the single publish,
+    keeping the on-disk sidecar identical to the returned dict."""
     snap = table.latest()
     all_cols = {f["name"]: f["type"] for f in snap.fields}
     if columns is None:
@@ -206,7 +216,7 @@ def analyze(spark: SparkSession, table: SnapshotTable,
         "explicit_columns": columns is not None,
         "buckets": _compute_buckets(spark, table, snap, cols, buckets, lg_k),
     }
-    return _publish(table, doc)
+    return doc
 
 
 def _remap_name(name: str, aliases: dict) -> str:
@@ -277,11 +287,14 @@ def refresh(spark: SparkSession, table: SnapshotTable) -> dict:
     try:
         old_snap = table.snapshot(prev["table_version"])
     except FileNotFoundError:  # analyzed snapshot expired — no diff base
-        doc = analyze(spark, table,
-                      columns=(cols if prev.get("explicit_columns") else None),
-                      lg_k=prev["lg_k"])
+        doc = _analyze_doc(
+            spark, table,
+            columns=(cols if prev.get("explicit_columns") else None),
+            lg_k=prev["lg_k"])
         doc["refreshed_buckets"] = sorted(int(b) for b in doc["buckets"])
-        return doc
+        if dropped:
+            doc["dropped_columns"] = dropped
+        return _publish(table, doc)
     old_files, new_files = _bucket_files(old_snap), _bucket_files(snap)
     # buckets only in the OLD snapshot (e.g. a re-bucket compact changed the
     # numbering) simply drop out; recompute only changed buckets that exist now

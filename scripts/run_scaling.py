@@ -68,6 +68,9 @@ def submit_argv(cores: int, fixture: str, pyz: str, state: str,
         # scan on one task. 8m ≈ one row group per split at bench scale.
         "--conf", "spark.sql.files.maxPartitionBytes=8m",
         "--conf", "spark.sql.files.openCostInBytes=1m",
+        # keep ≤4096-path listings driver-side (no listing JOB): measured
+        # 0.16-0.35s/listing of pure serial overhead per replay otherwise
+        "--conf", "spark.sql.sources.parallelPartitionDiscovery.threshold=4096",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",

@@ -142,3 +142,32 @@ def test_key_history_missing_key_and_null_key(spark, t1, registry, tmp_path):
         spark, {"repo": "no-such", "path": "nope"}).count() == 0
     with pytest.raises(ValueError, match="non-null"):
         eng.table.key_history(spark, {"repo": "r1", "path": None})
+
+
+def test_key_history_oldest_retained_is_maintenance(spark, t1, registry,
+                                                    tmp_path):
+    """After expire_snapshots leaves a COMPACTION as the oldest retained
+    snapshot, its first-seen files are originals — the only carrier of the
+    key's surviving versions — and must appear under the default
+    include_rewrites=False view (attribute-to-oldest rule, same as
+    block_deltas); skipping them as rewrites would silently return an
+    empty audit trail (ADVICE r4)."""
+    eng = CdcEngine(spark, str(tmp_path / "e"), registry, n_buckets=8)
+    src = spark.read.parquet(f'{t1["dir"]}/source_repos.parquet')
+    eng.replay(f'{t1["dir"]}/change_events', source_df=src)
+
+    ev = _valid_events(t1["fx"])
+    last = (ev.sort_values(["op_ts", "event_seq"], kind="stable")
+            .groupby(["repo", "path"]).tail(1))
+    alive = last[last["op"] != OP_DELETE].iloc[0]
+    key = {"repo": alive["repo"], "path": alive["path"]}
+
+    eng.compact()
+    eng.table.expire_snapshots(keep_last=1)   # head == the compaction
+    hist = eng.table.key_history(spark, key).toPandas()
+    assert len(hist) == 1, hist               # the surviving version
+    cur = (eng.table.read(spark)
+           .filter((F.col("repo") == key["repo"])
+                   & (F.col("path") == key["path"])).toPandas())
+    assert hist["content"].tolist() == cur["content"].tolist()
+    assert hist["op"].tolist() == ["U"]

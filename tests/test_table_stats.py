@@ -207,3 +207,47 @@ def test_stats_without_analyze_raises(spark, t1, registry, tmp_path):
     eng = _replayed(spark, t1, registry, tmp_path, epochs=[0])
     with pytest.raises(FileNotFoundError, match="no statistics"):
         table_stats.stats(spark, eng.table)
+
+
+def test_refresh_expired_fallback_publishes_annotated_doc(spark, t1,
+                                                          registry,
+                                                          tmp_path):
+    """The expired-snapshot fallback must publish ONE doc that already
+    carries refreshed_buckets — the on-disk sidecar and the returned dict
+    are the same object (ADVICE r4: the old path published via analyze()
+    and annotated only the in-memory copy)."""
+    eng = _replayed(spark, t1, registry, tmp_path)
+    table_stats.analyze(spark, eng.table)
+    eng.compact()                              # new version
+    eng.table.expire_snapshots(keep_last=1)    # drop the analyzed snapshot
+    doc = table_stats.refresh(spark, eng.table)
+    assert doc["refreshed_buckets"] == sorted(int(b) for b in doc["buckets"])
+    stored = table_stats.latest_stats_doc(eng.table)
+    assert stored["stats_version"] == doc["stats_version"]
+    assert stored.get("refreshed_buckets") == doc["refreshed_buckets"]
+
+
+def test_compact_auto_buckets_from_stats(spark, t1, registry, tmp_path):
+    """compact(n_buckets="auto") sizes the re-bucket from the stats doc's
+    row count (no scan): ceil(rows/target) snapped UP to a power of two;
+    state is invariant under re-bucketing; without a stats doc it raises
+    with guidance."""
+    eng = _replayed(spark, t1, registry, tmp_path)
+    with pytest.raises(FileNotFoundError, match="analyze"):
+        eng.compact(n_buckets="auto")
+    doc = table_stats.analyze(spark, eng.table)
+    rows = sum(b["rows"] for b in doc["buckets"].values())
+    def _canon(d):
+        pdf = d.toPandas()
+        return (pdf.sort_values(list(pdf.columns))
+                .reset_index(drop=True))
+
+    before = _canon(eng.table.read(spark))
+
+    target = max(1, rows // 3)           # force a multi-bucket count
+    eng.compact(n_buckets="auto", target_rows_per_bucket=target)
+    k = (rows + target - 1) // target
+    want = 1 << max(0, (k - 1).bit_length())
+    assert eng.table.latest().n_buckets == want == eng.n_buckets
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, _canon(eng.table.read(spark)))

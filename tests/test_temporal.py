@@ -97,9 +97,16 @@ def test_asof_null_ts_and_collision_suffix(spark):
     assert got["rv"].tolist() == [7.0, 8.0]          # left col untouched
     assert got["rv_asof"][0] == 1.5                   # matched
     assert np.isnan(got["rv_asof"][1])                # NULL ts -> no match
+    # the WINDOW plan refuses a global as-of (one-task sort); broadcast=False
+    # pins that contract — the "auto" default instead routes a small global
+    # history onto the broadcast plan (covered below)
     with pytest.raises(ValueError, match="at least one key"):
         asof_join(spark.createDataFrame(left),
-                  spark.createDataFrame(right), [], "ts")
+                  spark.createDataFrame(right), [], "ts", broadcast=False)
+    auto_global = (asof_join(spark.createDataFrame(left),
+                             spark.createDataFrame(right), [], "ts")
+                   .toPandas().sort_values("lid").reset_index(drop=True))
+    assert auto_global["rv_asof"][0] == 1.5
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
@@ -342,10 +349,12 @@ def test_range_join_oversized_interval_raises(spark):
 def test_asof_plan_single_exchange_no_join(spark):
     """The as-of plan is union -> ONE exchange -> sort -> window: no join
     operator of any kind, no second shuffle. This is the property that
-    survives a 100x scale-up."""
+    survives a 100x scale-up. (broadcast=False pins the window plan — the
+    "auto" default would route this tiny shallow fixture to broadcast.)"""
     left, right = _rand_frames(3)
     plan = (asof_join(spark.createDataFrame(left),
-                      spark.createDataFrame(right), ["k"], "ts")
+                      spark.createDataFrame(right), ["k"], "ts",
+                      broadcast=False)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
@@ -388,3 +397,73 @@ def test_asof_timestamp_columns(spark):
     tol = asof_join(ev, dim, ["k"], "ts", tolerance=120.0) \
         .orderBy("lid").toPandas()
     assert tol["state"].tolist() == ["v0", None, None, "v1", None, None]
+
+
+def test_asof_auto_plan_choice(spark):
+    """broadcast="auto" (the default) picks broadcast ONLY for a small AND
+    shallow right side: deep per-key histories get the window plan, so the
+    measured 50x-misuse shape (TEMPORAL_PROBE.json) is unreachable without
+    an explicit broadcast=True opt-in."""
+    from cdc_core_spark.operators.temporal import choose_asof_plan
+
+    shallow = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2, 3], "ts": [1.0, 2.0, 3.0], "rv": [1.0, 2.0, 3.0]}))
+    deep = spark.createDataFrame(pd.DataFrame(
+        {"k": np.zeros(40, dtype="int64"),
+         "ts": np.arange(40, dtype="float64"),
+         "rv": np.arange(40, dtype="float64")}))
+    assert choose_asof_plan(shallow, ["k"]) is True
+    assert choose_asof_plan(deep, ["k"]) is False
+
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "ts": [5.0, 5.0], "lid": [0, 1]}))
+    # auto → broadcast: BroadcastHashJoin, no Window over the probes
+    p1 = (asof_join(left, shallow, ["k"], "ts")
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in p1 and "Window" not in p1, p1
+    # auto → window: deep history must NOT hit the broadcast guard
+    left0 = spark.createDataFrame(pd.DataFrame(
+        {"k": [0], "ts": [39.0], "lid": [0]}))
+    got = asof_join(left0, deep, ["k"], "ts").toPandas()
+    assert got["rv"][0] == 39.0
+
+
+def test_asof_tolerance_boundary_exact_micros(spark):
+    """A match sitting EXACTLY at the tolerance boundary on a timestamp
+    axis must survive: the tolerance distance is computed in exact integer
+    microseconds (like nearest-direction distances), not double
+    epoch-seconds whose ~1e-7 s per-operand rounding can flip the
+    comparison (ADVICE r4). 86400.0 s at epoch magnitude is exactly the
+    case the oracle's epoch_us arithmetic checks."""
+    base = 1_700_000_000
+    ev = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "lid": [0, 1]})) \
+        .select("k", "lid",
+                F.timestamp_seconds(F.lit(base) + F.col("lid") * 0)
+                .alias("ts"))
+    dim = spark.createDataFrame(pd.DataFrame({"k": [1]})) \
+        .select("k", F.timestamp_seconds(F.lit(base - 86400)).alias("ts"),
+                F.lit(7.0).alias("rv"))
+    for bc in (False, True):
+        got = asof_join(ev, dim, ["k"], "ts", tolerance=86400.0,
+                        broadcast=bc).orderBy("lid").toPandas()
+        assert got["rv"].tolist() == [7.0, 7.0], (bc, got)
+        # one microsecond past the boundary must NOT match
+        got2 = asof_join(ev, dim, ["k"], "ts", tolerance=86400.0 - 1e-6,
+                         broadcast=bc).orderBy("lid").toPandas()
+        assert np.isnan(got2["rv"]).all(), (bc, got2)
+
+
+def test_asof_broadcast_internal_name_collision(spark):
+    """A left frame that already carries _arr / _m columns must not break
+    the broadcast path (internal refs are alias-qualified; the working
+    column is collision-checked) — ADVICE r4."""
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1], "ts": [10.0, 3.0], "lid": [0, 1],
+         "_arr": ["x", "y"], "_m": [1, 2]}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [5.0], "rv": [1.5]}))
+    got = (asof_join(left, right, ["k"], "ts", broadcast=True)
+           .orderBy("lid").toPandas())
+    assert got["_arr"].tolist() == ["x", "y"]      # left cols untouched
+    assert got["_m"].tolist() == [1, 2]
+    assert got["rv"][0] == 1.5 and np.isnan(got["rv"][1])
