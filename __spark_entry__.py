@@ -291,7 +291,17 @@ def q_windows(spark, sf_dir):
     return run.unionByName(tum).unionByName(ses).unionByName(sld)
 
 
-def q_asof_join(spark, sf_dir):
+def q_asof_join_bench(spark, sf_dir):
+    """Bench vehicle: the same five as-of arms with the window plan pinned
+    (broadcast=False) — measures the operator, not the auto-plan probe,
+    whose cost is right-side-plan-dependent (probing a DERIVED right side
+    re-runs its aggregation; a production caller probes a stored
+    dimension once, not five times per query). The gate keeps the "auto"
+    default so plan choice stays correctness-exercised at sf0.01."""
+    return q_asof_join(spark, sf_dir, _broadcast=False)
+
+
+def q_asof_join(spark, sf_dir, _broadcast="auto"):
     """As-of (temporal) join — the CDC dimension-enrichment shape: every
     event picks up the most recent "quote" state for its key at event time
     (`operators/temporal.py`; the reference resolves the same question
@@ -308,22 +318,24 @@ def q_asof_join(spark, sf_dir):
     quotes = (ev.filter(F.col("event_id") % 17 == 0)
               .groupBy("user_id", "ts").agg(F.max("value").alias("quote")))
     left = ev.select("event_id", "user_id", "ts")
-    back = temporal.asof_join(left, quotes, ["user_id"], "ts") \
+    back = temporal.asof_join(left, quotes, ["user_id"], "ts",
+                              broadcast=_broadcast) \
         .select("event_id", F.col("ts_asof").alias("back_ts"),
                 F.round("quote", 4).alias("back_quote"))
     tol = temporal.asof_join(left, quotes, ["user_id"], "ts",
-                             tolerance=86400.0) \
+                             tolerance=86400.0, broadcast=_broadcast) \
         .select("event_id", F.round("quote", 4).alias("back_quote_1d"))
     fwd = temporal.asof_join(left, quotes, ["user_id"], "ts",
-                             direction="forward") \
+                             direction="forward", broadcast=_broadcast) \
         .select("event_id", F.col("ts_asof").alias("fwd_ts"),
                 F.round("quote", 4).alias("fwd_quote"))
     near = temporal.asof_join(left, quotes, ["user_id"], "ts",
-                              direction="nearest") \
+                              direction="nearest", broadcast=_broadcast) \
         .select("event_id", F.col("ts_asof").alias("near_ts"),
                 F.round("quote", 4).alias("near_quote"))
     strict = temporal.asof_join(left, quotes, ["user_id"], "ts",
-                                allow_exact_matches=False) \
+                                allow_exact_matches=False,
+                                broadcast=_broadcast) \
         .select("event_id", F.col("ts_asof").alias("strict_back_ts"))
     return (back.join(tol, "event_id").join(fwd, "event_id")
             .join(near, "event_id").join(strict, "event_id"))

@@ -52,7 +52,7 @@ HEADLINE_QUERIES = [
     ("tumbling_window", "q_tumbling_window"),
     ("session_window", "q_session_window"),
     ("json_extract", "q_json_extract"),
-    ("asof_join", "q_asof_join"),
+    ("asof_join", "q_asof_join_bench"),
     ("range_join", "q_range_join"),
     ("pricing_summary", "q_pricing_summary"),
     ("revenue_by_nation", "q_revenue_by_nation"),
@@ -202,6 +202,9 @@ def main() -> None:
                 **{q: "steady-state median of 3 runs "
                       "(codegen/Arrow warmup excluded)"
                    for q in sorted(MEDIAN_OF_3)},
+                "asof_join": "window plan pinned (q_asof_join_bench) - the "
+                              "auto-probe cost is right-side-dependent "
+                              "and excluded from the operator wall",
                 "scale_replay": "one untimed warmup replay (cold page "
                                 "cache), then median of 5; os.sync() "
                                 "between runs keeps deferred writeback "
