@@ -40,7 +40,6 @@ original:
 
 from __future__ import annotations
 
-import json
 import time
 from typing import Callable, Sequence
 
@@ -203,10 +202,13 @@ class TaskFlow:
         else:  # stop: task stays at from_step, retryable until exhausted
             new_state = F.when(ok, STATE_OK).otherwise(STATE_STOP_WITH_ERROR)
             new_step = F.when(ok, F.lit(step)).otherwise(F.col("t.step"))
+        # a first failure under "stop" starts the retry counter at 1 so
+        # `retries <= max_retries` counts RE-runs; continue/quarantine
+        # failures advance or terminate, their counter stays 0
+        first_fail = 1 if on_error == "stop" else 0
         new_retries = F.when(ok, F.lit(0)).otherwise(
-            F.when(retrying, F.col("t.retries") + 1).otherwise(
-                F.lit(0) + F.when(F.lit(on_error == "stop"), 1)
-                .otherwise(0)))
+            F.when(retrying, F.col("t.retries") + 1)
+            .otherwise(F.lit(first_fail)))
         params_col = (F.coalesce(F.col("r._params"), F.col("t.params"))
                       if "_params" in res.columns else F.col("t.params"))
         end_col = (F.when(ok, F.lit(now)).otherwise(F.col("t.end_ms"))
