@@ -541,6 +541,58 @@ def q_s3_events(spark, sf_dir):
         F.sha2("content", 256).alias("content_sha"))
 
 
+def q_task_flow(spark, sf_dir):
+    """Rows-only gate (placed past the 50-entry oracle window): the intake
+    task-flow state machine (flow.py — TaskFlow/ETaskResponse analog)
+    driven deterministically over the documents table: submit every doc
+    as a task, a 'classify' step that quarantines docs whose id % 13 == 0
+    (MoveToError), a flaky 'extract' step that fails id % 7 == 0 on the
+    first attempt and succeeds on the retry (StopWithError → retry budget
+    → OK), and a terminal 'publish' step. Returns the final ledger state;
+    value semantics are pytest-gated (tests/test_flow.py) — the ledger
+    transitions are engine commits, whose machinery the oracle-bearing
+    replay gates already value-check."""
+    from cdc_core_spark.flow import STEP_INTAKE, TaskFlow
+
+    root = _scratch("taskflow", sf_dir)
+    tf = TaskFlow(spark, os.path.join(root, "ledger"), "gate_group")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("cid"),
+        F.col("doc_id"), F.lit("documents").alias("src"))
+    tf.submit(docs, correlation_col="cid", source_col="src",
+              params_cols=["doc_id"], now_ms=1000)
+
+    def classify(df):
+        did = F.get_json_object("params", "$.doc_id").cast("long")
+        return df.select("correlation_id",
+                         (did % 13 != 0).alias("_ok"),
+                         F.lit("blocked content class").alias("_error"))
+
+    tf.run_step("classify", classify, STEP_INTAKE, on_error="quarantine",
+                now_ms=2000)
+
+    attempts = {"n": 0}
+
+    def extract(df):
+        attempts["n"] += 1
+        did = F.get_json_object("params", "$.doc_id").cast("long")
+        ok = (did % 7 != 0) | F.lit(attempts["n"] > 1)
+        return df.select("correlation_id", ok.alias("_ok"),
+                         F.lit("transient fetch error").alias("_error"))
+
+    tf.run_step("extract", extract, "classify", on_error="stop",
+                max_retries=2, now_ms=3000)
+    tf.run_step("extract", extract, "classify", on_error="stop",
+                max_retries=2, now_ms=4000)
+
+    def publish(df):
+        return df.select("correlation_id", F.lit(True).alias("_ok"))
+
+    tf.run_step("publish", publish, "extract", terminal=True, now_ms=5000)
+    return tf.tasks().select("correlation_id", "step", "task_state",
+                             "retries", "error", "end_ms")
+
+
 def q_json_extract(spark, sf_dir):
     """JSON property shred (SchemaHelper JSON-inference / PropertyBag
     wildcard-capture analog): typed extraction from the props JSON column."""
@@ -2001,6 +2053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
+        # rows-only by design (ledger transitions ARE engine commits — the
+        # engine machinery is value-checked by the replay-family oracles;
+        # flow semantics pytest-gated in tests/test_flow.py)
+        "task_flow": q_task_flow,
     }
 
 

@@ -159,7 +159,10 @@ class TaskFlow:
         must return ``correlation_id`` + ``_ok`` (boolean) + optionally
         ``_error`` (string) and an updated ``params``. Rows ``fn`` drops
         stay untouched and eligible for the next run (document what your
-        step skipped — silent drops are on the step author).
+        step skipped — silent drops are on the step author); ``fn`` must
+        return at most ONE row per correlation_id (a duplicated id makes
+        the two transitions collapse by within-epoch LWW with an
+        arbitrary winner — same-version ties have no order).
 
         ``terminal=True`` stamps ``end_ms`` on rows that complete this
         step (the group's finish line). Returns the epoch used;
