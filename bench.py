@@ -1,7 +1,7 @@
 """Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
 
 Headline metric (the JSON `value`): wall seconds of the 20M-event `scale`
-fixture replay-to-converged-table, median of 3 fresh-state runs — chosen
+fixture replay-to-converged-table, median of 5 fresh-state runs — chosen
 over the sf-sized fixture because its round-over-round signal is stable
 while the small fixture swings ±20% with host windows (disclosed in
 extras). Per-query walls at $SPARK_GRAFT_SF_DIR ride in `queries`, the
@@ -185,7 +185,7 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "scale_replay_sec (20M-event replay-to-converged-table, "
-                  "median of 3; events_per_sec in extras.scale_replay; "
+                  "median of 5; events_per_sec in extras.scale_replay; "
                   "per-query walls + headline_total_sec in queries/extras)",
         "value": scale_replay["sec"],
         "unit": "sec",

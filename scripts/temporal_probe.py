@@ -64,7 +64,8 @@ def main() -> None:
     # DEEP per-key history (tick-store shape): the window plan's territory
     out["runs"].append(timed(
         "asof_window_plan_deep_history",
-        temporal.asof_join(probes, quotes, ["repo"], "op_ts")))
+        temporal.asof_join(probes, quotes, ["repo"], "op_ts",
+                           broadcast=False)))
     out["runs"].append(timed(
         "asof_broadcast_plan_deep_history",
         # max_history raised on purpose: this run MEASURES the deep-history
@@ -81,7 +82,8 @@ def main() -> None:
     out["shallow_dim"] = {"rows": n_dim, "keys": n_dim, "avg_history": 1.0}
     out["runs"].append(timed(
         "asof_window_plan_shallow_dim",
-        temporal.asof_join(probes, dim, ["repo", "path"], "op_ts")))
+        temporal.asof_join(probes, dim, ["repo", "path"], "op_ts",
+                           broadcast=False)))
     out["runs"].append(timed(
         "asof_broadcast_plan_shallow_dim",
         temporal.asof_join(probes, dim, ["repo", "path"], "op_ts",
