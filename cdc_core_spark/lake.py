@@ -578,7 +578,7 @@ class SnapshotTable:
         parts = []
         for (sid, epoch, version), paths in sorted(groups.items(),
                                                    key=lambda kv: kv[0][2]):
-            df = spark.read.parquet(*paths)
+            df = _read_group(spark, snap.schemas, sid, paths)
             df = _normalize(df, snap.fields, snap.aliases)
             for k in snap.key_cols:
                 df = df.filter(F.col(k) == F.lit(key[k]))
@@ -757,7 +757,7 @@ class SnapshotTable:
             by_schema.setdefault(f["schema_id"], []).append(os.path.join(self.root, f["path"]))
             has_delta = has_delta or f.get("kind", "base") == "delta"
         for sid, paths in by_schema.items():
-            df = spark.read.parquet(*paths)
+            df = _read_group(spark, snap.schemas, sid, paths)
             parts.append(_normalize(df, fields, snap.aliases))
         out = parts[0]
         for p in parts[1:]:
@@ -2344,7 +2344,7 @@ class SnapshotTable:
                 by_schema.setdefault(f["schema_id"], []).append(
                     os.path.join(self.root, f["path"]))
             for sid, ps in by_schema.items():
-                df = _normalize(spark.read.parquet(*ps),
+                df = _normalize(_read_group(spark, to_snap.schemas, sid, ps),
                                 to_snap.fields, to_snap.aliases)
                 parts.append(df.withColumn("_change_version",
                                            F.lit(v).cast("bigint")))
@@ -2475,6 +2475,30 @@ def _projected_fields(snap, columns: list[str] | None):
         raise ValueError(f"duplicate columns in projection: {columns!r}")
     keep = set(columns) | set(snap.key_cols)
     return [f for f in snap.fields if f["name"] in keep], list(columns)
+
+
+def _read_group(spark: SparkSession, schemas: dict, sid: str,
+                paths: list[str]) -> DataFrame:
+    """Read one write-time schema group with an EXPLICIT schema built from
+    the snapshot's stored per-``schema_id`` field list + the engine's
+    system columns — the physical layout every engine write produces.
+
+    Why: without a schema, every ``spark.read.parquet`` plans a
+    footer-inference pass first — measured as a string of 1-task jobs on
+    the replay path (round-5 event-log decomposition), pure serial driver
+    latency, and on an object store it is a footer GET per group BEFORE
+    any task can launch. The engine already persists the exact write-time
+    schema, so inference is information we paid for twice. Parquet
+    resolution is by NAME (column order in the file is irrelevant);
+    pre-upgrade snapshot docs without a stored schema for ``sid`` fall
+    back to inference."""
+    flds = (schemas or {}).get(sid)
+    if flds is None:
+        return spark.read.parquet(*paths)
+    ddl = ", ".join(
+        [f'{f["name"]} {sql_type(f["type"])}' for f in flds]
+        + [f"{c} {t}" for c, t in INTERNAL_COLS.items()])
+    return spark.read.schema(ddl).parquet(*paths)
 
 
 def _normalize(df: DataFrame, fields: list[dict], aliases: dict) -> DataFrame:
