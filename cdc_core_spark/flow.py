@@ -244,7 +244,10 @@ class TaskFlow:
         return self.engine.table.read(self.spark)
 
     def errored(self) -> DataFrame:
-        """The error store view (MoveToError / exhausted StopWithError)."""
+        """The error-store view: MoveToError (terminal) plus tasks
+        currently halted at StopWithError — whether a halted task is
+        exhausted depends on the retry budget of the NEXT run_step call,
+        which the ledger cannot know in advance."""
         return self.tasks().filter(
             F.col("task_state").isin(STATE_MOVED_TO_ERROR,
                                      STATE_STOP_WITH_ERROR))
